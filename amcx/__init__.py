@@ -1,0 +1,58 @@
+"""amcx — TPU-native least-squares Monte Carlo (American Monte Carlo).
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the
+reference CPU/NumPy pricer `heidi123123/american-monte-carlo`: GBM path
+simulation, Longstaff-Schwartz backward induction with on-device polynomial
+regression, European/American vanilla and down-and-in barrier options, CCR
+exposure profiles, a self-hosted analytic + binomial oracle, pathwise Greeks,
+variance reduction, multi-asset Bermudan max-calls, and data-parallel path
+sharding over TPU meshes.
+"""
+
+from .types import MarketParams, ProductSpec, RegressionSpec, SimConfig
+from .paths import simulate_gbm, simulate_gbm_multi, to_path_major
+from .payoff import intrinsic_value, barrier_knocked, max_call_payoff
+from .basis import design_matrix, multi_asset_design_matrix
+from .regress import regression_fitted_values, fit_continuation
+from .engine import LSMCResult, backward_induction, lsmc_option_pricing, price_option
+from .oracle import (
+    bs_price,
+    bs_greeks,
+    down_in_price,
+    crr_price,
+    crr_down_in_price,
+    oracle_price,
+)
+from .exposures import compute_ccr_exposures
+from .analytics import compute_differences
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "MarketParams",
+    "ProductSpec",
+    "RegressionSpec",
+    "SimConfig",
+    "simulate_gbm",
+    "simulate_gbm_multi",
+    "to_path_major",
+    "intrinsic_value",
+    "barrier_knocked",
+    "max_call_payoff",
+    "design_matrix",
+    "multi_asset_design_matrix",
+    "regression_fitted_values",
+    "fit_continuation",
+    "LSMCResult",
+    "backward_induction",
+    "lsmc_option_pricing",
+    "price_option",
+    "bs_price",
+    "bs_greeks",
+    "down_in_price",
+    "crr_price",
+    "crr_down_in_price",
+    "oracle_price",
+    "compute_ccr_exposures",
+    "compute_differences",
+]

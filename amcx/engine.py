@@ -1,0 +1,236 @@
+"""Longstaff-Schwartz backward induction as a `lax.scan`.
+
+This is the TPU re-architecture of the reference's engine layer
+(`/root/reference/american_monte_carlo.py:139-197`):
+
+- the Python ``for t in reversed(range(n_steps+1))`` loop
+  (`american_monte_carlo.py:141`) becomes a single ``lax.scan`` with
+  ``reverse=True`` over the time-major path array — one compiled program,
+  no host round trips;
+- the in-place scatter of `apply_exercise` (`american_monte_carlo.py:90-94`)
+  becomes a pure ``jnp.where`` select on the ``(cashflows, exercise_times)``
+  scan carry — no mutation, trivially race-free (SURVEY §5);
+- the per-step LAPACK ``lstsq`` becomes the on-device Gram-moment fit of
+  `amcx.regress` (one big MXU matmul + tiny replicated solve). Under a
+  sharded path axis, XLA inserts the moment all-reduce automatically.
+
+Behavioural parity points (SURVEY quirks):
+
+- Q1: regression fits on **all** paths by default (``regress_on="all"``);
+- Q2: continuation clamped at zero before the exercise comparison;
+- Q3: t=0 is part of the loop (degenerate rank-1 design handled by the
+  pseudo-inverse solve);
+- Q4: down-and-in barrier — maturity cashflow only on knocked paths, early
+  exercise only on knocked paths;
+- Q5: the cashflow carry stores *undiscounted* exercise values; regression
+  targets discount from the stored exercise time τ back to t, the final
+  price discounts from τ to 0;
+- Q6: European products still run the regression every step (the
+  continuation surface feeds CCR exposures) but never exercise early;
+- Q7: never-exercised paths keep τ = n_steps with zero cashflow.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .payoff import barrier_knocked, intrinsic_value, payoff_fn_for
+from .regress import fit_continuation
+from .types import MarketParams, ProductSpec, RegressionSpec, SimConfig
+
+__all__ = ["LSMCResult", "backward_induction", "lsmc_option_pricing", "price_option"]
+
+
+class LSMCResult(NamedTuple):
+    """Engine output.
+
+    ``price`` mirrors `lsmc_option_pricing`'s first return
+    (`american_monte_carlo.py:196`); ``continuation`` is the dense
+    ``(n_steps+1, n_paths)`` continuation-value surface, the functional
+    equivalent of the reference's list of ``(t, S_t, Ĉ_t)`` tuples
+    (`american_monte_carlo.py:164,197`) and the input to CCR exposures.
+    ``stderr`` is the Monte-Carlo standard error of the price (new).
+    """
+
+    price: jnp.ndarray
+    stderr: jnp.ndarray
+    cashflows: jnp.ndarray
+    exercise_times: jnp.ndarray
+    continuation: Optional[jnp.ndarray]
+
+
+def backward_induction(
+    paths_tm: jnp.ndarray,
+    knocked_tm: jnp.ndarray,
+    r,
+    dt,
+    payoff: Callable[[jnp.ndarray], jnp.ndarray],
+    spec: RegressionSpec,
+    regressor: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    american: bool = True,
+    return_surface: bool = True,
+    fit_fn: Optional[Callable] = None,
+    axis_name: Optional[str] = None,
+) -> LSMCResult:
+    """Generic LSMC backward induction.
+
+    Args:
+      paths_tm: time-major state, ``(n_steps+1, n_paths)`` or
+        ``(n_steps+1, n_paths, n_assets)``.
+      knocked_tm: ``(n_steps+1, n_paths)`` bool knock-state (all-True for
+        vanilla), per `precompute_barrier_hit_matrix` semantics.
+      payoff: ``S_t -> (n_paths,)`` intrinsic value.
+      spec: regression configuration.
+      regressor: optional map from state to the scalar regression variable
+        (default: identity for 1-D state).
+      american: early exercise enabled (`american_monte_carlo.py:154`).
+      return_surface: emit the dense continuation surface (zeros at maturity,
+        matching `american_monte_carlo.py:145-149`).
+      fit_fn: override ``(x, y, spec, weights, axis_name) -> clamped fitted
+        values`` (used by the multi-asset engine to swap in a cross-term
+        basis).
+      axis_name: mesh axis the path dimension is sharded over (inside
+        ``shard_map``). Turns the regression moments, the standardization
+        statistics, and the final price/stderr reductions into global
+        ``psum``s — the only cross-chip traffic per step (SURVEY §5).
+    """
+    n_steps = paths_tm.shape[0] - 1
+    n_paths = paths_tm.shape[1]
+    dtype = paths_tm.dtype
+    r = jnp.asarray(r, dtype)
+    dt = jnp.asarray(dt, dtype)
+    if fit_fn is None:
+        fit_fn = fit_continuation
+
+    # Maturity leg (`american_monte_carlo.py:147-149`): intrinsic on knocked
+    # paths only; τ initialized to n_steps everywhere (Q7).
+    S_T = paths_tm[n_steps]
+    cf0 = jnp.where(knocked_tm[n_steps], payoff(S_T), jnp.zeros((n_paths,), dtype))
+    tau0 = jnp.full((n_paths,), float(n_steps), dtype)
+
+    def step(carry, xs):
+        cashflows, tau = carry
+        S_t, knocked_t, t = xs
+        # Regression target: discount each cashflow from its stored exercise
+        # time back to t (Q5, `american_monte_carlo.py:128`).
+        y = cashflows * jnp.exp(-r * dt * (tau - t))
+        x = S_t if regressor is None else regressor(S_t)
+        ex = payoff(S_t)
+        if spec.regress_on == "itm":
+            weights = (ex > 0).astype(dtype) * knocked_t.astype(dtype)
+        else:
+            weights = None  # reference behaviour: fit on all paths (Q1)
+        cont = fit_fn(x, y, spec, weights, axis_name)  # clamped at 0 (Q2)
+        if american:
+            # Exercise where intrinsic beats continuation on knocked ∧ ITM
+            # paths (`american_monte_carlo.py:154-162`), as a pure select.
+            exercise = knocked_t & (ex > 0) & (ex > cont)
+            cashflows = jnp.where(exercise, ex, cashflows)
+            tau = jnp.where(exercise, t, tau)
+        return (cashflows, tau), (cont if return_surface else None)
+
+    ts = jnp.arange(n_steps, dtype=dtype)
+    (cashflows, tau), conts = lax.scan(
+        step,
+        (cf0, tau0),
+        (paths_tm[:n_steps], knocked_tm[:n_steps], ts),
+        reverse=True,
+    )
+
+    discounted = cashflows * jnp.exp(-r * dt * tau)
+    if axis_name is None:
+        price = jnp.mean(discounted)
+        var = jnp.mean(jnp.square(discounted - price))
+        n_total = float(n_paths)
+    else:
+        # psum-based global mean/variance across the sharded path axis
+        # (BASELINE north star: "psum-based reduction for the final
+        # discounted-payoff mean").
+        n_total = lax.psum(jnp.asarray(float(n_paths), dtype), axis_name)
+        price = lax.psum(jnp.sum(discounted), axis_name) / n_total
+        var = lax.psum(jnp.sum(jnp.square(discounted - price)), axis_name) / n_total
+    stderr = jnp.sqrt(var) / jnp.sqrt(n_total)
+
+    surface = None
+    if return_surface:
+        # Maturity row is recorded as zeros, like the reference's
+        # ``continuation_estimated`` at t == n_steps (:145-149).
+        surface = jnp.concatenate([conts, jnp.zeros((1, n_paths), dtype)], axis=0)
+    return LSMCResult(price, stderr, cashflows, tau, surface)
+
+
+def lsmc_option_pricing(
+    paths_tm: jnp.ndarray,
+    product: ProductSpec,
+    r,
+    spec: RegressionSpec = RegressionSpec(),
+    return_surface: bool = True,
+    axis_name: Optional[str] = None,
+) -> LSMCResult:
+    """Price a (possibly barrier) put/call from pre-simulated paths.
+
+    Functional equivalent of the reference's public entry point
+    `lsmc_option_pricing` (`american_monte_carlo.py:180-197`): computes the
+    knock matrix, runs backward induction, returns the discounted mean and
+    the continuation surface. ``dt = T / n_steps`` is derived from the path
+    grid.
+    """
+    n_steps = paths_tm.shape[0] - 1
+    dt = product.T / n_steps
+    knocked = barrier_knocked(paths_tm, product.barrier)
+    return backward_induction(
+        paths_tm,
+        knocked,
+        r,
+        dt,
+        payoff_fn_for(product),
+        spec,
+        american=product.is_american,
+        return_surface=return_surface,
+        axis_name=axis_name,
+    )
+
+
+@partial(jax.jit, static_argnames=("spec", "sim", "option_type", "exercise", "return_surface"))
+def _price_option_impl(key, S0, r, sigma, q, K, T, barrier, spec, sim, option_type, exercise, return_surface):
+    from .paths import simulate_gbm
+
+    market = MarketParams(S0, r, sigma, q)
+    paths = simulate_gbm(key, market, T, sim)
+    product = ProductSpec(K=K, T=T, barrier=barrier, option_type=option_type, exercise=exercise)
+    return lsmc_option_pricing(paths, product, r, spec, return_surface=return_surface)
+
+
+def price_option(
+    key: jax.Array,
+    market: MarketParams,
+    product: ProductSpec,
+    spec: RegressionSpec = RegressionSpec(),
+    sim: SimConfig = SimConfig(),
+    return_surface: bool = False,
+) -> LSMCResult:
+    """One-shot jitted simulate→price pipeline (the reference's
+    `generate_asset_paths` + `lsmc_option_pricing` composition at
+    `american_monte_carlo.py:465-471`)."""
+    dtype = sim.jnp_dtype
+    barrier = None if product.barrier is None else jnp.asarray(product.barrier, dtype)
+    return _price_option_impl(
+        key,
+        jnp.asarray(market.S0, dtype),
+        jnp.asarray(market.r, dtype),
+        jnp.asarray(market.sigma, dtype),
+        jnp.asarray(market.q, dtype),
+        jnp.asarray(product.K, dtype),
+        jnp.asarray(product.T, dtype),
+        barrier,
+        spec,
+        sim,
+        product.option_type,
+        product.exercise,
+        return_surface,
+    )

@@ -1,0 +1,309 @@
+"""Self-hosted benchmark oracle (replaces QuantLib).
+
+The reference validates its LSMC prices against QuantLib's C++ engines via
+SWIG (`/root/reference/american_monte_carlo.py:10-68`): analytic
+Black-Scholes for European vanillas, CRR binomial for American vanillas,
+analytic (Reiner-Rubinstein) and CRR binomial engines for down-and-in
+barriers. Those are the *only* native components in the reference's closure
+(SURVEY §2 native table). This module re-implements every engine in JAX so
+the whole validation suite runs hermetically on TPU/CPU:
+
+- :func:`bs_price` — closed-form Black-Scholes-Merton (continuous dividend
+  yield), the `AnalyticEuropeanEngine` equivalent.
+- :func:`down_in_price` — Reiner-Rubinstein closed forms for down-and-in
+  calls/puts (rebate 0), the `AnalyticBarrierEngine` equivalent, with an
+  optional Broadie-Glasserman-Kou discrete-monitoring barrier shift.
+- :func:`crr_price` — Cox-Ross-Rubinstein binomial tree as a ``lax.scan``
+  over tree levels with fixed-size padded node arrays (TPU-friendly, no
+  dynamic shapes), the `BinomialVanillaEngine` equivalent. Handles
+  European/American exercise.
+- :func:`crr_down_in_price` — binomial down-and-in via a *joint* backward
+  scan of the vanilla and knock-in value vectors (`BinomialBarrierEngine`
+  equivalent). At knocked nodes the DI value collapses to the vanilla value;
+  above the barrier it is pure continuation (no exercise before knock-in —
+  the same semantics the LSMC engine enforces, SURVEY Q4).
+
+A second, independent C++ implementation of the same engines (role parity
+with QuantLib's native code) lives in ``native/`` and is loaded via
+`amcx.native_oracle`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "norm_cdf",
+    "bs_price",
+    "bs_greeks",
+    "down_in_price",
+    "discrete_barrier_shift",
+    "crr_price",
+    "crr_down_in_price",
+    "oracle_price",
+]
+
+
+def norm_cdf(x):
+    return 0.5 * (1.0 + lax.erf(x / jnp.sqrt(2.0).astype(jnp.result_type(x, 1.0))))
+
+
+def _expm1_acc(z):
+    """Accurate ``exp(z) - 1`` for the small arguments of tree constants.
+
+    XLA's f32 ``exp``/``expm1`` are fast polynomial approximations (~5e-6 /
+    ~1e-4 relative error on CPU); that error lands directly in the
+    risk-neutral probability ``p = (a-d)/(u-d)`` (a ratio of ~1e-3-sized
+    differences of numbers near 1) and compounds over thousands of tree
+    levels into O(0.1) price errors. For |z| <= 0.125 an 8-term Taylor series
+    is exact to f32 rounding; larger arguments fall back to ``expm1``.
+    """
+    t = z / 8.0  # bring typical args well inside the series' sweet spot
+    # Horner: t(1 + t/2(1 + t/3(1 + t/4(1 + t/5(1 + t/6(1 + t/7(1 + t/8)))))))
+    s = t * (1.0 + t / 2.0 * (1.0 + t / 3.0 * (1.0 + t / 4.0 * (
+        1.0 + t / 5.0 * (1.0 + t / 6.0 * (1.0 + t / 7.0 * (1.0 + t / 8.0)))))))
+    # (1+s)^8 - 1 via repeated squaring of (1+s): em <- em*(em+2) maps
+    # exp(t)-1 -> exp(2t)-1 exactly in terms of expm1 composition.
+    em = s
+    for _ in range(3):
+        em = em * (em + 2.0)
+    return jnp.where(jnp.abs(z) <= 1.0, em, jnp.expm1(z))
+
+
+def _phi(option_type: str) -> float:
+    return -1.0 if option_type.strip().lower() == "put" else 1.0
+
+
+def _tree_constants(r, q, sigma, dt):
+    """CRR constants ``u, d, p, disc`` built from :func:`_expm1_acc` so the
+    cancellation-heavy ``p = (a-d)/(u-d)`` keeps full f32 accuracy."""
+    x = sigma * jnp.sqrt(dt)
+    em_x = _expm1_acc(x)      # e^x  - 1
+    em_mx = _expm1_acc(-x)    # e^-x - 1
+    em_a = _expm1_acc((r - q) * dt)
+    u = 1.0 + em_x
+    d = 1.0 + em_mx
+    p = (em_a - em_mx) / (em_x - em_mx)
+    disc = 1.0 + _expm1_acc(-r * dt)
+    return u, d, p, disc
+
+
+def bs_price(S0, K, T, r, sigma, q=0.0, option_type: str = "call"):
+    """Black-Scholes-Merton European price (analytic).
+
+    Equivalent of QuantLib's `AnalyticEuropeanEngine`
+    (`american_monte_carlo.py:28`).
+    """
+    S0, K, T, r, sigma, q = map(jnp.asarray, (S0, K, T, r, sigma, q))
+    phi = _phi(option_type)
+    sqT = jnp.sqrt(T)
+    sig = jnp.maximum(sigma * sqT, 1e-12)
+    d1 = (jnp.log(S0 / K) + (r - q + 0.5 * sigma**2) * T) / sig
+    d2 = d1 - sig
+    return phi * (
+        S0 * jnp.exp(-q * T) * norm_cdf(phi * d1)
+        - K * jnp.exp(-r * T) * norm_cdf(phi * d2)
+    )
+
+
+def bs_greeks(S0, K, T, r, sigma, q=0.0, option_type: str = "call"):
+    """Closed-form delta/vega/rho via autodiff of :func:`bs_price` (used as
+    the ground truth for the pathwise-Greeks tests, SURVEY §4)."""
+    f = lambda s, v, rr: bs_price(s, K, T, rr, v, q, option_type)
+    delta = jax.grad(f, argnums=0)(S0, sigma, r)
+    vega = jax.grad(f, argnums=1)(S0, sigma, r)
+    rho = jax.grad(f, argnums=2)(S0, sigma, r)
+    return {"delta": delta, "vega": vega, "rho": rho}
+
+
+def discrete_barrier_shift(barrier, sigma, dt, down: bool = True):
+    """Broadie-Glasserman-Kou continuity correction: the continuous-monitoring
+    barrier equivalent to a discretely monitored one at spacing ``dt`` is
+    shifted by ``exp(∓0.5826 σ √dt)`` (minus for down barriers)."""
+    beta = 0.5826
+    sign = -1.0 if down else 1.0
+    return barrier * jnp.exp(sign * beta * sigma * jnp.sqrt(dt))
+
+
+def down_in_price(S0, K, T, r, sigma, barrier, q=0.0, option_type: str = "call"):
+    """Reiner-Rubinstein down-and-in European barrier price (rebate 0,
+    continuous monitoring, barrier below spot).
+
+    Equivalent of QuantLib's `AnalyticBarrierEngine` with
+    ``ql.Barrier.DownIn`` (`american_monte_carlo.py:40,63`).
+    """
+    S0, K, T, r, sigma, barrier, q = map(
+        jnp.asarray, (S0, K, T, r, sigma, barrier, q)
+    )
+    phi = _phi(option_type)
+    eta = 1.0  # down barrier
+    b = r - q  # cost of carry
+    sqT = jnp.sqrt(T)
+    sig = jnp.maximum(sigma * sqT, 1e-12)
+    mu = (b - 0.5 * sigma**2) / jnp.maximum(sigma**2, 1e-12)
+    H = barrier
+
+    x1 = jnp.log(S0 / K) / sig + (1.0 + mu) * sig
+    x2 = jnp.log(S0 / H) / sig + (1.0 + mu) * sig
+    y1 = jnp.log(H * H / (S0 * K)) / sig + (1.0 + mu) * sig
+    y2 = jnp.log(H / S0) / sig + (1.0 + mu) * sig
+
+    ebrt = jnp.exp((b - r) * T)
+    ert = jnp.exp(-r * T)
+    hs = H / S0
+    pow1 = hs ** (2.0 * (mu + 1.0))
+    pow2 = hs ** (2.0 * mu)
+
+    def val(z, use_pow):
+        # Generic Haug building block at argument z (A/B use plain N terms,
+        # C/D use the reflected (H/S)^? terms).
+        if use_pow:
+            return phi * (
+                S0 * ebrt * pow1 * norm_cdf(eta * z)
+                - K * ert * pow2 * norm_cdf(eta * z - eta * sig)
+            )
+        return phi * (
+            S0 * ebrt * norm_cdf(phi * z) - K * ert * norm_cdf(phi * z - phi * sig)
+        )
+
+    A = val(x1, False)
+    B = val(x2, False)
+    C = val(y1, True)
+    D = val(y2, True)
+
+    if option_type.strip().lower() == "call":
+        # K >= H: C ; K < H: A - B + D
+        price = jnp.where(K >= H, C, A - B + D)
+    else:
+        # K >= H: B - C + D ; K < H: A
+        price = jnp.where(K >= H, B - C + D, A)
+    # If the spot already starts at/below the barrier the option is knocked
+    # in and equals the vanilla.
+    vanilla = bs_price(S0, K, T, r, sigma, q, option_type)
+    return jnp.where(S0 <= H, vanilla, jnp.maximum(price, 0.0))
+
+
+@partial(jax.jit, static_argnames=("n_steps", "option_type", "american"))
+def _crr_impl(S0, K, T, r, sigma, q, n_steps, option_type, american):
+    dtype = jnp.result_type(S0, K, T, r, sigma, jnp.float32)
+    S0, K, T, r, sigma, q = (jnp.asarray(v, dtype) for v in (S0, K, T, r, sigma, q))
+    dt = T / n_steps
+    u, d, p, disc = _tree_constants(r, q, sigma, dt)
+    phi = _phi(option_type)
+
+    j = jnp.arange(n_steps + 1, dtype=dtype)  # number of up-moves
+
+    def node_spots(level):
+        # S at level i, node j = S0 * u^j * d^(i-j); padded beyond j > i
+        # (padding nodes are never read by the final V[0]).
+        return S0 * jnp.exp((2.0 * j - level) * sigma * jnp.sqrt(dt))
+
+    V = jnp.maximum(phi * (node_spots(jnp.asarray(n_steps, dtype)) - K), 0.0)
+
+    def step(V, level):
+        Vup = jnp.concatenate([V[1:], V[-1:]])
+        V = disc * (p * Vup + (1.0 - p) * V)
+        if american:
+            intrinsic = jnp.maximum(phi * (node_spots(level) - K), 0.0)
+            V = jnp.maximum(V, intrinsic)
+        return V, None
+
+    levels = jnp.arange(n_steps, dtype=dtype)
+    V, _ = lax.scan(step, V, levels, reverse=True)
+    return V[0]
+
+
+def crr_price(S0, K, T, r, sigma, n_steps: int = 1000, q=0.0,
+              option_type: str = "call", american: bool = False):
+    """Cox-Ross-Rubinstein binomial price.
+
+    Equivalent of QuantLib's ``BinomialVanillaEngine(process, "crr",
+    n_steps)`` (`american_monte_carlo.py:33`), as a ``lax.scan`` over tree
+    levels with a fixed-size padded node vector (SURVEY §7.6).
+    """
+    return _crr_impl(S0, K, T, r, sigma, q, int(n_steps), option_type, american)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "option_type", "american"))
+def _crr_down_in_impl(S0, K, T, r, sigma, q, barrier, n_steps, option_type, american):
+    dtype = jnp.result_type(S0, K, T, r, sigma, jnp.float32)
+    S0, K, T, r, sigma, q, H = (
+        jnp.asarray(v, dtype) for v in (S0, K, T, r, sigma, q, barrier)
+    )
+    dt = T / n_steps
+    u, d, p, disc = _tree_constants(r, q, sigma, dt)
+    phi = _phi(option_type)
+    j = jnp.arange(n_steps + 1, dtype=dtype)
+
+    def node_spots(level):
+        return S0 * jnp.exp((2.0 * j - level) * sigma * jnp.sqrt(dt))
+
+    S_T = node_spots(jnp.asarray(n_steps, dtype))
+    payoff_T = jnp.maximum(phi * (S_T - K), 0.0)
+    V_van = payoff_T
+    # A node at/below the barrier at maturity knocks in at maturity — the
+    # LSMC engine counts that too (`american_monte_carlo.py:147-148`).
+    V_di = jnp.where(S_T <= H, payoff_T, 0.0)
+
+    def step(carry, level):
+        V_van, V_di = carry
+        S = node_spots(level)
+        van_up = jnp.concatenate([V_van[1:], V_van[-1:]])
+        di_up = jnp.concatenate([V_di[1:], V_di[-1:]])
+        V_van = disc * (p * van_up + (1.0 - p) * V_van)
+        V_di = disc * (p * di_up + (1.0 - p) * V_di)
+        if american:
+            V_van = jnp.maximum(V_van, jnp.maximum(phi * (S - K), 0.0))
+        # Touching the barrier converts the knock-in claim into the vanilla.
+        # No early exercise above the barrier: the holder owns nothing
+        # exercisable until knocked (SURVEY Q4 semantics).
+        V_di = jnp.where(S <= H, V_van, V_di)
+        return (V_van, V_di), None
+
+    levels = jnp.arange(n_steps, dtype=dtype)
+    (V_van, V_di), _ = lax.scan(step, (V_van, V_di), levels, reverse=True)
+    return V_di[0]
+
+
+def crr_down_in_price(S0, K, T, r, sigma, barrier, n_steps: int = 1000, q=0.0,
+                      option_type: str = "call", american: bool = False):
+    """CRR binomial down-and-in barrier price (rebate 0).
+
+    Equivalent of QuantLib's ``BinomialBarrierEngine(process, "crr",
+    n_steps)`` (`american_monte_carlo.py:43`), via a joint vanilla/knock-in
+    backward scan.
+    """
+    return _crr_down_in_impl(
+        S0, K, T, r, sigma, q, barrier, int(n_steps), option_type, american
+    )
+
+
+def oracle_price(S0, K, T, r, sigma, n_steps: int = 1000, q=0.0,
+                 option_type: str = "call", exercise: str = "european",
+                 barrier=None):
+    """Dispatch to the right engine, mirroring `setup_exercise_and_engine`
+    (`american_monte_carlo.py:10-53`):
+
+    ==============  ==========  =================================
+    exercise        barrier     engine
+    ==============  ==========  =================================
+    european        None        analytic Black-Scholes
+    american        None        CRR binomial (``n_steps``)
+    european        H           Reiner-Rubinstein down-and-in
+    american        H           CRR binomial down-and-in
+    ==============  ==========  =================================
+    """
+    exercise = exercise.strip().lower()
+    if barrier is None:
+        if exercise == "european":
+            return bs_price(S0, K, T, r, sigma, q, option_type)
+        return crr_price(S0, K, T, r, sigma, n_steps, q, option_type, american=True)
+    if exercise == "european":
+        return down_in_price(S0, K, T, r, sigma, barrier, q, option_type)
+    return crr_down_in_price(
+        S0, K, T, r, sigma, barrier, n_steps, q, option_type, american=True
+    )

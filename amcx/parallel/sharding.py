@@ -1,0 +1,200 @@
+"""Device-mesh parallelism: data-parallel path sharding.
+
+The reference is single-process NumPy with no parallelism of any kind
+(SURVEY §5 verified zero threading/MPI/NCCL imports). The TPU-native scaling
+story (BASELINE north star) is a 1-D ``Mesh`` over the **path** axis:
+
+- paths are embarrassingly parallel (simulation, payoff, exercise are
+  elementwise per path);
+- the only cross-chip communication per backward step is the all-reduce of
+  the tiny ``(k,k)``/``(k,)`` regression moments, plus one final psum for
+  the discounted-payoff mean — both latency-bound on ICI;
+- multi-host (DCN) falls out of the same mesh via
+  ``jax.distributed.initialize``.
+
+Two execution styles are provided:
+
+1. :func:`price_option_sharded` — ``jit`` with sharding constraints; XLA
+   inserts the collectives automatically (the all-reduce appears where the
+   row-sharded Gram matmul produces a replicated ``(k,k)``).
+2. :func:`price_option_shardmap` — explicit ``shard_map`` over the mesh with
+   hand-placed ``psum``s (via ``axis_name`` threading in the engine), for
+   full control of the communication schedule.
+
+Both produce identical prices to the single-device engine given the same
+threefry key, because ``jax_threefry_partitionable`` RNG makes path i's
+normals independent of the mesh layout — this is tested on a virtual
+8-device CPU mesh in ``tests/test_sharding.py``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..engine import LSMCResult, lsmc_option_pricing
+from ..paths import simulate_gbm
+from ..types import MarketParams, ProductSpec, RegressionSpec, SimConfig
+
+__all__ = [
+    "make_mesh",
+    "path_sharding",
+    "shard_paths",
+    "price_option_sharded",
+    "price_option_shardmap",
+    "init_multihost",
+]
+
+PATH_AXIS = "paths"
+
+
+def make_mesh(devices=None, axis_name: str = PATH_AXIS) -> Mesh:
+    """1-D mesh over the given (default: all) devices."""
+    devices = jax.devices() if devices is None else list(devices)
+    import numpy as np
+
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def path_sharding(mesh: Mesh, time_major: bool = True) -> NamedSharding:
+    """Sharding for a path array: replicate time, shard paths."""
+    spec = P(None, mesh.axis_names[0]) if time_major else P(mesh.axis_names[0])
+    return NamedSharding(mesh, spec)
+
+
+def shard_paths(paths_tm: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
+    """Place a time-major path array onto the mesh, sharded over paths."""
+    return jax.device_put(paths_tm, path_sharding(mesh))
+
+
+def init_multihost(coordinator_address: Optional[str] = None, **kwargs) -> None:
+    """Multi-host (DCN) initialization; the single-mesh program then spans
+    all hosts' devices. No-op if already initialized."""
+    try:
+        jax.distributed.initialize(coordinator_address, **kwargs)
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process run
+
+
+def _product_leaves(product: ProductSpec, dtype):
+    barrier = None if product.barrier is None else jnp.asarray(product.barrier, dtype)
+    return jnp.asarray(product.K, dtype), jnp.asarray(product.T, dtype), barrier
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "sim", "option_type", "exercise", "return_surface", "mesh"),
+)
+def _sharded_pipeline(key, S0, r, sigma, q, K, T, barrier, spec, sim, option_type,
+                      exercise, return_surface, mesh):
+    market = MarketParams(S0, r, sigma, q)
+    paths = simulate_gbm(key, market, T, sim)
+    paths = jax.lax.with_sharding_constraint(paths, path_sharding(mesh))
+    product = ProductSpec(K=K, T=T, barrier=barrier, option_type=option_type, exercise=exercise)
+    return lsmc_option_pricing(paths, product, r, spec, return_surface=return_surface)
+
+
+def price_option_sharded(
+    key: jax.Array,
+    market: MarketParams,
+    product: ProductSpec,
+    spec: RegressionSpec = RegressionSpec(),
+    sim: SimConfig = SimConfig(),
+    mesh: Optional[Mesh] = None,
+    return_surface: bool = False,
+) -> LSMCResult:
+    """Simulate + price with the path axis sharded over the mesh (jit-style;
+    XLA auto-inserts the moment all-reduces)."""
+    mesh = make_mesh() if mesh is None else mesh
+    dtype = sim.jnp_dtype
+    K, T, barrier = _product_leaves(product, dtype)
+    return _sharded_pipeline(
+        key,
+        jnp.asarray(market.S0, dtype),
+        jnp.asarray(market.r, dtype),
+        jnp.asarray(market.sigma, dtype),
+        jnp.asarray(market.q, dtype),
+        K,
+        T,
+        barrier,
+        spec,
+        sim,
+        product.option_type,
+        product.exercise,
+        return_surface,
+        mesh,
+    )
+
+
+def price_option_shardmap(
+    key: jax.Array,
+    market: MarketParams,
+    product: ProductSpec,
+    spec: RegressionSpec = RegressionSpec(),
+    sim: SimConfig = SimConfig(),
+    mesh: Optional[Mesh] = None,
+) -> LSMCResult:
+    """Simulate + price under an explicit ``shard_map``: every rank runs the
+    engine on its local path shard; cross-rank reductions are explicit
+    ``psum``s threaded through ``axis_name`` (SURVEY §5's distributed plan,
+    stated communication schedule: one (k,k)+(k,) moment all-reduce per time
+    step + one scalar pair at the end)."""
+    mesh = make_mesh() if mesh is None else mesh
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    if sim.n_paths % n_dev:
+        raise ValueError(f"n_paths={sim.n_paths} not divisible by mesh size {n_dev}")
+    dtype = sim.jnp_dtype
+    K, T, barrier = _product_leaves(product, dtype)
+
+    @partial(jax.jit, static_argnames=())
+    def run(key, S0, r, sigma, q, K, T, barrier):
+        mkt = MarketParams(S0, r, sigma, q)
+
+        def local(key, S0, r, sigma, q, K, T, barrier):
+            # Same global key on every rank: partitionable threefry means we
+            # can simulate globally and slice locally — but simulating only
+            # the local shard is cheaper. Fold the rank into the key.
+            rank = jax.lax.axis_index(axis)
+            local_key = jax.random.fold_in(key, rank)
+            local_sim = SimConfig(
+                n_paths=sim.n_paths // n_dev,
+                n_steps=sim.n_steps,
+                dtype=sim.dtype,
+                antithetic=False,
+                backend=sim.backend,
+            )
+            paths = simulate_gbm(local_key, MarketParams(S0, r, sigma, q), T, local_sim)
+            prod = ProductSpec(
+                K=K, T=T, barrier=barrier,
+                option_type=product.option_type, exercise=product.exercise,
+            )
+            res = lsmc_option_pricing(paths, prod, r, spec, return_surface=False,
+                                      axis_name=axis)
+            # price/stderr already psum-reduced (replicated); cashflows/tau
+            # stay sharded.
+            return res
+
+        from jax import shard_map
+
+        in_specs = (P(),) * 8
+        out_specs = LSMCResult(P(), P(), P(axis), P(axis), None)
+        return shard_map(
+            local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )(key, S0, r, sigma, q, K, T, barrier)
+
+    return run(
+        key,
+        jnp.asarray(market.S0, dtype),
+        jnp.asarray(market.r, dtype),
+        jnp.asarray(market.sigma, dtype),
+        jnp.asarray(market.q, dtype),
+        K,
+        T,
+        barrier,
+    )

@@ -1,0 +1,134 @@
+"""Self-hosted oracle engines: internal consistency + known values.
+
+The oracle replaces QuantLib (`/root/reference/american_monte_carlo.py:
+10-68`), so it needs its own ground-truth tests: closed-form identities
+(put-call parity, in-out parity), binomial→analytic convergence, and
+monotonicity (American ≥ European, knock-in ≤ vanilla).
+"""
+
+import numpy as np
+import pytest
+
+from amcx.oracle import (
+    bs_price,
+    bs_greeks,
+    crr_down_in_price,
+    crr_price,
+    down_in_price,
+    discrete_barrier_shift,
+    oracle_price,
+)
+
+P = dict(S0=100.0, K=100.0, T=1.0, r=0.05, sigma=0.2)
+
+
+def test_bs_put_call_parity():
+    c = float(bs_price(**P, option_type="call"))
+    p = float(bs_price(**P, option_type="put"))
+    want = P["S0"] - P["K"] * np.exp(-P["r"] * P["T"])
+    np.testing.assert_allclose(c - p, want, atol=1e-3)
+
+
+def test_bs_known_value():
+    # Classic textbook check: S=K=100, T=1, r=5%, sigma=20% -> call 10.4506
+    c = float(bs_price(**P, option_type="call"))
+    np.testing.assert_allclose(c, 10.4506, atol=2e-3)
+
+
+def test_bs_dividend_yield():
+    c = float(bs_price(**P, q=0.03, option_type="call"))
+    assert c < float(bs_price(**P, option_type="call"))
+    # parity with dividends: C - P = S e^{-qT} - K e^{-rT}
+    p = float(bs_price(**P, q=0.03, option_type="put"))
+    want = P["S0"] * np.exp(-0.03) - P["K"] * np.exp(-0.05)
+    np.testing.assert_allclose(c - p, want, atol=1e-3)
+
+
+def test_bs_closed_form_greeks():
+    g = bs_greeks(**P, option_type="call")
+    d1 = (np.log(1.0) + (0.05 + 0.02)) / 0.2
+    from math import erf, sqrt, exp, pi
+
+    Nd1 = 0.5 * (1 + erf(d1 / sqrt(2)))
+    np.testing.assert_allclose(float(g["delta"]), Nd1, atol=1e-4)
+    vega = 100.0 * exp(-d1**2 / 2) / sqrt(2 * pi)
+    np.testing.assert_allclose(float(g["vega"]), vega, rtol=1e-4)
+
+
+@pytest.mark.parametrize("ot", ["call", "put"])
+def test_crr_converges_to_bs_european(ot):
+    bs = float(bs_price(**P, option_type=ot))
+    crr = float(crr_price(**P, n_steps=2000, option_type=ot, american=False))
+    np.testing.assert_allclose(crr, bs, atol=5e-3)
+
+
+def test_crr_american_premium():
+    eu = float(crr_price(**P, n_steps=500, option_type="put", american=False))
+    am = float(crr_price(**P, n_steps=500, option_type="put", american=True))
+    assert am > eu  # American put carries early-exercise premium
+    # American call on non-dividend stock equals European (never exercise early)
+    eu_c = float(crr_price(**P, n_steps=500, option_type="call", american=False))
+    am_c = float(crr_price(**P, n_steps=500, option_type="call", american=True))
+    np.testing.assert_allclose(am_c, eu_c, atol=1e-4)
+
+
+def test_crr_american_put_known_value():
+    # Widely used benchmark: American put S=K=100, T=1, r=5%, sigma=20% ≈ 6.09
+    am = float(crr_price(**P, n_steps=2000, option_type="put", american=True))
+    np.testing.assert_allclose(am, 6.090, atol=5e-3)
+
+
+@pytest.mark.parametrize("ot", ["call", "put"])
+@pytest.mark.parametrize("barrier", [80.0, 95.0])
+def test_down_in_bounded_by_vanilla(ot, barrier):
+    di = float(down_in_price(**P, barrier=barrier, option_type=ot))
+    v = float(bs_price(**P, option_type=ot))
+    assert 0.0 <= di <= v + 1e-6
+
+
+def test_down_in_approaches_vanilla_at_spot_barrier():
+    di = float(down_in_price(**P, barrier=99.999, option_type="put"))
+    v = float(bs_price(**P, option_type="put"))
+    np.testing.assert_allclose(di, v, rtol=1e-2)
+
+
+def test_down_in_knocked_equals_vanilla():
+    # spot already below barrier -> knocked -> vanilla
+    di = float(down_in_price(100.0, 100.0, 1.0, 0.05, 0.2, barrier=110.0, option_type="put"))
+    v = float(bs_price(**P, option_type="put"))
+    np.testing.assert_allclose(di, v, atol=1e-6)
+
+
+@pytest.mark.parametrize("ot", ["call", "put"])
+def test_crr_down_in_converges_to_analytic_european(ot):
+    """Binomial DI with many steps ≈ continuous-monitoring analytic DI.
+
+    Tree-level monitoring converges to continuous monitoring as steps grow;
+    use the BGK shift to accelerate (tree monitors at n discrete levels)."""
+    n = 4000
+    H = 85.0
+    Hs = float(discrete_barrier_shift(H, P["sigma"], P["T"] / n, down=True))
+    # invert the shift: tree-with-H ≈ continuous-with-H_shifted
+    di_tree = float(crr_down_in_price(**P, barrier=H, n_steps=n, option_type=ot, american=False))
+    di_cont = float(down_in_price(**P, barrier=Hs, option_type=ot))
+    np.testing.assert_allclose(di_tree, di_cont, atol=0.03)
+
+
+def test_crr_down_in_american_at_least_european():
+    eu = float(crr_down_in_price(**P, barrier=85.0, n_steps=500, option_type="put", american=False))
+    am = float(crr_down_in_price(**P, barrier=85.0, n_steps=500, option_type="put", american=True))
+    assert am >= eu - 1e-6
+
+
+def test_oracle_dispatch():
+    """Engine selection mirrors `setup_exercise_and_engine`
+    (`american_monte_carlo.py:10-53`)."""
+    assert float(oracle_price(**P, option_type="put", exercise="european")) == pytest.approx(
+        float(bs_price(**P, option_type="put"))
+    )
+    assert float(
+        oracle_price(**P, n_steps=200, option_type="put", exercise="american")
+    ) == pytest.approx(float(crr_price(**P, n_steps=200, option_type="put", american=True)))
+    assert float(
+        oracle_price(**P, option_type="put", exercise="european", barrier=80.0)
+    ) == pytest.approx(float(down_in_price(**P, barrier=80.0, option_type="put")))
