@@ -41,19 +41,29 @@ __all__ = ["simulate_gbm_pallas", "gbm_paths_pallas"]
 
 BLOCK_PATHS = 512  # lanes: multiple of 128; 101×512 f32 tile ≈ 200 KB VMEM
 _TWO_PI = 6.283185307179586
-_INV_2_24 = 1.0 / (1 << 24)
 
 
-def _bits_to_uniform(bits):
-    """uint32 -> float32 uniform in (0, 1): top 24 bits + half-ulp offset."""
-    return (bits >> 8).astype(jnp.float32) * _INV_2_24 + (0.5 * _INV_2_24)
+def _random_uniform(shape):
+    """float32 uniform in (0, 1] from raw PRNG bits.
+
+    Mosaic supports neither uint32->f32 casts nor logical shifts of the
+    int32 PRNG output, so build the float bitwise: 23 random mantissa bits
+    OR'd with the exponent of 1.0 gives [1, 2); ``2 - x`` maps to (0, 1]
+    (safe for log).
+    """
+    bits = pltpu.prng_random_bits(shape)  # int32 on TPU
+    mantissa = jnp.bitwise_and(bits, jnp.int32(0x007FFFFF))
+    one_to_two = pltpu.bitcast(
+        jnp.bitwise_or(mantissa, jnp.int32(0x3F800000)), jnp.float32
+    )
+    return 2.0 - one_to_two
 
 
 def _box_muller(shape):
     """Standard normals from two uniform draws (hardware PRNG must already
     be seeded)."""
-    u1 = _bits_to_uniform(pltpu.prng_random_bits(shape))
-    u2 = _bits_to_uniform(pltpu.prng_random_bits(shape))
+    u1 = _random_uniform(shape)
+    u2 = _random_uniform(shape)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     return r * jnp.cos(_TWO_PI * u2)
 
@@ -77,16 +87,19 @@ def _gbm_kernel(seed_ref, params_ref, out_ref, *, n_steps, antithetic):
     pltpu.prng_seed(seed_ref[0], base)
 
     z = _box_muller((n_steps, out_ref.shape[1]))
-    log_inc = drift_dt + vol_sdt * z
-    cum = jnp.cumsum(log_inc, axis=0)
     if antithetic:
-        # S_anti = S0·exp(drift·t − σW) = S0·exp(2·drift·t)/ (S/S0·...):
-        # just flip the Brownian part.
-        t_idx = jax.lax.broadcasted_iota(jnp.float32, cum.shape, 0) + 1.0
-        brownian = cum - drift_dt * t_idx
-        cum = jnp.where(mirror, drift_dt * t_idx - brownian, cum)
+        sign = jnp.where(mirror, -1.0, 1.0)
+        z = z * sign
+    log_inc = drift_dt + vol_sdt * z
+    # Running log-sum over time. Neither jnp.cumsum nor dynamic row indexing
+    # of VMEM values lowers in Mosaic TC kernels, so unroll the (static)
+    # time loop with static row slices: n_steps sequential VPU adds per
+    # block, each writing one finished path row.
     out_ref[0, :] = jnp.full((out_ref.shape[1],), S0, jnp.float32)
-    out_ref[1:, :] = S0 * jnp.exp(cum)
+    acc = jnp.zeros((out_ref.shape[1],), jnp.float32)
+    for t in range(n_steps):
+        acc = acc + log_inc[t, :]
+        out_ref[t + 1, :] = S0 * jnp.exp(acc)
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "n_paths", "antithetic", "interpret"))
@@ -139,8 +152,29 @@ def _key_to_seed(key: jax.Array) -> jnp.ndarray:
 
 
 def simulate_gbm_pallas(key: jax.Array, market: MarketParams, T, sim: SimConfig):
-    """`amcx.paths.simulate_gbm`-compatible wrapper around the kernel."""
-    on_tpu = jax.default_backend() not in ("cpu",)
+    """`amcx.paths.simulate_gbm`-compatible wrapper around the kernel.
+
+    TPU-only: the hardware PRNG has no CPU lowering and the TPU interpreter
+    stubs it with constant bits, so on non-TPU backends this silently falls
+    back to the XLA threefry simulator (same distribution, different
+    stream).
+    """
+    if jax.default_backend() == "cpu":
+        from ..paths import _simulate_gbm_xla
+
+        dtype = sim.jnp_dtype
+        return _simulate_gbm_xla(
+            key,
+            jnp.asarray(market.S0, dtype),
+            jnp.asarray(market.r, dtype),
+            jnp.asarray(market.sigma, dtype),
+            jnp.asarray(market.q, dtype),
+            jnp.asarray(T, dtype),
+            sim.n_steps,
+            sim.n_paths,
+            dtype,
+            sim.antithetic,
+        )
     return gbm_paths_pallas(
         _key_to_seed(key),
         market.S0,
@@ -151,5 +185,4 @@ def simulate_gbm_pallas(key: jax.Array, market: MarketParams, T, sim: SimConfig)
         sim.n_steps,
         sim.n_paths,
         antithetic=sim.antithetic,
-        interpret=not on_tpu,
     )

@@ -1,0 +1,51 @@
+"""Pallas GBM kernel statistical tests — REAL TPU ONLY.
+
+Run directly on the TPU host (no conftest platform override here):
+    python -m pytest tests_tpu/ -q
+The hardware PRNG has no CPU implementation (the interpreter stubs it), so
+these cannot run under the CPU-forced main suite in ``tests/``.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from amcx import MarketParams, ProductSpec, RegressionSpec, SimConfig, price_option
+from amcx.oracle import crr_price
+from amcx.paths import simulate_gbm
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() == "cpu", reason="needs a real TPU (hardware PRNG)"
+)
+
+M = MarketParams(100.0, 0.01, 0.2)
+
+
+def test_pallas_path_statistics():
+    sim = SimConfig(n_paths=102_400, n_steps=50, backend="pallas")
+    paths = simulate_gbm(jax.random.key(5), M, 1.0, sim)
+    lp = np.diff(np.log(np.asarray(paths, np.float64)), axis=0)
+    dt = 1.0 / 50
+    want_mean = (0.01 - 0.5 * 0.04) * dt
+    want_std = 0.2 * np.sqrt(dt)
+    se = want_std / np.sqrt(lp.size)
+    assert abs(lp.mean() - want_mean) < 5 * se
+    np.testing.assert_allclose(lp.std(), want_std, rtol=3e-3)
+    np.testing.assert_allclose(np.asarray(paths[0]), 100.0)
+
+
+def test_pallas_antithetic_mirroring():
+    sim = SimConfig(n_paths=102_400, n_steps=50, backend="pallas", antithetic=True)
+    paths = np.log(np.asarray(simulate_gbm(jax.random.key(5), M, 1.0, sim), np.float64) / 100.0)
+    drift = (0.01 - 0.02) * (1.0 / 50) * np.arange(51)[:, None]
+    c = paths - drift
+    half = 51_200
+    np.testing.assert_allclose(c[:, :half], -c[:, half:], atol=2e-5)
+
+
+def test_pallas_price_matches_oracle():
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american")
+    sim = SimConfig(n_paths=102_400, n_steps=100, backend="pallas")
+    res = price_option(jax.random.key(0), M, prod, RegressionSpec(degree=4), sim)
+    crr = float(crr_price(100.0, 100.0, 1.0, 0.01, 0.2, 2000, option_type="put", american=True))
+    assert abs(float(res.price) - crr) < 0.2
