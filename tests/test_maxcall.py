@@ -1,0 +1,62 @@
+"""Multi-asset Bermudan max-call vs published benchmark values
+(Andersen-Broadie 2004 / Broadie-Glasserman family; BASELINE config 5).
+
+LSMC is a lower-bound estimator, so assertions are one-sided-ish with loose
+MC tolerance. Sizes are kept small for the CPU suite; the TPU run in
+``tests_tpu``/bench exercises the full 200k-path configuration.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from amcx import RegressionSpec
+from amcx.models.maxcall import price_max_call
+
+BENCH = dict(K=100.0, T=3.0, r=0.05, sigma=0.2, q=0.10, n_exercise_dates=9)
+
+
+@pytest.mark.parametrize("n_assets,lit,tol", [(2, 13.90, 0.35), (5, 26.15, 0.6)])
+def test_max_call_matches_literature(n_assets, lit, tol):
+    res = price_max_call(
+        jax.random.key(42),
+        [100.0] * n_assets,
+        n_paths=50_000,
+        spec=RegressionSpec(basis="chebyshev", degree=3 if n_assets == 2 else 2),
+        **BENCH,
+    )
+    assert abs(float(res.price) - lit) < tol, f"{float(res.price)} vs {lit}"
+
+
+def test_max_call_exceeds_european():
+    """Bermudan ≥ European (same basket, exercise only at T)."""
+    import jax.numpy as jnp
+    from amcx import SimConfig, max_call_payoff, simulate_gbm_multi
+
+    key = jax.random.key(1)
+    res = price_max_call(
+        key, [100.0, 100.0], n_paths=50_000,
+        spec=RegressionSpec(degree=3), **BENCH,
+    )
+    sim = SimConfig(n_paths=50_000, n_steps=9)
+    paths = simulate_gbm_multi(key, [100.0, 100.0], 0.05, 0.2, 3.0, sim, q=0.10)
+    euro = float(jnp.exp(-0.05 * 3.0) * jnp.mean(max_call_payoff(paths[-1], 100.0)))
+    assert float(res.price) >= euro - 3 * float(res.stderr)
+
+
+def test_max_call_correlation_effect():
+    """Higher correlation lowers a max-call (less dispersion in the max)."""
+    corr_hi = np.full((2, 2), 0.8) + 0.2 * np.eye(2)
+    key = jax.random.key(2)
+    lo = price_max_call(key, [100.0] * 2, n_paths=50_000, spec=RegressionSpec(degree=3), **BENCH)
+    hi = price_max_call(key, [100.0] * 2, corr=corr_hi, n_paths=50_000,
+                        spec=RegressionSpec(degree=3), **BENCH)
+    assert float(hi.price) < float(lo.price)
+
+
+def test_separable_basis_mode_runs():
+    res = price_max_call(
+        jax.random.key(3), [100.0] * 3, n_paths=20_000,
+        spec=RegressionSpec(degree=2), basis_mode="separable", **BENCH,
+    )
+    assert np.isfinite(float(res.price))
