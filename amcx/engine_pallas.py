@@ -1,0 +1,197 @@
+"""Backward induction driven by the fused Pallas step kernels.
+
+Drop-in alternative to `amcx.engine.backward_induction` for the univariate
+product family (vanilla + down-and-in barrier puts/calls). Orchestration
+stays a `lax.scan`, but each step runs exactly two fused passes over HBM
+(`amcx.ops.lsmc_pallas`) instead of XLA's unfused reduction swarm, plus the
+tiny replicated solve.
+
+Extra structural win: the per-step standardization statistics (weighted
+mean/std of the regressor, SURVEY Q1 + reference scaling semantics
+`american_monte_carlo.py:111-114`) do not depend on the backward recursion —
+they are precomputed for ALL steps in one vectorized sweep over the path
+array before the scan starts.
+
+On CPU the kernels run in Pallas interpreter mode (they use no TPU-only
+primitives), so the full engine parity tests run in the hermetic suite.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .engine import LSMCResult
+from .ops.lsmc_pallas import LANES, TILE_ROWS, pack_dim, step_apply, step_moments, unpack_moments
+from .payoff import barrier_knocked, intrinsic_value
+from .regress import pinv_solve
+from .types import ProductSpec, RegressionSpec
+
+__all__ = ["precompute_standardization", "backward_induction_fused", "lsmc_option_pricing_fused"]
+
+
+def precompute_standardization(paths_tm, weights_tm, spec: RegressionSpec, eps=1e-6):
+    """Per-step (weighted) mean and 1/(factor·std) over the path axis, for
+    every time step at once — one vectorized pass over the path array."""
+    if weights_tm is None:
+        mean = jnp.mean(paths_tm, axis=1)
+        var = jnp.mean(jnp.square(paths_tm - mean[:, None]), axis=1)
+    else:
+        wsum = jnp.maximum(jnp.sum(weights_tm, axis=1), eps)
+        mean = jnp.sum(weights_tm * paths_tm, axis=1) / wsum
+        var = jnp.sum(weights_tm * jnp.square(paths_tm - mean[:, None]), axis=1) / wsum
+    std = jnp.maximum(jnp.sqrt(var), eps)
+    factor = spec.scaling_factor if spec.scaling else 1.0
+    if not (spec.scaling or spec.internal_standardize):
+        return jnp.zeros_like(mean), jnp.ones_like(std)
+    return mean, 1.0 / (factor * std)
+
+
+def backward_induction_fused(
+    paths_tm: jnp.ndarray,
+    r,
+    dt,
+    K,
+    phi: float,
+    spec: RegressionSpec,
+    barrier=None,
+    american: bool = True,
+    return_surface: bool = False,
+    axis_name: Optional[str] = None,
+    interpret: Optional[bool] = None,
+) -> LSMCResult:
+    """Fused-kernel LSMC for single-asset put/call (φ=+1 call, −1 put)."""
+    n_steps = paths_tm.shape[0] - 1
+    n_paths = paths_tm.shape[1]
+    if n_paths % (TILE_ROWS * LANES):
+        raise ValueError(
+            f"fused engine needs n_paths divisible by {TILE_ROWS * LANES}, got {n_paths}"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    dtype = paths_tm.dtype
+    rows = n_paths // LANES
+    k = spec.degree + 1
+    rdt = jnp.asarray(r * dt, dtype)
+    K = jnp.asarray(K, dtype)
+    phi_f = jnp.asarray(phi, dtype)
+
+    knocked_tm = None
+    if barrier is not None:
+        knocked_tm = barrier_knocked(paths_tm, barrier).astype(dtype)
+
+    weights_tm = None
+    if spec.regress_on == "itm":
+        w = (intrinsic_value(paths_tm, K, "call" if phi > 0 else "put") > 0).astype(dtype)
+        weights_tm = w if knocked_tm is None else w * knocked_tm
+    mean_t, inv_std_t = precompute_standardization(paths_tm, weights_tm, spec)
+
+    def rows_of(a):
+        return a.reshape(a.shape[0], rows, LANES) if a is not None else None
+
+    paths_r = rows_of(paths_tm)
+    knocked_r = rows_of(knocked_tm)
+
+    S_T = paths_r[n_steps]
+    payoff_T = jnp.maximum(phi_f * (S_T - K), 0.0)
+    if knocked_r is not None:
+        payoff_T = jnp.where(knocked_r[n_steps] > 0, payoff_T, 0.0)
+    cf0 = payoff_T
+    tau0 = jnp.full((rows, LANES), float(n_steps), dtype)
+
+    moments = partial(
+        step_moments,
+        basis=spec.basis,
+        degree=spec.degree,
+        itm_weights=spec.regress_on == "itm",
+        interpret=interpret,
+    )
+    apply_ = partial(
+        step_apply,
+        basis=spec.basis,
+        degree=spec.degree,
+        emit_surface=return_surface,
+        interpret=interpret,
+    )
+
+    def step(carry, xs):
+        cf, tau = carry
+        if knocked_r is not None:
+            S_t, kn_t, t, mean, inv_std = xs
+        else:
+            S_t, t, mean, inv_std = xs
+            kn_t = None
+        scalars = jnp.stack([t, rdt, K, mean, inv_std, phi_f])
+        packed = moments(scalars, S_t, cf, tau, kn_t)
+        if axis_name is not None:
+            packed = lax.psum(packed, axis_name)  # the only cross-chip bytes
+        G, b = unpack_moments(packed, k)
+        coeffs = pinv_solve(G, b, spec.rcond)
+        if american:
+            out = apply_(scalars, coeffs, S_t, cf, tau, kn_t)
+            if return_surface:
+                cf, tau, cont = out
+            else:
+                cf, tau = out
+        elif return_surface:
+            # European: regression only feeds the exposure surface (SURVEY
+            # Q6); evaluate fitted values without the exercise select.
+            _, _, cont = apply_(scalars, coeffs, S_t, cf, tau, kn_t)
+        ys = cont.reshape(-1) if return_surface else None
+        return (cf, tau), ys
+
+    ts = jnp.arange(n_steps, dtype=dtype)
+    xs = (
+        (paths_r[:n_steps], knocked_r[:n_steps], ts, mean_t[:n_steps], inv_std_t[:n_steps])
+        if knocked_r is not None
+        else (paths_r[:n_steps], ts, mean_t[:n_steps], inv_std_t[:n_steps])
+    )
+    (cf, tau), conts = lax.scan(step, (cf0, tau0), xs, reverse=True)
+
+    discounted = (cf * jnp.exp(-rdt * tau)).reshape(-1)
+    if axis_name is None:
+        price = jnp.mean(discounted)
+        var = jnp.mean(jnp.square(discounted - price))
+        n_total = float(n_paths)
+    else:
+        n_total = lax.psum(jnp.asarray(float(n_paths), dtype), axis_name)
+        price = lax.psum(jnp.sum(discounted), axis_name) / n_total
+        var = lax.psum(jnp.sum(jnp.square(discounted - price)), axis_name) / n_total
+    stderr = jnp.sqrt(var) / jnp.sqrt(n_total)
+
+    surface = None
+    if return_surface:
+        surface = jnp.concatenate(
+            [conts, jnp.zeros((1, n_paths), dtype)], axis=0
+        )
+    return LSMCResult(price, stderr, cf.reshape(-1), tau.reshape(-1), surface)
+
+
+def lsmc_option_pricing_fused(
+    paths_tm: jnp.ndarray,
+    product: ProductSpec,
+    r,
+    spec: RegressionSpec = RegressionSpec(),
+    return_surface: bool = False,
+    axis_name: Optional[str] = None,
+) -> LSMCResult:
+    """`amcx.engine.lsmc_option_pricing` signature, fused-kernel execution."""
+    n_steps = paths_tm.shape[0] - 1
+    dt = product.T / n_steps
+    phi = 1.0 if product.option_type == "call" else -1.0
+    return backward_induction_fused(
+        paths_tm,
+        r,
+        dt,
+        product.K,
+        phi,
+        spec,
+        barrier=product.barrier,
+        american=product.is_american,
+        return_surface=return_surface,
+        axis_name=axis_name,
+    )
