@@ -1,0 +1,359 @@
+"""Command-line driver (reference C16).
+
+The reference's entry point is ``main(params)`` over a flat 17-key dict plus
+hardcoded ``__main__`` blocks (`/root/reference/american_monte_carlo.py:
+443-532`). Here the same pipeline is a real CLI with subcommands and
+structured JSON output (SURVEY §5 observability):
+
+    amcx price   --s0 95 --k 100 --sigma 0.2 --r 0.01 --option-type put \
+                 --exercise american --paths 100000 --steps 100 [--barrier 70]
+                 [--plot out.png] [--json]
+    amcx greeks  ...                      # pathwise delta/vega/rho/theta
+    amcx sweep   --study paths|steps|degree|heatmap ...
+    amcx maxcall --assets 5 ...
+    amcx preset  <name>                   # BASELINE.json configs + reference demo
+    amcx bench                            # the north-star throughput line
+
+``price`` mirrors `main`'s console comparison (`american_monte_carlo.py:
+495-503`): LSMC price vs the self-hosted oracle, plus the vanilla oracle
+price when a barrier is set.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import jax
+import numpy as np
+
+
+def _market_product_args(p: argparse.ArgumentParser):
+    p.add_argument("--s0", type=float, default=100.0)
+    p.add_argument("--k", type=float, default=100.0)
+    p.add_argument("--t", type=float, default=1.0, help="maturity in years")
+    p.add_argument("--r", type=float, default=0.01)
+    p.add_argument("--q", type=float, default=0.0, help="dividend yield")
+    p.add_argument("--sigma", type=float, default=0.2)
+    p.add_argument("--option-type", choices=["put", "call"], default="put")
+    p.add_argument("--exercise", choices=["european", "american"], default="american")
+    p.add_argument("--barrier", type=float, default=None, help="down-and-in level")
+
+
+def _reg_sim_args(p: argparse.ArgumentParser):
+    p.add_argument("--basis", default="chebyshev")
+    p.add_argument("--degree", type=int, default=4)
+    p.add_argument("--scaling", action="store_true")
+    p.add_argument("--scaling-factor", type=float, default=2.0)
+    p.add_argument("--regress-on", choices=["all", "itm"], default="all")
+    p.add_argument("--paths", type=int, default=100_000)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--antithetic", action="store_true")
+    p.add_argument("--backend", choices=["xla", "pallas"], default="xla")
+    p.add_argument("--engine", choices=["xla", "fused"], default="xla")
+    p.add_argument("--seed", type=int, default=42)
+
+
+def _build(args):
+    from .types import MarketParams, ProductSpec, RegressionSpec, SimConfig
+
+    market = MarketParams(args.s0, args.r, args.sigma, args.q)
+    product = ProductSpec(K=args.k, T=args.t, barrier=args.barrier,
+                          option_type=args.option_type, exercise=args.exercise)
+    spec = RegressionSpec(basis=args.basis, degree=args.degree, scaling=args.scaling,
+                          scaling_factor=args.scaling_factor, regress_on=args.regress_on)
+    sim = SimConfig(n_paths=args.paths, n_steps=args.steps,
+                    antithetic=args.antithetic, backend=args.backend)
+    return market, product, spec, sim
+
+
+def _emit(payload, as_json):
+    if as_json:
+        print(json.dumps(payload))
+    return payload
+
+
+def cmd_price(args):
+    from .engine import lsmc_option_pricing
+    from .engine_pallas import lsmc_option_pricing_fused
+    from .exposures import compute_ccr_exposures
+    from .oracle import oracle_price
+    from .paths import simulate_gbm
+
+    market, product, spec, sim = _build(args)
+    key = jax.random.key(args.seed)
+    paths = simulate_gbm(key, market, product.T, sim)
+    pricer = lsmc_option_pricing_fused if args.engine == "fused" else lsmc_option_pricing
+    res = pricer(paths, product, market.r, spec, return_surface=bool(args.plot))
+
+    oracle = float(oracle_price(market.S0, product.K, product.T, market.r, market.sigma,
+                                n_steps=sim.n_steps, q=market.q,
+                                option_type=product.option_type,
+                                exercise=product.exercise, barrier=product.barrier))
+    desc = f"{product.exercise.title()} {product.option_type.title()}"
+    btxt = f"with Barrier at {product.barrier}" if product.barrier else "without Barrier"
+    payload = {
+        "price": round(float(res.price), 4),
+        "stderr": round(float(res.stderr), 4),
+        "oracle": round(oracle, 4),
+        "abs_err": round(abs(float(res.price) - oracle), 4),
+        "product": f"{desc} {btxt}",
+    }
+    if product.barrier:
+        vanilla = float(oracle_price(market.S0, product.K, product.T, market.r,
+                                     market.sigma, n_steps=sim.n_steps, q=market.q,
+                                     option_type=product.option_type,
+                                     exercise=product.exercise))
+        payload["oracle_vanilla"] = round(vanilla, 4)
+    if not args.json:
+        print(f"{desc} Option Price {btxt} (LSMC):   {payload['price']:.4f} "
+              f"± {payload['stderr']:.4f}")
+        print(f"{desc} Option Price {btxt} (Oracle): {payload['oracle']:.4f}")
+        if "oracle_vanilla" in payload:
+            print(f"{desc} Option Price without Barrier (Oracle): "
+                  f"{payload['oracle_vanilla']:.4f}")
+    if args.plot:
+        from .analytics import oracle_grid_values
+        from .plots import plot_lsmc_results
+
+        n_show = min(args.plot_paths, sim.n_paths)
+        # Oracle grid on a larger sample than the scatter crop so the CCR
+        # exposure comparison isn't 10-path noise (the reference evaluates
+        # QuantLib on every path, american_monte_carlo.py:474-479; with the
+        # vectorized oracle we can afford a real sample too).
+        n_grid = min(max(n_show, args.oracle_grid_paths), sim.n_paths)
+        grid = oracle_grid_values(paths[:, :n_grid], product.K, market.r, product.T,
+                                  market.sigma, market.q, product.option_type,
+                                  product.exercise, product.barrier,
+                                  crr_steps=args.oracle_grid_steps)
+        lsmc_ccr = compute_ccr_exposures(res.continuation)
+        orac_ccr = compute_ccr_exposures(grid)
+        grid = grid[:, :n_show]
+        plot_lsmc_results(paths, res.continuation, np.asarray(grid), product.T / sim.n_steps,
+                          lsmc_ccr, orac_ccr, difference_type=args.difference_type,
+                          key_S_lines=[market.S0, product.K, product.barrier],
+                          S0=market.S0, K=product.K, barrier=product.barrier,
+                          n_plotted_paths=n_show, save=args.plot)
+        if not args.json:
+            print(f"wrote {args.plot}")
+    return _emit(payload, args.json)
+
+
+def cmd_greeks(args):
+    from .greeks import price_and_greeks
+
+    market, product, spec, sim = _build(args)
+    p, g = price_and_greeks(jax.random.key(args.seed), market, product, spec, sim)
+    payload = {"price": round(float(p), 4)}
+    payload.update({k: round(float(v), 5) for k, v in g.items()})
+    if not args.json:
+        for k, v in payload.items():
+            print(f"{k:13s} {v}")
+    return _emit(payload, args.json)
+
+
+def cmd_sweep(args):
+    from . import convergence as cv
+    from .types import RegressionSpec
+
+    market, product, spec, _ = _build(args)
+    key = jax.random.key(args.seed)
+    if args.study == "paths":
+        res = cv.price_vs_paths(key, market, product, args.path_range, args.steps, spec)
+        payload = {"x": res.x.tolist(), "prices": res.prices.tolist(),
+                   "benchmark": res.benchmark}
+        if args.plot:
+            from .plots import plot_convergence
+            plot_convergence(res, "Number of Paths",
+                             "Convergence of LSMC Price with Number of Paths",
+                             log_x=True, save=args.plot)
+    elif args.study == "steps":
+        res = cv.price_vs_steps(key, market, product, args.step_range, args.paths, spec)
+        payload = {"x": res.x.tolist(), "prices": res.prices.tolist(),
+                   "benchmark": res.benchmark}
+        if args.plot:
+            from .plots import plot_convergence
+            plot_convergence(res, "Number of Time Steps",
+                             "Convergence of LSMC Price with Number of Time Steps",
+                             save=args.plot)
+    elif args.study == "degree":
+        out = cv.price_vs_degree(key, market, product, args.max_degree,
+                                 tuple(args.bases), args.paths, args.steps)
+        payload = {b: {"degrees": r.x.tolist(), "prices": r.prices.tolist(),
+                       "benchmark": r.benchmark} for b, r in out.items()}
+        if args.plot:
+            from .plots import plot_error_vs_basis_degree
+            plot_error_vs_basis_degree(out, save=args.plot)
+    else:  # heatmap
+        res = cv.error_heatmap(key, market, product, args.path_range, args.step_range, spec)
+        payload = {"paths": res.x.tolist(), "steps": res.extra["step_range"].tolist(),
+                   "abs_error": res.prices.tolist(),
+                   "min": {k: res.extra[k] for k in ("min_error", "min_n_paths", "min_n_steps")}}
+        if args.plot:
+            from .plots import plot_error_heatmap
+            plot_error_heatmap(res, save=args.plot)
+    if not args.json:
+        print(json.dumps(payload, indent=2))
+        if args.plot:
+            print(f"wrote {args.plot}")
+    return _emit(payload, args.json)
+
+
+def cmd_maxcall(args):
+    from .models.maxcall import price_max_call
+    from .types import RegressionSpec
+
+    spec = RegressionSpec(basis=args.basis, degree=args.degree)
+    res = price_max_call(jax.random.key(args.seed), [args.s0] * args.assets, args.k,
+                         args.t, args.r, args.sigma, q=args.q, corr=None,
+                         n_exercise_dates=args.dates, n_paths=args.paths, spec=spec)
+    payload = {"price": round(float(res.price), 4), "stderr": round(float(res.stderr), 4),
+               "assets": args.assets}
+    if not args.json:
+        print(f"{args.assets}-asset Bermudan max-call: {payload['price']:.4f} "
+              f"± {payload['stderr']:.4f}")
+    return _emit(payload, args.json)
+
+
+def cmd_preset(args):
+    from .presets import get_preset
+
+    cfg = dict(get_preset(args.name))
+    kind = cfg.pop("kind")
+    key = jax.random.key(args.seed)
+    if kind == "price":
+        from .engine import price_option
+        from .oracle import oracle_price
+
+        res = price_option(key, cfg["market"], cfg["product"], cfg["spec"], cfg["sim"])
+        m, pr, sim = cfg["market"], cfg["product"], cfg["sim"]
+        oracle = float(oracle_price(m.S0, pr.K, pr.T, m.r, m.sigma, n_steps=sim.n_steps,
+                                    q=m.q, option_type=pr.option_type,
+                                    exercise=pr.exercise, barrier=pr.barrier))
+        payload = {"preset": args.name, "price": round(float(res.price), 4),
+                   "stderr": round(float(res.stderr), 4), "oracle": round(oracle, 4)}
+    elif kind == "degree-sweep":
+        from .convergence import price_vs_degree
+
+        out = price_vs_degree(key, cfg["market"], cfg["product"], cfg["max_degree"],
+                              cfg["bases"], cfg["n_paths"], cfg["n_steps"])
+        payload = {"preset": args.name,
+                   **{b: {"prices": r.prices.tolist(), "benchmark": r.benchmark}
+                      for b, r in out.items()}}
+    elif kind == "variance-reduction":
+        from .paths import simulate_gbm
+        from .types import SimConfig
+        from .variates import control_variate_price
+
+        rows = []
+        for i, n in enumerate(cfg["path_range"]):
+            sim = SimConfig(n_paths=n, n_steps=cfg["n_steps"], antithetic=True)
+            paths = simulate_gbm(jax.random.fold_in(key, i), cfg["market"],
+                                 cfg["product"].T, sim)
+            r = control_variate_price(paths, cfg["market"], cfg["product"], cfg["spec"])
+            rows.append({"n_paths": n, "price": round(float(r.price), 4),
+                         "stderr": round(float(r.stderr), 5),
+                         "raw_stderr": round(float(r.raw_stderr), 5),
+                         "variance_ratio": round(float(r.variance_ratio), 2)})
+        payload = {"preset": args.name, "rows": rows}
+    elif kind == "greeks":
+        from .greeks import price_and_greeks
+
+        p, g = price_and_greeks(key, cfg["market"], cfg["product"], cfg["spec"], cfg["sim"])
+        payload = {"preset": args.name, "price": round(float(p), 4),
+                   **{k: round(float(v), 5) for k, v in g.items()}}
+    elif kind == "max-call":
+        from .models.maxcall import price_max_call
+
+        res = price_max_call(key, cfg["S0"], cfg["K"], cfg["T"], cfg["r"], cfg["sigma"],
+                             q=cfg["q"], n_exercise_dates=cfg["n_exercise_dates"],
+                             n_paths=cfg["n_paths"], spec=cfg["spec"])
+        payload = {"preset": args.name, "price": round(float(res.price), 4),
+                   "stderr": round(float(res.stderr), 4)}
+    else:
+        raise ValueError(f"unhandled preset kind {kind}")
+    print(json.dumps(payload, indent=None if args.json else 2))
+    return payload
+
+
+def cmd_bench(args):
+    import bench as bench_mod  # repo-root harness
+
+    bench_mod.main()
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="amcx",
+                                description="TPU-native least-squares Monte Carlo engine")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("price", help="price one option, compare to the oracle")
+    _market_product_args(pp)
+    _reg_sim_args(pp)
+    pp.add_argument("--json", action="store_true")
+    pp.add_argument("--plot", default=None, help="write the 2x2 results figure here")
+    pp.add_argument("--plot-paths", type=int, default=10)
+    pp.add_argument("--difference-type", choices=["absolute", "difference", "relative"],
+                    default="difference")
+    pp.add_argument("--oracle-grid-steps", type=int, default=50)
+    pp.add_argument("--oracle-grid-paths", type=int, default=512,
+                    help="paths sampled for the oracle CCR profile")
+    pp.set_defaults(fn=cmd_price)
+
+    pg = sub.add_parser("greeks", help="pathwise Greeks")
+    _market_product_args(pg)
+    _reg_sim_args(pg)
+    pg.add_argument("--json", action="store_true")
+    pg.set_defaults(fn=cmd_greeks)
+
+    ps = sub.add_parser("sweep", help="convergence studies")
+    _market_product_args(ps)
+    _reg_sim_args(ps)
+    ps.add_argument("--study", choices=["paths", "steps", "degree", "heatmap"],
+                    required=True)
+    ps.add_argument("--path-range", type=int, nargs="+",
+                    default=[500, 1000, 3000, 5000, 7000, 10000, 12000])
+    ps.add_argument("--step-range", type=int, nargs="+",
+                    default=[5, 10, 50, 100, 150, 200, 250])
+    ps.add_argument("--max-degree", type=int, default=10)
+    ps.add_argument("--bases", nargs="+", default=["chebyshev", "power", "legendre"])
+    ps.add_argument("--json", action="store_true")
+    ps.add_argument("--plot", default=None)
+    ps.set_defaults(fn=cmd_sweep)
+
+    pm = sub.add_parser("maxcall", help="multi-asset Bermudan max-call")
+    pm.add_argument("--assets", type=int, default=5)
+    pm.add_argument("--s0", type=float, default=100.0)
+    pm.add_argument("--k", type=float, default=100.0)
+    pm.add_argument("--t", type=float, default=3.0)
+    pm.add_argument("--r", type=float, default=0.05)
+    pm.add_argument("--q", type=float, default=0.10)
+    pm.add_argument("--sigma", type=float, default=0.2)
+    pm.add_argument("--dates", type=int, default=9)
+    pm.add_argument("--paths", type=int, default=100_000)
+    pm.add_argument("--basis", default="chebyshev")
+    pm.add_argument("--degree", type=int, default=2)
+    pm.add_argument("--seed", type=int, default=42)
+    pm.add_argument("--json", action="store_true")
+    pm.set_defaults(fn=cmd_maxcall)
+
+    pr = sub.add_parser("preset", help="run a named BASELINE config")
+    pr.add_argument("name")
+    pr.add_argument("--seed", type=int, default=42)
+    pr.add_argument("--json", action="store_true")
+    pr.set_defaults(fn=cmd_preset)
+
+    pb = sub.add_parser("bench", help="north-star throughput benchmark")
+    pb.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -164,6 +164,10 @@ class SimConfig:
     backend: str = "xla"  # "xla" | "pallas"
 
     def __post_init__(self):
+        if self.n_paths < 1 or self.n_steps < 1:
+            raise ValueError(
+                f"n_paths and n_steps must be >= 1, got {self.n_paths}, {self.n_steps}"
+            )
         if self.antithetic and self.n_paths % 2 != 0:
             raise ValueError("antithetic sampling requires an even n_paths")
         if self.backend not in ("xla", "pallas"):

@@ -1,0 +1,138 @@
+"""Smoke tests: plot suite renders files; CLI subcommands run end-to-end.
+
+The reference's visual layer (C14/C15) has no tests; here every figure is
+rendered to a PNG and checked for existence/size, and the CLI (C16) is
+exercised through its argparse surface.
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from amcx import (
+    MarketParams,
+    ProductSpec,
+    RegressionSpec,
+    SimConfig,
+    compute_ccr_exposures,
+    lsmc_option_pricing,
+    simulate_gbm,
+)
+
+M = MarketParams(95.0, 0.01, 0.2)
+PROD = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american")
+
+
+@pytest.fixture(scope="module")
+def small_run():
+    paths = simulate_gbm(jax.random.key(0), M, 1.0, SimConfig(n_paths=512, n_steps=20))
+    res = lsmc_option_pricing(paths, PROD, M.r, RegressionSpec(degree=3), return_surface=True)
+    return paths, res
+
+
+def _check(tmp_path, name):
+    f = tmp_path / name
+    assert f.exists() and f.stat().st_size > 10_000
+    return f
+
+
+def test_plot_asset_paths(small_run, tmp_path):
+    from amcx.plots import plot_asset_paths
+
+    paths, _ = small_run
+    plot_asset_paths(paths, 1.0, n_paths_to_plot=50, save=tmp_path / "paths.png")
+    _check(tmp_path, "paths.png")
+
+
+def test_plot_lsmc_results_full_figure(small_run, tmp_path):
+    from amcx.analytics import oracle_grid_values
+    from amcx.plots import plot_lsmc_results
+
+    paths, res = small_run
+    grid = oracle_grid_values(paths[:, :64], PROD.K, M.r, PROD.T, M.sigma,
+                              option_type="put", exercise="american", crr_steps=20)
+    lsmc_ccr = compute_ccr_exposures(res.continuation)
+    orac_ccr = compute_ccr_exposures(grid)
+    plot_lsmc_results(paths, res.continuation, np.asarray(grid), 0.05, lsmc_ccr, orac_ccr,
+                      difference_type="relative", key_S_lines=[95.0, 100.0],
+                      S0=95.0, K=100.0, n_plotted_paths=10,
+                      save=tmp_path / "results.png")
+    _check(tmp_path, "results.png")
+
+
+def test_plot_convergence_and_heatmap(tmp_path):
+    from amcx.convergence import ConvergenceResult
+    from amcx.plots import plot_convergence, plot_error_heatmap, plot_error_vs_basis_degree
+
+    res = ConvergenceResult(np.array([100, 1000]), np.array([9.8, 9.9]), 10.0, {})
+    plot_convergence(res, "Number of Paths", "Convergence", log_x=True,
+                     save=tmp_path / "conv.png")
+    _check(tmp_path, "conv.png")
+
+    hm = ConvergenceResult(
+        np.array([100, 1000]), np.array([[0.1, 0.2], [0.05, 0.15]]), 10.0,
+        {"step_range": np.array([5, 10]), "min_error": 0.05,
+         "min_n_paths": 1000, "min_n_steps": 5},
+    )
+    plot_error_heatmap(hm, save=tmp_path / "heat.png")
+    _check(tmp_path, "heat.png")
+
+    plot_error_vs_basis_degree({"chebyshev": res, "power": res}, save=tmp_path / "deg.png")
+    _check(tmp_path, "deg.png")
+
+
+def test_oracle_grid_values_match_pointwise_oracle():
+    """C11 parity: the vectorized grid equals per-point oracle calls."""
+    from amcx.analytics import oracle_grid_values
+    from amcx.oracle import bs_price
+
+    paths = simulate_gbm(jax.random.key(1), M, 1.0, SimConfig(n_paths=16, n_steps=4))
+    grid = oracle_grid_values(paths, 100.0, 0.01, 1.0, 0.2,
+                              option_type="put", exercise="european")
+    t, i = 2, 5
+    S = float(paths[t, i])
+    want = float(bs_price(S, 100.0, 1.0 - 2 * 0.25, 0.01, 0.2, option_type="put"))
+    np.testing.assert_allclose(float(grid[t, i]), want, rtol=1e-5)
+    # barrier grid: knocked points carry the vanilla price
+    gridb = oracle_grid_values(paths, 100.0, 0.01, 1.0, 0.2,
+                               option_type="put", exercise="european", barrier=110.0)
+    np.testing.assert_allclose(np.asarray(gridb), np.asarray(grid), rtol=1e-5, atol=1e-4)
+
+
+def test_cli_price_json(capsys):
+    from amcx.cli import main
+
+    main(["price", "--s0", "95", "--paths", "4096", "--steps", "10", "--json",
+          "--exercise", "european"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {"price", "stderr", "oracle", "abs_err"} <= set(out)
+    assert abs(out["price"] - out["oracle"]) < 0.5
+
+
+def test_cli_sweep_degree_json(capsys):
+    from amcx.cli import main
+
+    main(["sweep", "--study", "degree", "--paths", "2000", "--steps", "10",
+          "--max-degree", "2", "--bases", "chebyshev", "--json"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "chebyshev" in out and len(out["chebyshev"]["prices"]) == 3
+
+
+def test_cli_preset_listing_error():
+    from amcx.presets import get_preset
+
+    with pytest.raises(KeyError, match="Unknown preset"):
+        get_preset("nope")
+
+
+def test_cli_plot_writes_figure(tmp_path, capsys):
+    from amcx.cli import main
+
+    out = tmp_path / "fig.png"
+    main(["price", "--s0", "95", "--paths", "512", "--steps", "10",
+          "--exercise", "european", "--plot", str(out), "--plot-paths", "5",
+          "--oracle-grid-paths", "64", "--json"])
+    assert out.exists() and out.stat().st_size > 10_000
