@@ -23,8 +23,12 @@ from .oracle import (
     crr_down_in_price,
     oracle_price,
 )
-from .exposures import compute_ccr_exposures
-from .analytics import compute_differences
+from .exposures import compute_ccr_exposures, CCRExposures
+from .analytics import compute_differences, oracle_grid_values
+from .engine_pallas import lsmc_option_pricing_fused
+from .greeks import price_and_greeks, gamma_fd
+from .variates import control_variate_price, ControlVariateResult
+from .models.maxcall import price_max_call
 
 __version__ = "0.1.0"
 
@@ -54,5 +58,13 @@ __all__ = [
     "crr_down_in_price",
     "oracle_price",
     "compute_ccr_exposures",
+    "CCRExposures",
     "compute_differences",
+    "oracle_grid_values",
+    "lsmc_option_pricing_fused",
+    "price_and_greeks",
+    "gamma_fd",
+    "control_variate_price",
+    "ControlVariateResult",
+    "price_max_call",
 ]
