@@ -100,15 +100,19 @@ def _gbm_kernel(seed_ref, params_ref, out_ref, *, n_steps, antithetic):
         sign = jnp.where(mirror, -1.0, 1.0)
         z = z * sign
     log_inc = drift_dt + vol_sdt * z
-    # Running log-sum over time. Neither jnp.cumsum nor dynamic row indexing
-    # of VMEM values lowers in Mosaic TC kernels, so unroll the (static)
-    # time loop with static row slices: n_steps sequential VPU adds per
-    # block, each writing one finished path row.
+    # Running log-sum over time. jnp.cumsum has no Mosaic lowering, and a
+    # row-by-row unrolled loop runs 1/8-utilized (1, lanes) VPU ops — so do
+    # a Hillis-Steele prefix sum: ceil(log2(n_steps)) full-shape shifted
+    # adds, then ONE bulk exp over the whole (n_steps, lanes) tile.
+    cum = log_inc
+    rows = jax.lax.broadcasted_iota(jnp.int32, cum.shape, 0)
+    shift = 1
+    while shift < n_steps:
+        rolled = pltpu.roll(cum, shift=shift, axis=0)
+        cum = cum + jnp.where(rows >= shift, rolled, 0.0)
+        shift *= 2
     out_ref[0, :] = jnp.full((out_ref.shape[1],), S0, jnp.float32)
-    acc = jnp.zeros((out_ref.shape[1],), jnp.float32)
-    for t in range(n_steps):
-        acc = acc + log_inc[t, :]
-        out_ref[t + 1, :] = S0 * jnp.exp(acc)
+    out_ref[1:, :] = S0 * jnp.exp(cum)
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "n_paths", "antithetic", "interpret"))

@@ -1,0 +1,282 @@
+"""The LSMC mega-kernel: full backward induction in ONE `pallas_call`.
+
+The two-kernel fused engine (`amcx.ops.lsmc_pallas`) still pays ~32 MB of
+HBM traffic per time step because the (cashflow, τ) carry lives in HBM
+between kernels. Here the whole Longstaff-Schwartz recursion runs inside a
+single kernel:
+
+- grid = (n_steps+1,): one sequential grid step per time step, walking
+  backward. Pallas auto-pipelines each step's spot column S_t
+  (``(n_paths/512, 512)`` block, 4 MB at 1M paths) from HBM into VMEM —
+  after which **that 4 MB read is the only HBM traffic of the step**.
+- the value carry V stays resident in VMEM scratch for the entire scan.
+  V is the *discounted-to-current-step* cashflow: ``V_t = e^{-r·dt}·V_{t+1}``
+  then ``V_t ← max-compare exercise`` — algebraically identical to the
+  reference's ``cf·exp(-r·dt·(τ−t))`` bookkeeping
+  (`american_monte_carlo.py:128,196`) but needs no τ array.
+- per step, two VMEM sweeps (chunked ``fori`` over row blocks): Gram/moment
+  accumulation, then fitted-continuation + exercise select. Between them a
+  fully in-kernel, unrolled k×k solve: column-equilibrated Cholesky with an
+  rcond-scaled ridge (the eigh pseudo-inverse of the XLA engines is not
+  expressible in Mosaic; on the equilibrated PSD Gram the ridge-Cholesky
+  solution matches to f32 noise — exact-degenerate designs like the all-
+  equal t=0 column are handled by the ridge).
+- the final price ``mean(V_0)`` is reduced in-kernel; the kernel's outputs
+  are one scalar pair (price numerator, count) plus optionally V itself.
+
+Scope: single-asset vanilla put/call (the benchmark family). Barrier /
+surface / itm-weighted runs use the two-kernel engine.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..basis import BASIS_FAMILIES, _first_order
+
+__all__ = ["lsmc_price_megakernel", "CHUNK_ROWS"]
+
+LANES = 512
+CHUNK_ROWS = 64  # rows per inner sweep iteration: 64×512 f32 = 128 KB
+
+
+def _basis_cols(x, basis, degree):
+    rec = BASIS_FAMILIES[basis]
+    cols = [jnp.ones_like(x)]
+    if degree >= 1:
+        cols.append(_first_order(basis, x))
+    for n in range(2, degree + 1):
+        cols.append(rec(x, cols[-1], cols[-2], float(n)))
+    return cols
+
+
+def _pairs(k):
+    return [(i, j) for i in range(k) for j in range(i, k)]
+
+
+def _solve_equilibrated_ridge(packed, k, rcond):
+    """Unrolled in-kernel solve of the packed Gram system.
+
+    packed: (P,) vector [G_upper..., b...]. Returns list of k coefficient
+    scalars. Column-equilibrate (D G D), add rcond ridge, Cholesky, two
+    triangular solves, de-equilibrate — all static-k Python unrolls over
+    traced f32 scalars.
+    """
+    pairs = _pairs(k)
+    idx = {p: n for n, p in enumerate(pairs)}
+    tiny = 1e-30
+
+    def g_raw(i, j):
+        return packed[idx[(i, j)] if i <= j else idx[(j, i)]]
+
+    b_raw = [packed[len(pairs) + i] for i in range(k)]
+    d = [jax.lax.rsqrt(jnp.maximum(g_raw(i, i), tiny)) for i in range(k)]
+    # equilibrated G with ridge
+    G = [[g_raw(i, j) * d[i] * d[j] + (rcond if i == j else 0.0) for j in range(k)]
+         for i in range(k)]
+    b = [b_raw[i] * d[i] for i in range(k)]
+
+    # Cholesky G = L Lᵀ (static unroll)
+    L = [[jnp.float32(0.0)] * k for _ in range(k)]
+    for i in range(k):
+        for j in range(i + 1):
+            s = G[i][j]
+            for m in range(j):
+                s = s - L[i][m] * L[j][m]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, tiny))
+            else:
+                L[i][j] = s / L[j][j]
+    # forward solve L z = b
+    z = [jnp.float32(0.0)] * k
+    for i in range(k):
+        s = b[i]
+        for m in range(i):
+            s = s - L[i][m] * z[m]
+        z[i] = s / L[i][i]
+    # backward solve Lᵀ c = z
+    c = [jnp.float32(0.0)] * k
+    for i in reversed(range(k)):
+        s = z[i]
+        for m in range(i + 1, k):
+            s = s - L[m][i] * c[m]
+        c[i] = s / L[i][i]
+    # de-equilibrate
+    return [c[i] * d[i] for i in range(k)]
+
+
+def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, V, macc, *, n_steps,
+                 n_rows, basis, degree, american):
+    k = degree + 1
+    pairs = _pairs(k)
+    P = len(pairs) + k
+    i = pl.program_id(0)
+    t = n_steps - i  # this grid step's time index
+
+    rdt = scal_ref[0]
+    K = scal_ref[1]
+    phi = scal_ref[2]
+    rcond = scal_ref[3]
+    disc = jnp.exp(-rdt)
+
+    n_chunks = n_rows // CHUNK_ROWS
+
+    @pl.when(i == 0)
+    def _maturity():
+        # V_T = intrinsic(S_T); the reference's maturity leg
+        # (american_monte_carlo.py:147-149), vanilla: all paths "knocked".
+        def body(c, _):
+            sl = pl.ds(c * CHUNK_ROWS, CHUNK_ROWS)
+            S = s_ref[0, sl, :]
+            V[sl, :] = jnp.maximum(phi * (S - K), 0.0)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    @pl.when(i > 0)
+    def _step():
+        mean = stats_ref[t]
+        inv_std = stats_ref[n_steps + 1 + t]
+
+        # ---- pass 1: Gram/moment accumulation over VMEM-resident data ----
+        macc[...] = jnp.zeros_like(macc)
+
+        def pass1(c, _):
+            sl = pl.ds(c * CHUNK_ROWS, CHUNK_ROWS)
+            S = s_ref[0, sl, :]
+            y = disc * V[sl, :]
+            xhat = (S - mean) * inv_std
+            cols = _basis_cols(xhat, basis, degree)
+            for p, (a, b_) in enumerate(pairs):
+                macc[p, :] += jnp.sum(cols[a] * cols[b_], axis=0)
+            for a in range(k):
+                macc[len(pairs) + a, :] += jnp.sum(cols[a] * y, axis=0)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, pass1, 0)
+        packed = jnp.sum(macc[...], axis=1)  # (P,)
+
+        # ---- in-kernel solve ----
+        coeffs = _solve_equilibrated_ridge(packed, k, rcond)
+
+        # ---- pass 2: fitted continuation + exercise select ----
+        def pass2(c, _):
+            sl = pl.ds(c * CHUNK_ROWS, CHUNK_ROWS)
+            S = s_ref[0, sl, :]
+            y = disc * V[sl, :]
+            if american:
+                xhat = (S - mean) * inv_std
+                cols = _basis_cols(xhat, basis, degree)
+                fitted = cols[0] * coeffs[0]
+                for a in range(1, k):
+                    fitted = fitted + cols[a] * coeffs[a]
+                cont = jnp.maximum(fitted, 0.0)  # Q2
+                ex = jnp.maximum(phi * (S - K), 0.0)
+                V[sl, :] = jnp.where((ex > 0.0) & (ex > cont), ex, y)
+            else:
+                # European (Q6): regression is fit (surface parity) but the
+                # carry just discounts.
+                V[sl, :] = y
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, pass2, 0)
+
+    @pl.when(i == n_steps)
+    def _emit():
+        out_ref[...] = jnp.sum(V[...]).reshape(1, 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_steps", "n_rows", "basis", "degree", "american", "interpret"),
+)
+def _run(scalars, stats, paths_blocks, n_steps, n_rows, basis, degree, american,
+         interpret):
+    kernel = functools.partial(
+        _mega_kernel,
+        n_steps=n_steps,
+        n_rows=n_rows,
+        basis=basis,
+        degree=degree,
+        american=american,
+    )
+    k = degree + 1
+    P = len(_pairs(k)) + k
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        grid=(n_steps + 1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, n_rows, LANES),
+                lambda i: (n_steps - i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_rows, LANES), jnp.float32),  # resident V carry
+            pltpu.VMEM((P, LANES), jnp.float32),       # moment accumulators
+        ],
+        interpret=interpret,
+    )(scalars, stats, paths_blocks)
+    return out[0, 0]
+
+
+def lsmc_price_megakernel(
+    paths_tm: jnp.ndarray,
+    K,
+    r,
+    dt,
+    phi: float,
+    basis: str = "chebyshev",
+    degree: int = 4,
+    rcond: float = 1e-6,
+    american: bool = True,
+    mean_t: Optional[jnp.ndarray] = None,
+    inv_std_t: Optional[jnp.ndarray] = None,
+    interpret: Optional[bool] = None,
+):
+    """Price a vanilla put/call with the single-kernel backward induction.
+
+    ``paths_tm``: (n_steps+1, n_paths) time-major; ``mean_t``/``inv_std_t``:
+    per-step standardization stats (computed here if omitted). Returns the
+    discounted price scalar. Price only — no τ/surface outputs (use the
+    two-kernel engine for analytics).
+    """
+    n_steps = paths_tm.shape[0] - 1
+    n_paths = paths_tm.shape[1]
+    if n_paths % (CHUNK_ROWS * LANES):
+        raise ValueError(
+            f"megakernel needs n_paths divisible by {CHUNK_ROWS * LANES}, got {n_paths}"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n_rows = n_paths // LANES
+    if mean_t is None:
+        mean_t = jnp.mean(paths_tm, axis=1)
+        std = jnp.maximum(jnp.std(paths_tm, axis=1), 1e-6)
+        inv_std_t = 1.0 / std
+    scalars = jnp.stack(
+        [
+            jnp.asarray(r * dt, jnp.float32),
+            jnp.asarray(K, jnp.float32),
+            jnp.asarray(phi, jnp.float32),
+            jnp.asarray(rcond, jnp.float32),
+        ]
+    )
+    stats = jnp.concatenate(
+        [mean_t.astype(jnp.float32), inv_std_t.astype(jnp.float32)]
+    )
+    blocks = paths_tm.reshape(n_steps + 1, n_rows, LANES)
+    total = _run(scalars, stats, blocks, n_steps, n_rows, basis, degree,
+                 american, interpret)
+    return total / n_paths

@@ -22,7 +22,7 @@ from jax import lax
 
 from amcx import MarketParams, ProductSpec, RegressionSpec, SimConfig
 from amcx.engine import lsmc_option_pricing
-from amcx.engine_pallas import lsmc_option_pricing_fused
+from amcx.ops.lsmc_megakernel import lsmc_price_megakernel
 from amcx.oracle import crr_price
 from amcx.paths import simulate_gbm
 
@@ -39,14 +39,21 @@ def main():
     sim = SimConfig(
         n_paths=N_PATHS, n_steps=N_STEPS, backend="pallas" if on_tpu else "xla"
     )
-    pricer = lsmc_option_pricing_fused if on_tpu else lsmc_option_pricing
 
     @jax.jit
     def chained(key, n):
         def body(i, acc):
             paths = simulate_gbm(jax.random.fold_in(key, i), market, 1.0, sim)
-            res = pricer(paths, product, market.r, spec, return_surface=False)
-            return acc + res.price
+            if on_tpu:
+                # flagship path: single-kernel backward induction
+                price = lsmc_price_megakernel(
+                    paths, 100.0, 0.01, 1.0 / N_STEPS, -1.0, degree=4
+                )
+            else:
+                price = lsmc_option_pricing(
+                    paths, product, market.r, spec, return_surface=False
+                ).price
+            return acc + price
 
         return lax.fori_loop(0, n, body, 0.0)
 

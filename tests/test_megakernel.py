@@ -1,0 +1,76 @@
+"""Single-kernel backward induction vs the reference XLA engine.
+
+Runs in Pallas interpreter mode on CPU. The in-kernel ridge-Cholesky solve
+replaces the eigh pseudo-inverse, so American parity is to ~1e-3 (coefficient
+noise near the exercise boundary); European (no exercise, pure discounting)
+is exact to f32 rounding — which isolates the V-carry/pipeline algebra.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from amcx import (
+    MarketParams,
+    ProductSpec,
+    RegressionSpec,
+    SimConfig,
+    lsmc_option_pricing,
+    simulate_gbm,
+)
+from amcx.oracle import bs_price
+from amcx.ops.lsmc_megakernel import lsmc_price_megakernel
+
+M = MarketParams(100.0, 0.01, 0.2)
+
+
+@pytest.fixture(scope="module")
+def paths():
+    return simulate_gbm(jax.random.key(42), M, 1.0, SimConfig(n_paths=32_768, n_steps=20))
+
+
+def test_american_put_matches_xla_engine(paths):
+    ref = lsmc_option_pricing(
+        paths, ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american"),
+        M.r, RegressionSpec(degree=4), return_surface=False,
+    )
+    p = lsmc_price_megakernel(paths, 100.0, M.r, 1.0 / 20, -1.0, degree=4)
+    assert abs(float(p) - float(ref.price)) < 5e-3
+
+
+def test_european_exact_discounting(paths):
+    """European path: V-carry is pure discounting; must match the XLA engine
+    to f32 rounding and the analytic price to MC tolerance."""
+    ref = lsmc_option_pricing(
+        paths, ProductSpec(K=100.0, T=1.0, option_type="put", exercise="european"),
+        M.r, RegressionSpec(degree=4), return_surface=False,
+    )
+    p = lsmc_price_megakernel(paths, 100.0, M.r, 1.0 / 20, -1.0, degree=4, american=False)
+    np.testing.assert_allclose(float(p), float(ref.price), atol=5e-5)
+    bs = float(bs_price(100.0, 100.0, 1.0, M.r, 0.2, option_type="put"))
+    assert abs(float(p) - bs) < 4 * float(ref.stderr)
+
+
+def test_call_side(paths):
+    ref = lsmc_option_pricing(
+        paths, ProductSpec(K=100.0, T=1.0, option_type="call", exercise="american"),
+        M.r, RegressionSpec(degree=4), return_surface=False,
+    )
+    p = lsmc_price_megakernel(paths, 100.0, M.r, 1.0 / 20, +1.0, degree=4)
+    assert abs(float(p) - float(ref.price)) < 5e-3
+
+
+def test_degree_and_basis_variants(paths):
+    for basis, degree in [("power", 2), ("legendre", 5)]:
+        ref = lsmc_option_pricing(
+            paths, ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american"),
+            M.r, RegressionSpec(basis=basis, degree=degree), return_surface=False,
+        )
+        p = lsmc_price_megakernel(paths, 100.0, M.r, 1.0 / 20, -1.0,
+                                  basis=basis, degree=degree)
+        assert abs(float(p) - float(ref.price)) < 1e-2, (basis, degree)
+
+
+def test_alignment_validation(paths):
+    with pytest.raises(ValueError, match="divisible"):
+        lsmc_price_megakernel(paths[:, :1000], 100.0, M.r, 0.05, -1.0)
