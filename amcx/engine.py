@@ -55,6 +55,11 @@ class LSMCResult(NamedTuple):
     equivalent of the reference's list of ``(t, S_t, Ĉ_t)`` tuples
     (`american_monte_carlo.py:164,197`) and the input to CCR exposures.
     ``stderr`` is the Monte-Carlo standard error of the price (new).
+    ``exposures`` carries streaming per-step EPE/PFE when the engine runs
+    with ``surface_stats=True`` (summary-stats mode: the CCR profile without
+    materializing the O(n_steps·n_paths) surface — SURVEY §5). ``coeffs`` is
+    the ``(n_steps, degree+1)`` per-step regression-coefficient dump
+    (observability + deterministic re-run artifact, SURVEY §5).
     """
 
     price: jnp.ndarray
@@ -62,6 +67,8 @@ class LSMCResult(NamedTuple):
     cashflows: jnp.ndarray
     exercise_times: jnp.ndarray
     continuation: Optional[jnp.ndarray]
+    exposures: Optional[object] = None
+    coeffs: Optional[jnp.ndarray] = None
 
 
 def backward_induction(
@@ -76,6 +83,8 @@ def backward_induction(
     return_surface: bool = True,
     fit_fn: Optional[Callable] = None,
     axis_name: Optional[str] = None,
+    surface_stats: bool = False,
+    return_coeffs: bool = False,
 ) -> LSMCResult:
     """Generic LSMC backward induction.
 
@@ -98,14 +107,29 @@ def backward_induction(
         ``shard_map``). Turns the regression moments, the standardization
         statistics, and the final price/stderr reductions into global
         ``psum``s — the only cross-chip traffic per step (SURVEY §5).
+      surface_stats: emit per-step EPE / PFE-5% / PFE-95% of the continuation
+        estimate directly from the scan (exact, sort-based) instead of — or
+        in addition to — the dense surface. This is the summary-stats export
+        for path counts where the O(n_steps·n_paths) surface is undesirable
+        (SURVEY §5). Not supported under ``axis_name`` (global quantiles
+        need a global sort; use jit-level sharding instead).
+      return_coeffs: also return the ``(n_steps, degree+1)`` solved
+        regression coefficients per step (requires the default fitter).
     """
     n_steps = paths_tm.shape[0] - 1
     n_paths = paths_tm.shape[1]
     dtype = paths_tm.dtype
     r = jnp.asarray(r, dtype)
     dt = jnp.asarray(dt, dtype)
-    if fit_fn is None:
-        fit_fn = fit_continuation
+    if surface_stats and axis_name is not None:
+        raise ValueError("surface_stats needs a global sort; not available under shard_map")
+    if return_coeffs and fit_fn is not None:
+        raise ValueError("return_coeffs requires the default univariate fitter")
+    custom_fit = fit_fn is not None
+    if not custom_fit:
+        from .regress import fit_continuation_with_coeffs
+
+        fit_fn = fit_continuation_with_coeffs
 
     # Maturity leg (`american_monte_carlo.py:147-149`): intrinsic on knocked
     # paths only; τ initialized to n_steps everywhere (Q7).
@@ -125,17 +149,28 @@ def backward_induction(
             weights = (ex > 0).astype(dtype) * knocked_t.astype(dtype)
         else:
             weights = None  # reference behaviour: fit on all paths (Q1)
-        cont = fit_fn(x, y, spec, weights, axis_name)  # clamped at 0 (Q2)
+        if custom_fit:
+            cont = fit_fn(x, y, spec, weights, axis_name)  # clamped at 0 (Q2)
+            coefs = None
+        else:
+            cont, coefs = fit_fn(x, y, spec, weights, axis_name)
         if american:
             # Exercise where intrinsic beats continuation on knocked ∧ ITM
             # paths (`american_monte_carlo.py:154-162`), as a pure select.
             exercise = knocked_t & (ex > 0) & (ex > cont)
             cashflows = jnp.where(exercise, ex, cashflows)
             tau = jnp.where(exercise, t, tau)
-        return (cashflows, tau), (cont if return_surface else None)
+        ys = (
+            cont if return_surface else None,
+            (jnp.mean(cont), jnp.percentile(cont, jnp.asarray([5.0, 95.0])))
+            if surface_stats
+            else None,
+            coefs if return_coeffs else None,
+        )
+        return (cashflows, tau), ys
 
     ts = jnp.arange(n_steps, dtype=dtype)
-    (cashflows, tau), conts = lax.scan(
+    (cashflows, tau), (conts, stats, coefs) = lax.scan(
         step,
         (cf0, tau0),
         (paths_tm[:n_steps], knocked_tm[:n_steps], ts),
@@ -161,7 +196,23 @@ def backward_induction(
         # Maturity row is recorded as zeros, like the reference's
         # ``continuation_estimated`` at t == n_steps (:145-149).
         surface = jnp.concatenate([conts, jnp.zeros((1, n_paths), dtype)], axis=0)
-    return LSMCResult(price, stderr, cashflows, tau, surface)
+    exposures = None
+    if surface_stats:
+        from .exposures import CCRExposures
+
+        epe, pfes = stats
+        zero = jnp.zeros((1,), dtype)
+        # maturity row recorded as zeros, matching the reference surface
+        exposures = CCRExposures(
+            pfe5=jnp.concatenate([pfes[:, 0], zero]),
+            pfe95=jnp.concatenate([pfes[:, 1], zero]),
+            epe=jnp.concatenate([epe, zero]),
+        )
+    return LSMCResult(
+        price, stderr, cashflows, tau, surface,
+        exposures=exposures,
+        coeffs=coefs if return_coeffs else None,
+    )
 
 
 def lsmc_option_pricing(
@@ -171,6 +222,8 @@ def lsmc_option_pricing(
     spec: RegressionSpec = RegressionSpec(),
     return_surface: bool = True,
     axis_name: Optional[str] = None,
+    surface_stats: bool = False,
+    return_coeffs: bool = False,
 ) -> LSMCResult:
     """Price a (possibly barrier) put/call from pre-simulated paths.
 
@@ -193,6 +246,8 @@ def lsmc_option_pricing(
         american=product.is_american,
         return_surface=return_surface,
         axis_name=axis_name,
+        surface_stats=surface_stats,
+        return_coeffs=return_coeffs,
     )
 
 

@@ -121,7 +121,7 @@ def regression_fitted_values(
     point of ``x`` (including zero-weight points — the reference evaluates
     its fit on all paths, SURVEY Q1).
     """
-    return _fit(x, y, weights, spec)
+    return _fit(x, y, weights, spec)[0]
 
 
 def _fit(x, y, weights, spec: RegressionSpec, axis_name: Optional[str] = None):
@@ -153,7 +153,7 @@ def _fit(x, y, weights, spec: RegressionSpec, axis_name: Optional[str] = None):
     coeffs = pinv_solve(G, b, spec.rcond)
     # Fitted values as a fused dot-with-broadcast (again avoids an HBM
     # round trip for A; the basis is recomputed on the VPU in-fusion).
-    return jnp.sum(A * coeffs[None, :], axis=-1)
+    return jnp.sum(A * coeffs[None, :], axis=-1), coeffs
 
 
 def fit_continuation(
@@ -171,5 +171,18 @@ def fit_continuation(
     (SURVEY Q2, `american_monte_carlo.py:132`). With ``axis_name`` the fit is
     global over a sharded path axis (shard-local moments + psum).
     """
-    fitted = _fit(s_t, discounted_cashflows, weights, spec, axis_name)
+    fitted, _ = _fit(s_t, discounted_cashflows, weights, spec, axis_name)
     return jnp.maximum(fitted, 0.0)
+
+
+def fit_continuation_with_coeffs(
+    s_t: jnp.ndarray,
+    discounted_cashflows: jnp.ndarray,
+    spec: RegressionSpec,
+    weights: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
+):
+    """Like :func:`fit_continuation` but also returns the ``(degree+1,)``
+    solved coefficients (per-step observability dump, SURVEY §5)."""
+    fitted, coeffs = _fit(s_t, discounted_cashflows, weights, spec, axis_name)
+    return jnp.maximum(fitted, 0.0), coeffs
