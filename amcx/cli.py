@@ -51,7 +51,7 @@ def _reg_sim_args(p: argparse.ArgumentParser):
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--antithetic", action="store_true")
     p.add_argument("--backend", choices=["xla", "pallas"], default="xla")
-    p.add_argument("--engine", choices=["xla", "fused"], default="xla")
+    p.add_argument("--engine", choices=["xla", "fused", "mega"], default="xla")
     p.add_argument("--seed", type=int, default=42)
 
 
@@ -84,8 +84,24 @@ def cmd_price(args):
     market, product, spec, sim = _build(args)
     key = jax.random.key(args.seed)
     paths = simulate_gbm(key, market, product.T, sim)
-    pricer = lsmc_option_pricing_fused if args.engine == "fused" else lsmc_option_pricing
-    res = pricer(paths, product, market.r, spec, return_surface=bool(args.plot))
+    if args.engine == "mega":
+        if product.has_barrier or args.plot:
+            raise SystemExit("--engine mega supports vanilla price-only runs "
+                             "(no --barrier/--plot); use --engine fused")
+        from .ops.lsmc_megakernel import lsmc_price_megakernel
+
+        phi = 1.0 if product.option_type == "call" else -1.0
+        price = lsmc_price_megakernel(
+            paths, product.K, market.r, product.T / sim.n_steps, phi,
+            basis=spec.basis, degree=spec.degree,
+            american=product.is_american,
+        )
+        from .engine import LSMCResult
+
+        res = LSMCResult(price, price * 0.0, None, None, None)
+    else:
+        pricer = lsmc_option_pricing_fused if args.engine == "fused" else lsmc_option_pricing
+        res = pricer(paths, product, market.r, spec, return_surface=bool(args.plot))
 
     oracle = float(oracle_price(market.S0, product.K, product.T, market.r, market.sigma,
                                 n_steps=sim.n_steps, q=market.q,

@@ -85,6 +85,7 @@ def backward_induction(
     axis_name: Optional[str] = None,
     surface_stats: bool = False,
     return_coeffs: bool = False,
+    exercise_from_step: int = 0,
 ) -> LSMCResult:
     """Generic LSMC backward induction.
 
@@ -115,6 +116,10 @@ def backward_induction(
         need a global sort; use jit-level sharding instead).
       return_coeffs: also return the ``(n_steps, degree+1)`` solved
         regression coefficients per step (requires the default fitter).
+      exercise_from_step: earliest step index at which early exercise is
+        permitted. 0 reproduces the reference (its backward loop includes
+        t=0, SURVEY Q3); Bermudan benchmarks (max-call) use 1 so the first
+        exercise date is T/n, not inception.
     """
     n_steps = paths_tm.shape[0] - 1
     n_paths = paths_tm.shape[1]
@@ -158,6 +163,8 @@ def backward_induction(
             # Exercise where intrinsic beats continuation on knocked ∧ ITM
             # paths (`american_monte_carlo.py:154-162`), as a pure select.
             exercise = knocked_t & (ex > 0) & (ex > cont)
+            if exercise_from_step > 0:
+                exercise = exercise & (t >= exercise_from_step)
             cashflows = jnp.where(exercise, ex, cashflows)
             tau = jnp.where(exercise, t, tau)
         ys = (

@@ -83,6 +83,9 @@ def _price_max_call_impl(key, S0, r, q, sigma, corr, K, T, spec, sim, basis_mode
         american=True,
         return_surface=return_surface,
         fit_fn=fit_fn,
+        # Bermudan benchmark convention: first exercise date is T/n, not
+        # inception (matters when the basket starts in the money).
+        exercise_from_step=1,
     )
 
 

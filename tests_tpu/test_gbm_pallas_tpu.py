@@ -49,3 +49,46 @@ def test_pallas_price_matches_oracle():
     res = price_option(jax.random.key(0), M, prod, RegressionSpec(degree=4), sim)
     crr = float(crr_price(100.0, 100.0, 1.0, 0.01, 0.2, 2000, option_type="put", american=True))
     assert abs(float(res.price) - crr) < 0.2
+
+
+def test_fused_engine_on_hardware():
+    from amcx import RegressionSpec, SimConfig
+    from amcx.engine_pallas import lsmc_option_pricing_fused
+    from amcx.paths import simulate_gbm
+
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american")
+    paths = simulate_gbm(jax.random.key(1), M, 1.0,
+                         SimConfig(n_paths=102_400, n_steps=100, backend="pallas"))
+    res = lsmc_option_pricing_fused(paths, prod, M.r, RegressionSpec(degree=4))
+    crr = float(crr_price(100.0, 100.0, 1.0, 0.01, 0.2, 2000, option_type="put", american=True))
+    assert abs(float(res.price) - crr) < 0.2
+
+
+def test_megakernel_on_hardware():
+    from amcx import SimConfig
+    from amcx.ops.lsmc_megakernel import lsmc_price_megakernel
+    from amcx.paths import simulate_gbm
+
+    paths = simulate_gbm(jax.random.key(2), M, 1.0,
+                         SimConfig(n_paths=131_072, n_steps=100, backend="pallas"))
+    p = lsmc_price_megakernel(paths, 100.0, 0.01, 0.01, -1.0, degree=4)
+    crr = float(crr_price(100.0, 100.0, 1.0, 0.01, 0.2, 2000, option_type="put", american=True))
+    assert abs(float(p) - crr) < 0.2
+
+
+def test_bench_contract_line():
+    """bench.py must print exactly one parseable JSON line with the driver
+    contract keys."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "bench.py"], capture_output=True, text=True, timeout=900,
+        cwd=str(__import__("pathlib").Path(__file__).resolve().parent.parent),
+    )
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1, out.stdout
+    payload = json.loads(lines[0])
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(payload)
+    assert payload["vs_baseline"] > 1.0
