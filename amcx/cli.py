@@ -85,16 +85,16 @@ def cmd_price(args):
     key = jax.random.key(args.seed)
     paths = simulate_gbm(key, market, product.T, sim)
     if args.engine == "mega":
-        if product.has_barrier or args.plot:
-            raise SystemExit("--engine mega supports vanilla price-only runs "
-                             "(no --barrier/--plot); use --engine fused")
+        if args.plot:
+            raise SystemExit("--engine mega is price-only (no --plot); "
+                             "use --engine fused for surfaces")
         from .ops.lsmc_megakernel import lsmc_price_megakernel
 
         phi = 1.0 if product.option_type == "call" else -1.0
         price = lsmc_price_megakernel(
             paths, product.K, market.r, product.T / sim.n_steps, phi,
             basis=spec.basis, degree=spec.degree,
-            american=product.is_american,
+            american=product.is_american, barrier=product.barrier,
         )
         from .engine import LSMCResult
 

@@ -24,8 +24,10 @@ single kernel:
 - the final price ``mean(V_0)`` is reduced in-kernel; the kernel's outputs
   are one scalar pair (price numerator, count) plus optionally V itself.
 
-Scope: single-asset vanilla put/call (the benchmark family). Barrier /
-surface / itm-weighted runs use the two-kernel engine.
+Down-and-in barriers ride along with ZERO extra HBM traffic: the knock
+state is encoded in the sign bit of the spot column (``S_enc = knocked ? S :
+−S``, prepared in one elementwise pass), decoded in-register. Surface /
+itm-weighted runs use the two-kernel engine.
 """
 
 from __future__ import annotations
@@ -112,7 +114,7 @@ def _solve_equilibrated_ridge(packed, k, rcond):
 
 
 def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, V, macc, *, n_steps,
-                 n_rows, basis, degree, american):
+                 n_rows, basis, degree, american, barrier):
     k = degree + 1
     pairs = _pairs(k)
     P = len(pairs) + k
@@ -127,14 +129,21 @@ def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, V, macc, *, n_steps,
 
     n_chunks = n_rows // CHUNK_ROWS
 
+    def decode(raw):
+        # barrier runs carry the knock state in the sign bit
+        if barrier:
+            return jnp.abs(raw), raw > 0.0
+        return raw, None
+
     @pl.when(i == 0)
     def _maturity():
-        # V_T = intrinsic(S_T); the reference's maturity leg
-        # (american_monte_carlo.py:147-149), vanilla: all paths "knocked".
+        # V_T = intrinsic(S_T) on knocked paths; the reference's maturity
+        # leg (american_monte_carlo.py:147-149).
         def body(c, _):
             sl = pl.ds(c * CHUNK_ROWS, CHUNK_ROWS)
-            S = s_ref[0, sl, :]
-            V[sl, :] = jnp.maximum(phi * (S - K), 0.0)
+            S, kn = decode(s_ref[0, sl, :])
+            pay = jnp.maximum(phi * (S - K), 0.0)
+            V[sl, :] = jnp.where(kn, pay, 0.0) if barrier else pay
             return 0
 
         jax.lax.fori_loop(0, n_chunks, body, 0)
@@ -149,7 +158,7 @@ def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, V, macc, *, n_steps,
 
         def pass1(c, _):
             sl = pl.ds(c * CHUNK_ROWS, CHUNK_ROWS)
-            S = s_ref[0, sl, :]
+            S, _ = decode(s_ref[0, sl, :])
             y = disc * V[sl, :]
             xhat = (S - mean) * inv_std
             cols = _basis_cols(xhat, basis, degree)
@@ -168,7 +177,7 @@ def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, V, macc, *, n_steps,
         # ---- pass 2: fitted continuation + exercise select ----
         def pass2(c, _):
             sl = pl.ds(c * CHUNK_ROWS, CHUNK_ROWS)
-            S = s_ref[0, sl, :]
+            S, kn = decode(s_ref[0, sl, :])
             y = disc * V[sl, :]
             if american:
                 xhat = (S - mean) * inv_std
@@ -178,7 +187,10 @@ def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, V, macc, *, n_steps,
                     fitted = fitted + cols[a] * coeffs[a]
                 cont = jnp.maximum(fitted, 0.0)  # Q2
                 ex = jnp.maximum(phi * (S - K), 0.0)
-                V[sl, :] = jnp.where((ex > 0.0) & (ex > cont), ex, y)
+                mask = (ex > 0.0) & (ex > cont)
+                if barrier:
+                    mask = mask & kn  # Q4: exercise only once knocked
+                V[sl, :] = jnp.where(mask, ex, y)
             else:
                 # European (Q6): regression is fit (surface parity) but the
                 # carry just discounts.
@@ -194,10 +206,11 @@ def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, V, macc, *, n_steps,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_steps", "n_rows", "basis", "degree", "american", "interpret"),
+    static_argnames=("n_steps", "n_rows", "basis", "degree", "american",
+                     "barrier", "interpret"),
 )
 def _run(scalars, stats, paths_blocks, n_steps, n_rows, basis, degree, american,
-         interpret):
+         barrier, interpret):
     kernel = functools.partial(
         _mega_kernel,
         n_steps=n_steps,
@@ -205,6 +218,7 @@ def _run(scalars, stats, paths_blocks, n_steps, n_rows, basis, degree, american,
         basis=basis,
         degree=degree,
         american=american,
+        barrier=barrier,
     )
     k = degree + 1
     P = len(_pairs(k)) + k
@@ -241,16 +255,20 @@ def lsmc_price_megakernel(
     degree: int = 4,
     rcond: float = 1e-6,
     american: bool = True,
+    barrier=None,
     mean_t: Optional[jnp.ndarray] = None,
     inv_std_t: Optional[jnp.ndarray] = None,
     interpret: Optional[bool] = None,
 ):
-    """Price a vanilla put/call with the single-kernel backward induction.
+    """Price a vanilla or down-and-in put/call with the single-kernel
+    backward induction.
 
     ``paths_tm``: (n_steps+1, n_paths) time-major; ``mean_t``/``inv_std_t``:
-    per-step standardization stats (computed here if omitted). Returns the
-    discounted price scalar. Price only — no τ/surface outputs (use the
-    two-kernel engine for analytics).
+    per-step standardization stats (computed here if omitted). ``barrier``:
+    down-and-in level (knock state is precomputed and sign-encoded into the
+    spot stream — no extra HBM traffic). Returns the discounted price
+    scalar. Price only — no τ/surface outputs (use the two-kernel engine for
+    analytics).
     """
     n_steps = paths_tm.shape[0] - 1
     n_paths = paths_tm.shape[1]
@@ -265,6 +283,11 @@ def lsmc_price_megakernel(
         mean_t = jnp.mean(paths_tm, axis=1)
         std = jnp.maximum(jnp.std(paths_tm, axis=1), 1e-6)
         inv_std_t = 1.0 / std
+    if barrier is not None:
+        from ..payoff import barrier_knocked
+
+        knocked = barrier_knocked(paths_tm, barrier)
+        paths_tm = jnp.where(knocked, paths_tm, -paths_tm)
     scalars = jnp.stack(
         [
             jnp.asarray(r * dt, jnp.float32),
@@ -278,5 +301,5 @@ def lsmc_price_megakernel(
     )
     blocks = paths_tm.reshape(n_steps + 1, n_rows, LANES)
     total = _run(scalars, stats, blocks, n_steps, n_rows, basis, degree,
-                 american, interpret)
+                 american, barrier is not None, interpret)
     return total / n_paths

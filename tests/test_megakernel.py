@@ -74,3 +74,20 @@ def test_degree_and_basis_variants(paths):
 def test_alignment_validation(paths):
     with pytest.raises(ValueError, match="divisible"):
         lsmc_price_megakernel(paths[:, :1000], 100.0, M.r, 0.05, -1.0)
+
+
+@pytest.mark.parametrize("am", [True, False])
+def test_barrier_sign_encoding(paths, am):
+    """Down-and-in via sign-encoded knock state matches the XLA engine."""
+    prod = ProductSpec(K=100.0, T=1.0, barrier=80.0, option_type="put",
+                       exercise="american" if am else "european")
+    ref = lsmc_option_pricing(paths, prod, M.r, RegressionSpec(degree=4), return_surface=False)
+    p = lsmc_price_megakernel(paths, 100.0, M.r, 1.0 / 20, -1.0, degree=4,
+                              american=am, barrier=80.0)
+    assert abs(float(p) - float(ref.price)) < 5e-3
+
+
+def test_barrier_bounded_by_vanilla_mega(paths):
+    di = lsmc_price_megakernel(paths, 100.0, M.r, 1.0 / 20, -1.0, degree=4, barrier=80.0)
+    vanilla = lsmc_price_megakernel(paths, 100.0, M.r, 1.0 / 20, -1.0, degree=4)
+    assert 0.0 <= float(di) <= float(vanilla) + 1e-6
