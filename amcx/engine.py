@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .payoff import barrier_knocked, intrinsic_value, payoff_fn_for
+from .payoff import barrier_knocked, payoff_fn_for
 from .regress import fit_continuation
 from .types import MarketParams, ProductSpec, RegressionSpec, SimConfig
 

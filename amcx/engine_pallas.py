@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .engine import LSMCResult
-from .ops.lsmc_pallas import LANES, TILE_ROWS, pack_dim, step_apply, step_moments, unpack_moments
+from .ops.lsmc_pallas import LANES, TILE_ROWS, step_apply, step_moments, unpack_moments
 from .payoff import barrier_knocked, intrinsic_value
 from .regress import pinv_solve
 from .types import ProductSpec, RegressionSpec

@@ -19,7 +19,7 @@ reductions): with ~21-56 basis columns the matmul actually has work to do.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

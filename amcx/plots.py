@@ -16,8 +16,6 @@ the engine; ``n_plotted_paths`` crops the path axis like `crop_data`
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
-
 import numpy as np
 
 import matplotlib
