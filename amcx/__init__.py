@@ -26,7 +26,7 @@ from .oracle import (
 from .exposures import compute_ccr_exposures, CCRExposures
 from .analytics import compute_differences, oracle_grid_values
 from .engine_pallas import lsmc_option_pricing_fused
-from .greeks import price_and_greeks, gamma_fd
+from .greeks import price_and_greeks, gamma_fd, fast_greeks
 from .variates import control_variate_price, ControlVariateResult
 from .models.maxcall import price_max_call
 
@@ -64,6 +64,7 @@ __all__ = [
     "lsmc_option_pricing_fused",
     "price_and_greeks",
     "gamma_fd",
+    "fast_greeks",
     "control_variate_price",
     "ControlVariateResult",
     "price_max_call",

@@ -88,6 +88,55 @@ def price_and_greeks(
     )
 
 
+def fast_greeks(
+    result,
+    market: MarketParams,
+    product: ProductSpec,
+    n_steps: int,
+) -> Dict[str, jnp.ndarray]:
+    """Pathwise delta/vega/rho from a finished engine run — no autodiff.
+
+    For GBM the path derivative has closed forms:
+    ``dS_t/dS0 = S_t/S0``, ``dS_t/dσ = S_t (W_t − σt)``,
+    ``dS_t/dr = S_t·t``; and the exercise-time spot is recoverable from the
+    undiscounted cashflow (``S_τ = K − cf`` for puts, ``K + cf`` for calls,
+    on exercised paths). So the fixed-boundary pathwise estimator — the same
+    quantity ``jax.grad`` computes through the pipeline — is a cheap
+    reduction over ``(cashflows, exercise_times)``, valid for ANY engine's
+    output (including the fused one, ~10× cheaper than re-running under
+    autodiff). Works for vanilla products; barrier knock sensitivity is
+    excluded exactly as in the autodiff estimator.
+    """
+    if product.has_barrier:
+        raise ValueError("fast_greeks covers vanilla products; use price_and_greeks")
+    cf = result.cashflows
+    tau = result.exercise_times
+    dtype = cf.dtype
+    dt = jnp.asarray(product.T, dtype) / n_steps
+    r = jnp.asarray(market.r, dtype)
+    q = jnp.asarray(market.q, dtype)
+    sigma = jnp.asarray(market.sigma, dtype)
+    S0 = jnp.asarray(market.S0, dtype)
+    phi = 1.0 if product.option_type == "call" else -1.0
+
+    tau_y = tau * dt
+    disc = jnp.exp(-r * tau_y)
+    exercised = cf > 0
+    S_tau = jnp.where(exercised, jnp.asarray(product.K, dtype) + phi * cf, 0.0)
+    dpay_dS = jnp.where(exercised, phi, 0.0)  # payoff slope at exercise
+
+    n = cf.shape[0]
+    delta = jnp.sum(disc * dpay_dS * S_tau / S0) / n
+    # σW_τ = ln(S_τ/S0) − (r−q−σ²/2)τ  ⇒ dS/dσ = S(W − στ)
+    log_rel = jnp.where(exercised, jnp.log(jnp.maximum(S_tau, 1e-30) / S0), 0.0)
+    W = (log_rel - (r - q - 0.5 * sigma**2) * tau_y) / sigma
+    dS_dsigma = S_tau * (W - sigma * tau_y)
+    vega = jnp.sum(disc * dpay_dS * dS_dsigma) / n
+    # rho: payoff sensitivity through the drift + the discount factor
+    rho = jnp.sum(disc * (dpay_dS * S_tau * tau_y - tau_y * cf)) / n
+    return {"delta": delta, "vega": vega, "rho": rho}
+
+
 def gamma_fd(
     key: jax.Array,
     market: MarketParams,

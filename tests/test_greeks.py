@@ -71,3 +71,44 @@ def test_pallas_backend_swapped_for_greeks():
     sim = SimConfig(n_paths=4096, n_steps=10, backend="pallas")
     p, g = price_and_greeks(jax.random.key(0), M, prod, SPEC, sim)
     assert np.isfinite(float(p)) and np.isfinite(float(g["delta"]))
+
+
+def test_fast_greeks_match_autodiff():
+    """Closed-form pathwise Greeks from engine outputs equal the autodiff
+    estimator (same fixed-boundary quantity, no pipeline re-run)."""
+    from amcx import lsmc_option_pricing, simulate_gbm
+    from amcx.greeks import fast_greeks
+
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american")
+    key = jax.random.key(7)
+    _, g = price_and_greeks(key, M, prod, SPEC, SIM)
+    paths = simulate_gbm(key, M, 1.0, SIM)
+    res = lsmc_option_pricing(paths, prod, M.r, SPEC, return_surface=False)
+    fg = fast_greeks(res, M, prod, SIM.n_steps)
+    np.testing.assert_allclose(float(fg["delta"]), float(g["delta"]), atol=1e-3)
+    np.testing.assert_allclose(float(fg["vega"]), float(g["vega"]), rtol=1e-3)
+    np.testing.assert_allclose(float(fg["rho"]), float(g["rho"]), rtol=1e-3)
+
+
+def test_fast_greeks_from_fused_engine():
+    from amcx import simulate_gbm
+    from amcx.engine_pallas import lsmc_option_pricing_fused
+    from amcx.greeks import fast_greeks
+
+    prod = ProductSpec(K=100.0, T=1.0, option_type="call", exercise="american")
+    paths = simulate_gbm(jax.random.key(1), M, 1.0, SimConfig(n_paths=65536, n_steps=20))
+    res = lsmc_option_pricing_fused(paths, prod, M.r, SPEC)
+    fg = fast_greeks(res, M, prod, 20)
+    assert 0.0 <= float(fg["delta"]) <= 1.0
+    assert float(fg["vega"]) > 0
+
+
+def test_fast_greeks_rejects_barrier():
+    from amcx.greeks import fast_greeks
+    from amcx.engine import LSMCResult
+    import jax.numpy as jnp
+
+    dummy = LSMCResult(jnp.zeros(()), jnp.zeros(()), jnp.zeros(4), jnp.zeros(4), None)
+    barrier_prod = ProductSpec(K=100.0, T=1.0, barrier=80.0, option_type="put", exercise="american")
+    with pytest.raises(ValueError, match="vanilla"):
+        fast_greeks(dummy, M, barrier_prod, 4)
