@@ -45,7 +45,17 @@ from ..basis import BASIS_FAMILIES, _first_order
 __all__ = ["lsmc_price_megakernel", "CHUNK_ROWS"]
 
 LANES = 512
-CHUNK_ROWS = 64  # rows per inner sweep iteration: 64×512 f32 = 128 KB
+CHUNK_ROWS = 256  # preferred rows per inner sweep iteration (512 KB tiles)
+
+
+def _chunk_rows_for(n_rows: int) -> int:
+    """Largest divisor of ``n_rows`` that is ≤ CHUNK_ROWS and a multiple of
+    the 8-sublane tile (bigger chunks measured ~4% faster at 1M paths; small
+    path counts still need to divide evenly)."""
+    c = min(CHUNK_ROWS, n_rows)
+    while c > 8 and (n_rows % c or c % 8):
+        c -= 8
+    return max(c, 8)
 
 
 def _basis_cols(x, basis, degree):
@@ -114,7 +124,7 @@ def _solve_equilibrated_ridge(packed, k, rcond):
 
 
 def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, V, macc, *, n_steps,
-                 n_rows, basis, degree, american, barrier):
+                 n_rows, chunk_rows, basis, degree, american, barrier):
     k = degree + 1
     pairs = _pairs(k)
     P = len(pairs) + k
@@ -127,7 +137,7 @@ def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, V, macc, *, n_steps,
     rcond = scal_ref[3]
     disc = jnp.exp(-rdt)
 
-    n_chunks = n_rows // CHUNK_ROWS
+    n_chunks = n_rows // chunk_rows
 
     def decode(raw):
         # barrier runs carry the knock state in the sign bit
@@ -140,7 +150,7 @@ def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, V, macc, *, n_steps,
         # V_T = intrinsic(S_T) on knocked paths; the reference's maturity
         # leg (american_monte_carlo.py:147-149).
         def body(c, _):
-            sl = pl.ds(c * CHUNK_ROWS, CHUNK_ROWS)
+            sl = pl.ds(c * chunk_rows, chunk_rows)
             S, kn = decode(s_ref[0, sl, :])
             pay = jnp.maximum(phi * (S - K), 0.0)
             V[sl, :] = jnp.where(kn, pay, 0.0) if barrier else pay
@@ -157,7 +167,7 @@ def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, V, macc, *, n_steps,
         macc[...] = jnp.zeros_like(macc)
 
         def pass1(c, _):
-            sl = pl.ds(c * CHUNK_ROWS, CHUNK_ROWS)
+            sl = pl.ds(c * chunk_rows, chunk_rows)
             S, _ = decode(s_ref[0, sl, :])
             y = disc * V[sl, :]
             xhat = (S - mean) * inv_std
@@ -176,7 +186,7 @@ def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, V, macc, *, n_steps,
 
         # ---- pass 2: fitted continuation + exercise select ----
         def pass2(c, _):
-            sl = pl.ds(c * CHUNK_ROWS, CHUNK_ROWS)
+            sl = pl.ds(c * chunk_rows, chunk_rows)
             S, kn = decode(s_ref[0, sl, :])
             y = disc * V[sl, :]
             if american:
@@ -215,6 +225,7 @@ def _run(scalars, stats, paths_blocks, n_steps, n_rows, basis, degree, american,
         _mega_kernel,
         n_steps=n_steps,
         n_rows=n_rows,
+        chunk_rows=_chunk_rows_for(n_rows),
         basis=basis,
         degree=degree,
         american=american,
@@ -272,9 +283,9 @@ def lsmc_price_megakernel(
     """
     n_steps = paths_tm.shape[0] - 1
     n_paths = paths_tm.shape[1]
-    if n_paths % (CHUNK_ROWS * LANES):
+    if n_paths % (8 * LANES):
         raise ValueError(
-            f"megakernel needs n_paths divisible by {CHUNK_ROWS * LANES}, got {n_paths}"
+            f"megakernel needs n_paths divisible by {8 * LANES}, got {n_paths}"
         )
     if interpret is None:
         interpret = jax.default_backend() == "cpu"

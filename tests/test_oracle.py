@@ -132,3 +132,20 @@ def test_oracle_dispatch():
     assert float(
         oracle_price(**P, option_type="put", exercise="european", barrier=80.0)
     ) == pytest.approx(float(down_in_price(**P, barrier=80.0, option_type="put")))
+
+
+def test_oracle_reproduces_published_quantlib_values():
+    """The reference's notebook records QuantLib's prices for its demo
+    configs (BASELINE.md): analytic European put 9.8928, CRR-100 American
+    put 10.0198, analytic down-and-in put (B=70) 4.0316 at S0=95, K=100,
+    T=1, r=1%, sigma=20%. Our self-hosted engines must reproduce the C++
+    library's numbers."""
+    m = dict(S0=95.0, K=100.0, T=1.0, r=0.01, sigma=0.2)
+    np.testing.assert_allclose(float(bs_price(**m, option_type="put")), 9.8928, atol=1e-3)
+    np.testing.assert_allclose(
+        float(crr_price(**m, n_steps=100, option_type="put", american=True)),
+        10.0198, atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        float(down_in_price(**m, barrier=70.0, option_type="put")), 4.0316, atol=1e-3
+    )
