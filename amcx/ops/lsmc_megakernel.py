@@ -124,7 +124,8 @@ def _solve_equilibrated_ridge(packed, k, rcond):
 
 
 def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, V, macc, *, n_steps,
-                 n_rows, chunk_rows, basis, degree, american, barrier):
+                 n_rows, chunk_rows, basis, degree, american, barrier,
+                 itm_weights):
     k = degree + 1
     pairs = _pairs(k)
     P = len(pairs) + k
@@ -172,10 +173,23 @@ def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, V, macc, *, n_steps,
             y = disc * V[sl, :]
             xhat = (S - mean) * inv_std
             cols = _basis_cols(xhat, basis, degree)
+            if itm_weights:
+                # canonical Longstaff-Schwartz: weight the fit by the
+                # ITM (and knocked) indicator; fitted values still
+                # evaluate on every path (SURVEY Q1 both modes)
+                w = (jnp.maximum(phi * (S - K), 0.0) > 0.0).astype(jnp.float32)
+                if barrier:
+                    kn = s_ref[0, sl, :] > 0.0
+                    w = w * kn.astype(jnp.float32)
+                cols_w = [c_ * w for c_ in cols]
+                yw = y * w
+            else:
+                cols_w = cols
+                yw = y
             for p, (a, b_) in enumerate(pairs):
-                macc[p, :] += jnp.sum(cols[a] * cols[b_], axis=0)
+                macc[p, :] += jnp.sum(cols_w[a] * cols[b_], axis=0)
             for a in range(k):
-                macc[len(pairs) + a, :] += jnp.sum(cols[a] * y, axis=0)
+                macc[len(pairs) + a, :] += jnp.sum(cols[a] * yw, axis=0)
             return 0
 
         jax.lax.fori_loop(0, n_chunks, pass1, 0)
@@ -217,10 +231,10 @@ def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, V, macc, *, n_steps,
 @functools.partial(
     jax.jit,
     static_argnames=("n_steps", "n_rows", "basis", "degree", "american",
-                     "barrier", "interpret"),
+                     "barrier", "itm_weights", "interpret"),
 )
 def _run(scalars, stats, paths_blocks, n_steps, n_rows, basis, degree, american,
-         barrier, interpret):
+         barrier, itm_weights, interpret):
     kernel = functools.partial(
         _mega_kernel,
         n_steps=n_steps,
@@ -230,6 +244,7 @@ def _run(scalars, stats, paths_blocks, n_steps, n_rows, basis, degree, american,
         degree=degree,
         american=american,
         barrier=barrier,
+        itm_weights=itm_weights,
     )
     k = degree + 1
     P = len(_pairs(k)) + k
@@ -251,6 +266,10 @@ def _run(scalars, stats, paths_blocks, n_steps, n_rows, basis, degree, american,
             pltpu.VMEM((n_rows, LANES), jnp.float32),  # resident V carry
             pltpu.VMEM((P, LANES), jnp.float32),       # moment accumulators
         ],
+        # Budget: S double-buffer (2×4 MB at 1M paths) + resident V (4 MB)
+        # + chunk-sized basis temporaries; the default 16 MB scoped limit is
+        # a compiler conservatism, not the physical VMEM size.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(scalars, stats, paths_blocks)
     return out[0, 0]
@@ -267,6 +286,7 @@ def lsmc_price_megakernel(
     rcond: float = 1e-6,
     american: bool = True,
     barrier=None,
+    itm_weights: bool = False,
     mean_t: Optional[jnp.ndarray] = None,
     inv_std_t: Optional[jnp.ndarray] = None,
     interpret: Optional[bool] = None,
@@ -291,9 +311,20 @@ def lsmc_price_megakernel(
         interpret = jax.default_backend() == "cpu"
     n_rows = n_paths // LANES
     if mean_t is None:
-        mean_t = jnp.mean(paths_tm, axis=1)
-        std = jnp.maximum(jnp.std(paths_tm, axis=1), 1e-6)
-        inv_std_t = 1.0 / std
+        if itm_weights:
+            w = (jnp.maximum(phi * (paths_tm - K), 0.0) > 0).astype(paths_tm.dtype)
+            if barrier is not None:
+                from ..payoff import barrier_knocked as _bk
+
+                w = w * _bk(paths_tm, barrier).astype(paths_tm.dtype)
+            wsum = jnp.maximum(jnp.sum(w, axis=1), 1e-6)
+            mean_t = jnp.sum(w * paths_tm, axis=1) / wsum
+            var = jnp.sum(w * jnp.square(paths_tm - mean_t[:, None]), axis=1) / wsum
+            inv_std_t = 1.0 / jnp.maximum(jnp.sqrt(var), 1e-6)
+        else:
+            mean_t = jnp.mean(paths_tm, axis=1)
+            std = jnp.maximum(jnp.std(paths_tm, axis=1), 1e-6)
+            inv_std_t = 1.0 / std
     if barrier is not None:
         from ..payoff import barrier_knocked
 
@@ -312,5 +343,5 @@ def lsmc_price_megakernel(
     )
     blocks = paths_tm.reshape(n_steps + 1, n_rows, LANES)
     total = _run(scalars, stats, blocks, n_steps, n_rows, basis, degree,
-                 american, barrier is not None, interpret)
+                 american, barrier is not None, itm_weights, interpret)
     return total / n_paths

@@ -45,9 +45,12 @@ def main():
         def body(i, acc):
             paths = simulate_gbm(jax.random.fold_in(key, i), market, 1.0, sim)
             if on_tpu:
-                # flagship path: single-kernel backward induction
+                # flagship path: single-kernel backward induction; ITM-
+                # restricted fit per the BASELINE north star ("polynomial
+                # basis on in-the-money paths")
                 price = lsmc_price_megakernel(
-                    paths, 100.0, 0.01, 1.0 / N_STEPS, -1.0, degree=4
+                    paths, 100.0, 0.01, 1.0 / N_STEPS, -1.0, degree=4,
+                    itm_weights=True,
                 )
             else:
                 price = lsmc_option_pricing(
