@@ -29,6 +29,7 @@ from .engine_pallas import lsmc_option_pricing_fused
 from .greeks import price_and_greeks, gamma_fd, fast_greeks
 from .variates import control_variate_price, ControlVariateResult
 from .models.maxcall import price_max_call
+from .book import price_strike_grid, BookResult
 
 __version__ = "0.1.0"
 
@@ -68,4 +69,6 @@ __all__ = [
     "control_variate_price",
     "ControlVariateResult",
     "price_max_call",
+    "price_strike_grid",
+    "BookResult",
 ]
