@@ -22,7 +22,9 @@ from .oracle import (
     crr_price,
     crr_down_in_price,
     oracle_price,
+    implied_vol,
 )
+from .boundary import exercise_boundary
 from .exposures import compute_ccr_exposures, CCRExposures
 from .analytics import compute_differences, oracle_grid_values
 from .engine_pallas import lsmc_option_pricing_fused
@@ -58,6 +60,8 @@ __all__ = [
     "crr_price",
     "crr_down_in_price",
     "oracle_price",
+    "implied_vol",
+    "exercise_boundary",
     "compute_ccr_exposures",
     "CCRExposures",
     "compute_differences",

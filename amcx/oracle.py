@@ -282,6 +282,33 @@ def crr_down_in_price(S0, K, T, r, sigma, barrier, n_steps: int = 1000, q=0.0,
     )
 
 
+def implied_vol(price, S0, K, T, r, q=0.0, option_type: str = "call",
+                n_iter: int = 32, sigma0: float = 0.2):
+    """Black-Scholes implied volatility by vectorized Newton iterations
+    (fixed iteration count — jit/vmap friendly; converges quadratically, 32
+    steps is far past f32 saturation). Broadcasts over any argument shape.
+    Returns NaN where the price is outside the no-arbitrage band."""
+    price, S0, K, T, r, q = map(jnp.asarray, (price, S0, K, T, r, q))
+    dtype = jnp.result_type(price, S0, jnp.float32)
+    phi = _phi(option_type)
+    lo = jnp.maximum(phi * (S0 * jnp.exp(-q * T) - K * jnp.exp(-r * T)), 0.0)
+    hi = jnp.where(phi > 0, S0 * jnp.exp(-q * T), K * jnp.exp(-r * T))
+    valid = (price > lo + 1e-12) & (price < hi - 1e-12)
+
+    def body(sigma, _):
+        p = bs_price(S0, K, T, r, sigma, q, option_type)
+        sqT = jnp.sqrt(T)
+        d1 = (jnp.log(S0 / K) + (r - q + 0.5 * sigma**2) * T) / jnp.maximum(sigma * sqT, 1e-12)
+        vega = S0 * jnp.exp(-q * T) * sqT * jnp.exp(-0.5 * d1 * d1) / jnp.sqrt(2 * jnp.pi)
+        step = (p - price) / jnp.maximum(vega, 1e-8)
+        sigma = jnp.clip(sigma - step, 1e-4, 5.0)
+        return sigma, None
+
+    sigma, _ = lax.scan(body, jnp.full(jnp.broadcast_shapes(price.shape, S0.shape, K.shape),
+                                       sigma0, dtype), None, length=n_iter)
+    return jnp.where(valid, sigma, jnp.nan)
+
+
 def oracle_price(S0, K, T, r, sigma, n_steps: int = 1000, q=0.0,
                  option_type: str = "call", exercise: str = "european",
                  barrier=None):
