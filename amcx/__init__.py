@@ -25,6 +25,7 @@ from .oracle import (
     implied_vol,
 )
 from .boundary import exercise_boundary
+from .dual import dual_upper_bound, DualResult
 from .exposures import compute_ccr_exposures, CCRExposures
 from .analytics import compute_differences, oracle_grid_values
 from .engine_pallas import lsmc_option_pricing_fused
@@ -62,6 +63,8 @@ __all__ = [
     "oracle_price",
     "implied_vol",
     "exercise_boundary",
+    "dual_upper_bound",
+    "DualResult",
     "compute_ccr_exposures",
     "CCRExposures",
     "compute_differences",
