@@ -60,3 +60,17 @@ def test_requires_coeffs(fit):
     with pytest.raises(ValueError, match="return_coeffs"):
         dual_upper_bound(jax.random.key(0), paths, no_coeffs, M, PROD, spec,
                          mean_t, inv_std_t)
+
+
+def test_nested_bound_tighter_than_onestep(fit):
+    spec, res, mean_t, inv_std_t = fit
+    paths_dual = simulate_gbm(jax.random.key(5), M, 1.0, SimConfig(n_paths=4_096, n_steps=25))
+    one = dual_upper_bound(jax.random.key(7), paths_dual, res, M, PROD, spec,
+                           mean_t, inv_std_t, n_inner=64, nested=False)
+    nested = dual_upper_bound(jax.random.key(7), paths_dual, res, M, PROD, spec,
+                              mean_t, inv_std_t, n_inner=64, nested=True)
+    true = float(crr_price(100.0, 100.0, 1.0, 0.05, 0.2, 2000, option_type="put", american=True))
+    # nested is valid and tighter
+    assert float(nested.upper) + 4 * float(nested.stderr) >= true
+    assert float(nested.upper) <= float(one.upper) + 1e-6
+    assert float(nested.upper) - true < 0.15
