@@ -219,6 +219,145 @@ def _dual_nested_impl(key, paths_tm, coeffs, mean_t, inv_std_t, K, r, q, sigma,
     return DualResult(upper, stderr, upper - lower_price)
 
 
+@partial(jax.jit, static_argnames=("spec", "basis_mode", "n_inner"))
+def _dual_nested_maxcall_impl(key, paths_tm, coeffs, mean_t, inv_std_t, K, r, q,
+                              sigma, chol, dt, lower_price, spec, basis_mode,
+                              n_inner):
+    """Nested AB dual bound for the Bermudan max-call (telescoped, as in
+    the univariate `_dual_nested_impl`). ``paths_tm``: (T+1, N, A)."""
+    from .basis import multi_asset_design_matrix
+    from .payoff import max_call_payoff
+
+    n_steps = paths_tm.shape[0] - 1
+    n_paths = paths_tm.shape[1]
+    n_assets = paths_tm.shape[2]
+    dtype = paths_tm.dtype
+    drift = (r - q - 0.5 * sigma**2) * dt
+    vol = sigma * jnp.sqrt(dt)
+
+    def rule_exercise(S, t_idx, coef, mean, inv_std):
+        """The max-call LSMC rule at step t (first exercise at step 1, the
+        Bermudan convention)."""
+        h = max_call_payoff(S, K)
+        X = jnp.sort(S, axis=-1)[..., ::-1] if basis_mode == "sorted" else S
+        xh = jnp.clip((X - mean) * inv_std, -2.5, 2.5)
+        A = multi_asset_design_matrix(xh, spec.basis, spec.degree, "total")
+        cont = jnp.maximum(jnp.sum(A * coef, axis=-1), 0.0)
+        ex = (h > 0.0) & (h > cont)
+        return jnp.where(t_idx >= n_steps, h > 0.0, ex), h
+
+    coef_full = jnp.concatenate([coeffs, jnp.zeros((1, coeffs.shape[1]), dtype)], 0)
+
+    def inner_rule_value(S_start, t1, key_t):
+        J = n_inner
+        z0 = jax.random.normal(key_t, (n_steps, J // 2, n_paths, n_assets), dtype)
+        z = jnp.concatenate([z0, -z0], axis=1)
+
+        def istep(carry, xs):
+            S, alive, val = carry
+            z_s, s = xs
+            run = s >= t1
+            W = jnp.einsum("jna,ba->jnb", z_s, chol)
+            S = jnp.where(run, S * jnp.exp(drift + vol * W), S)
+            idx = jnp.minimum(s, n_steps).astype(jnp.int32)
+            e, h = rule_exercise(S, s, coef_full[idx], mean_t[idx], inv_std_t[idx])
+            stop = alive & e & run
+            val = jnp.where(stop, jnp.exp(-r * dt * (s - t1)) * h, val)
+            alive = alive & ~stop
+            return (S, alive, val), None
+
+        S0 = jnp.broadcast_to(S_start[None], (J,) + S_start.shape)
+        ss = jnp.arange(1, n_steps + 1, dtype=dtype)
+        (S, alive, val), _ = lax.scan(
+            istep, (S0, jnp.ones((J, n_paths), bool), jnp.zeros((J, n_paths), dtype)),
+            (z, ss),
+        )
+        return jnp.mean(val, axis=0)
+
+    keys = jax.random.split(key, n_steps + 1)
+    ts = jnp.arange(n_steps, dtype=dtype)
+
+    def step(carry, xs):
+        M, rmax, c_prev = carry
+        S_t1, t, key_t = xs
+        t1 = t + 1.0
+        disc1 = jnp.exp(-r * dt * t1)
+        idx1 = jnp.minimum(t1, float(n_steps)).astype(jnp.int32)
+        e1, h1 = rule_exercise(S_t1, t1, coef_full[idx1], mean_t[idx1], inv_std_t[idx1])
+        c_next = jnp.where(
+            t1 < n_steps,
+            inner_rule_value(S_t1, t1 + 1.0, key_t),
+            jnp.zeros((n_paths,), dtype),
+        )
+        realized = jnp.where(e1, h1, jnp.exp(-r * dt) * c_next)
+        M = M + disc1 * (realized - c_prev)
+        rmax = jnp.maximum(rmax, disc1 * h1 - M)
+        return (M, rmax, c_next), None
+
+    M0 = jnp.zeros((n_paths,), dtype)
+    # first exercise date is step 1 (Bermudan convention) → no t=0 term
+    r0 = jnp.zeros((n_paths,), dtype)
+    c0 = inner_rule_value(paths_tm[0], 1.0, keys[n_steps])
+    (M, rmax, _), _ = lax.scan(step, (M0, r0, c0), (paths_tm[1:], ts, keys[:n_steps]))
+    upper = jnp.mean(rmax)
+    stderr = jnp.std(rmax) / jnp.sqrt(float(n_paths))
+    return DualResult(upper, stderr, upper - lower_price)
+
+
+def dual_upper_bound_max_call(
+    key: jax.Array,
+    paths_tm: jnp.ndarray,
+    result,
+    K,
+    T,
+    r,
+    sigma,
+    coeff_stats,
+    spec: RegressionSpec,
+    q=0.0,
+    corr=None,
+    basis_mode: str = "sorted",
+    n_inner: int = 64,
+) -> DualResult:
+    """Nested AB upper bound for the Bermudan max-call.
+
+    ``result`` must come from `price_max_call(..., return_coeffs=True)`;
+    ``coeff_stats`` = `maxcall_standardization(fit_paths, basis_mode)`.
+    ``paths_tm``: fresh (n_steps+1, N, A) outer paths (e.g.
+    `simulate_gbm_multi` with a disjoint key), n_steps = exercise dates.
+    """
+    if result.coeffs is None:
+        raise ValueError("run price_max_call with return_coeffs=True")
+    n_steps = paths_tm.shape[0] - 1
+    n_assets = paths_tm.shape[2]
+    dtype = paths_tm.dtype
+    mean_t, inv_std_t = coeff_stats
+    if mean_t.shape[0] != n_steps + 1:
+        raise ValueError("coeff_stats must cover n_steps+1 rows")
+    chol = (
+        jnp.eye(n_assets, dtype=dtype)
+        if corr is None
+        else jnp.linalg.cholesky(jnp.asarray(corr, dtype))
+    )
+    return _dual_nested_maxcall_impl(
+        key,
+        paths_tm,
+        result.coeffs.astype(dtype),
+        jnp.asarray(mean_t, dtype),
+        jnp.asarray(inv_std_t, dtype),
+        jnp.asarray(K, dtype),
+        jnp.asarray(r, dtype),
+        jnp.asarray(q, dtype),
+        jnp.asarray(sigma, dtype),
+        chol,
+        jnp.asarray(T / n_steps, dtype),
+        result.price.astype(dtype),
+        spec,
+        basis_mode,
+        n_inner,
+    )
+
+
 def dual_upper_bound(
     key: jax.Array,
     paths_tm: jnp.ndarray,

@@ -86,6 +86,7 @@ def backward_induction(
     surface_stats: bool = False,
     return_coeffs: bool = False,
     exercise_from_step: int = 0,
+    fit_fn_returns_coeffs: bool = False,
 ) -> LSMCResult:
     """Generic LSMC backward induction.
 
@@ -128,10 +129,13 @@ def backward_induction(
     dt = jnp.asarray(dt, dtype)
     if surface_stats and axis_name is not None:
         raise ValueError("surface_stats needs a global sort; not available under shard_map")
-    if return_coeffs and fit_fn is not None:
-        raise ValueError("return_coeffs requires the default univariate fitter")
-    custom_fit = fit_fn is not None
-    if not custom_fit:
+    if return_coeffs and fit_fn is not None and not fit_fn_returns_coeffs:
+        raise ValueError(
+            "return_coeffs requires the default univariate fitter or a "
+            "custom fit_fn declared with fit_fn_returns_coeffs=True"
+        )
+    custom_fit = fit_fn is not None and not fit_fn_returns_coeffs
+    if fit_fn is None:
         from .regress import fit_continuation_with_coeffs
 
         fit_fn = fit_continuation_with_coeffs

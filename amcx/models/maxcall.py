@@ -73,19 +73,37 @@ def max_call_fit(X, y, spec: RegressionSpec, weights=None, axis_name=None,
         G = lax.psum(G, axis_name)
         b = lax.psum(b, axis_name)
     coeffs = pinv_solve(G, b, spec.rcond)
-    return jnp.maximum(A @ coeffs, 0.0)
+    return jnp.maximum(A @ coeffs, 0.0), coeffs
 
 
-@partial(jax.jit, static_argnames=("spec", "sim", "basis_mode", "return_surface"))
+def max_call_fit_values(X, y, spec, weights=None, axis_name=None, mode="total"):
+    """`max_call_fit` returning fitted values only (engine fit_fn form)."""
+    return max_call_fit(X, y, spec, weights, axis_name, mode)[0]
+
+
+def maxcall_standardization(paths_tm, mode: str = "sorted"):
+    """Per-step per-column mean and 1/std of the (sorted) basket — the
+    statistics `max_call_fit` computes in-scan, precomputed vectorized so
+    the dual-bound rule can reproduce the fitted continuation exactly."""
+    X = paths_tm
+    if mode == "sorted":
+        X = jnp.sort(X, axis=-1)[..., ::-1]
+    mean = jnp.mean(X, axis=1)                                # (T+1, A)
+    std = jnp.maximum(jnp.std(X, axis=1), 1e-6)
+    return mean, 1.0 / std
+
+
+@partial(jax.jit, static_argnames=("spec", "sim", "basis_mode", "return_surface",
+                                   "return_coeffs"))
 def _price_max_call_impl(key, S0, r, q, sigma, corr, K, T, spec, sim, basis_mode,
-                         return_surface):
+                         return_surface, return_coeffs):
     paths = simulate_gbm_multi(key, S0, r, sigma, T, sim, q=q, corr=corr)
     n_steps = sim.n_steps
     dt = T / n_steps
     knocked = jnp.ones(paths.shape[:2], dtype=bool)  # no barrier
     payoff = lambda S: max_call_payoff(S, K)
     fit_fn = partial(max_call_fit, mode=basis_mode)
-    return backward_induction(
+    res = backward_induction(
         paths,
         knocked,
         r,
@@ -95,10 +113,13 @@ def _price_max_call_impl(key, S0, r, q, sigma, corr, K, T, spec, sim, basis_mode
         american=True,
         return_surface=return_surface,
         fit_fn=fit_fn,
+        fit_fn_returns_coeffs=True,
+        return_coeffs=return_coeffs,
         # Bermudan benchmark convention: first exercise date is T/n, not
         # inception (matters when the basket starts in the money).
         exercise_from_step=1,
     )
+    return res, paths
 
 
 def price_max_call(
@@ -115,6 +136,8 @@ def price_max_call(
     spec: RegressionSpec = RegressionSpec(basis="chebyshev", degree=2),
     basis_mode: str = "sorted",
     return_surface: bool = False,
+    return_coeffs: bool = False,
+    return_paths: bool = False,
 ) -> LSMCResult:
     """Price a Bermudan max-call on an ``len(S0)``-asset correlated GBM
     basket, exercisable at ``n_exercise_dates`` equally spaced dates
@@ -129,7 +152,7 @@ def price_max_call(
             f"corr must be ({S0.shape[0]}, {S0.shape[0]}) to match the "
             f"{S0.shape[0]}-asset basket, got {corr_arr.shape}"
         )
-    return _price_max_call_impl(
+    res, paths = _price_max_call_impl(
         key,
         S0,
         jnp.float32(r),
@@ -142,4 +165,6 @@ def price_max_call(
         sim,
         basis_mode,
         return_surface,
+        return_coeffs,
     )
+    return (res, paths) if return_paths else res
