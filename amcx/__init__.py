@@ -25,7 +25,7 @@ from .oracle import (
     implied_vol,
 )
 from .boundary import exercise_boundary
-from .dual import dual_upper_bound, DualResult
+from .dual import dual_upper_bound, dual_upper_bound_max_call, DualResult
 from .exposures import compute_ccr_exposures, CCRExposures
 from .analytics import compute_differences, oracle_grid_values
 from .engine_pallas import lsmc_option_pricing_fused
@@ -64,6 +64,7 @@ __all__ = [
     "implied_vol",
     "exercise_boundary",
     "dual_upper_bound",
+    "dual_upper_bound_max_call",
     "DualResult",
     "compute_ccr_exposures",
     "CCRExposures",
