@@ -38,7 +38,9 @@ def _market_product_args(p: argparse.ArgumentParser):
     p.add_argument("--sigma", type=float, default=0.2)
     p.add_argument("--option-type", choices=["put", "call"], default="put")
     p.add_argument("--exercise", choices=["european", "american"], default="american")
-    p.add_argument("--barrier", type=float, default=None, help="down-and-in level")
+    p.add_argument("--barrier", type=float, default=None, help="barrier level")
+    p.add_argument("--barrier-type", choices=["down-in", "up-in", "down-out", "up-out"],
+                   default="down-in")
 
 
 def _reg_sim_args(p: argparse.ArgumentParser):
@@ -60,7 +62,8 @@ def _build(args):
 
     market = MarketParams(args.s0, args.r, args.sigma, args.q)
     product = ProductSpec(K=args.k, T=args.t, barrier=args.barrier,
-                          option_type=args.option_type, exercise=args.exercise)
+                          option_type=args.option_type, exercise=args.exercise,
+                          barrier_type=args.barrier_type)
     spec = RegressionSpec(basis=args.basis, degree=args.degree, scaling=args.scaling,
                           scaling_factor=args.scaling_factor, regress_on=args.regress_on)
     sim = SimConfig(n_paths=args.paths, n_steps=args.steps,
@@ -95,6 +98,7 @@ def cmd_price(args):
             paths, product.K, market.r, product.T / sim.n_steps, phi,
             basis=spec.basis, degree=spec.degree,
             american=product.is_american, barrier=product.barrier,
+            barrier_type=product.barrier_type,
         )
         from .engine import LSMCResult
 
@@ -106,7 +110,8 @@ def cmd_price(args):
     oracle = float(oracle_price(market.S0, product.K, product.T, market.r, market.sigma,
                                 n_steps=sim.n_steps, q=market.q,
                                 option_type=product.option_type,
-                                exercise=product.exercise, barrier=product.barrier))
+                                exercise=product.exercise, barrier=product.barrier,
+                                barrier_type=product.barrier_type))
     desc = f"{product.exercise.title()} {product.option_type.title()}"
     btxt = f"with Barrier at {product.barrier}" if product.barrier else "without Barrier"
     payload = {

@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .payoff import barrier_knocked, payoff_fn_for
+from .payoff import barrier_gate, payoff_fn_for
 from .regress import fit_continuation
 from .types import MarketParams, ProductSpec, RegressionSpec, SimConfig
 
@@ -246,7 +246,7 @@ def lsmc_option_pricing(
     """
     n_steps = paths_tm.shape[0] - 1
     dt = product.T / n_steps
-    knocked = barrier_knocked(paths_tm, product.barrier)
+    knocked = barrier_gate(paths_tm, product.barrier, product.barrier_type)
     return backward_induction(
         paths_tm,
         knocked,
@@ -262,13 +262,16 @@ def lsmc_option_pricing(
     )
 
 
-@partial(jax.jit, static_argnames=("spec", "sim", "option_type", "exercise", "return_surface"))
-def _price_option_impl(key, S0, r, sigma, q, K, T, barrier, spec, sim, option_type, exercise, return_surface):
+@partial(jax.jit, static_argnames=("spec", "sim", "option_type", "exercise",
+                                   "barrier_type", "return_surface"))
+def _price_option_impl(key, S0, r, sigma, q, K, T, barrier, spec, sim, option_type,
+                       exercise, barrier_type, return_surface):
     from .paths import simulate_gbm
 
     market = MarketParams(S0, r, sigma, q)
     paths = simulate_gbm(key, market, T, sim)
-    product = ProductSpec(K=K, T=T, barrier=barrier, option_type=option_type, exercise=exercise)
+    product = ProductSpec(K=K, T=T, barrier=barrier, option_type=option_type,
+                          exercise=exercise, barrier_type=barrier_type)
     return lsmc_option_pricing(paths, product, r, spec, return_surface=return_surface)
 
 
@@ -298,5 +301,6 @@ def price_option(
         sim,
         product.option_type,
         product.exercise,
+        product.barrier_type,
         return_surface,
     )

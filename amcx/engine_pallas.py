@@ -27,7 +27,7 @@ from jax import lax
 
 from .engine import LSMCResult
 from .ops.lsmc_pallas import LANES, TILE_ROWS, step_apply, step_moments, unpack_moments
-from .payoff import barrier_knocked, intrinsic_value
+from .payoff import barrier_gate, intrinsic_value
 from .regress import pinv_solve
 from .types import ProductSpec, RegressionSpec
 
@@ -59,6 +59,7 @@ def backward_induction_fused(
     phi: float,
     spec: RegressionSpec,
     barrier=None,
+    barrier_type: str = "down-in",
     american: bool = True,
     return_surface: bool = False,
     axis_name: Optional[str] = None,
@@ -82,7 +83,7 @@ def backward_induction_fused(
 
     knocked_tm = None
     if barrier is not None:
-        knocked_tm = barrier_knocked(paths_tm, barrier).astype(dtype)
+        knocked_tm = barrier_gate(paths_tm, barrier, barrier_type).astype(dtype)
 
     weights_tm = None
     if spec.regress_on == "itm":
@@ -191,6 +192,7 @@ def lsmc_option_pricing_fused(
         phi,
         spec,
         barrier=product.barrier,
+        barrier_type=product.barrier_type,
         american=product.is_american,
         return_surface=return_surface,
         axis_name=axis_name,

@@ -286,6 +286,7 @@ def lsmc_price_megakernel(
     rcond: float = 1e-6,
     american: bool = True,
     barrier=None,
+    barrier_type: str = "down-in",
     itm_weights: bool = False,
     mean_t: Optional[jnp.ndarray] = None,
     inv_std_t: Optional[jnp.ndarray] = None,
@@ -314,9 +315,9 @@ def lsmc_price_megakernel(
         if itm_weights:
             w = (jnp.maximum(phi * (paths_tm - K), 0.0) > 0).astype(paths_tm.dtype)
             if barrier is not None:
-                from ..payoff import barrier_knocked as _bk
+                from ..payoff import barrier_gate as _bg
 
-                w = w * _bk(paths_tm, barrier).astype(paths_tm.dtype)
+                w = w * _bg(paths_tm, barrier, barrier_type).astype(paths_tm.dtype)
             wsum = jnp.maximum(jnp.sum(w, axis=1), 1e-6)
             mean_t = jnp.sum(w * paths_tm, axis=1) / wsum
             var = jnp.sum(w * jnp.square(paths_tm - mean_t[:, None]), axis=1) / wsum
@@ -326,10 +327,10 @@ def lsmc_price_megakernel(
             std = jnp.maximum(jnp.std(paths_tm, axis=1), 1e-6)
             inv_std_t = 1.0 / std
     if barrier is not None:
-        from ..payoff import barrier_knocked
+        from ..payoff import barrier_gate
 
-        knocked = barrier_knocked(paths_tm, barrier)
-        paths_tm = jnp.where(knocked, paths_tm, -paths_tm)
+        gate = barrier_gate(paths_tm, barrier, barrier_type)
+        paths_tm = jnp.where(gate, paths_tm, -paths_tm)
     scalars = jnp.stack(
         [
             jnp.asarray(r * dt, jnp.float32),

@@ -129,23 +129,12 @@ def discrete_barrier_shift(barrier, sigma, dt, down: bool = True):
     return barrier * jnp.exp(sign * beta * sigma * jnp.sqrt(dt))
 
 
-def down_in_price(S0, K, T, r, sigma, barrier, q=0.0, option_type: str = "call"):
-    """Reiner-Rubinstein down-and-in European barrier price (rebate 0,
-    continuous monitoring, barrier below spot).
-
-    Equivalent of QuantLib's `AnalyticBarrierEngine` with
-    ``ql.Barrier.DownIn`` (`american_monte_carlo.py:40,63`).
-    """
-    S0, K, T, r, sigma, barrier, q = map(
-        jnp.asarray, (S0, K, T, r, sigma, barrier, q)
-    )
-    phi = _phi(option_type)
-    eta = 1.0  # down barrier
+def _rr_terms(S0, K, T, r, sigma, H, q, phi, eta):
+    """Reiner-Rubinstein/Haug building blocks A, B, C, D (rebate 0)."""
     b = r - q  # cost of carry
     sqT = jnp.sqrt(T)
     sig = jnp.maximum(sigma * sqT, 1e-12)
     mu = (b - 0.5 * sigma**2) / jnp.maximum(sigma**2, 1e-12)
-    H = barrier
 
     x1 = jnp.log(S0 / K) / sig + (1.0 + mu) * sig
     x2 = jnp.log(S0 / H) / sig + (1.0 + mu) * sig
@@ -158,33 +147,65 @@ def down_in_price(S0, K, T, r, sigma, barrier, q=0.0, option_type: str = "call")
     pow1 = hs ** (2.0 * (mu + 1.0))
     pow2 = hs ** (2.0 * mu)
 
-    def val(z, use_pow):
-        # Generic Haug building block at argument z (A/B use plain N terms,
-        # C/D use the reflected (H/S)^? terms).
-        if use_pow:
-            return phi * (
-                S0 * ebrt * pow1 * norm_cdf(eta * z)
-                - K * ert * pow2 * norm_cdf(eta * z - eta * sig)
-            )
+    def plain(z):
         return phi * (
             S0 * ebrt * norm_cdf(phi * z) - K * ert * norm_cdf(phi * z - phi * sig)
         )
 
-    A = val(x1, False)
-    B = val(x2, False)
-    C = val(y1, True)
-    D = val(y2, True)
+    def reflected(z):
+        return phi * (
+            S0 * ebrt * pow1 * norm_cdf(eta * z)
+            - K * ert * pow2 * norm_cdf(eta * z - eta * sig)
+        )
 
-    if option_type.strip().lower() == "call":
-        # K >= H: C ; K < H: A - B + D
-        price = jnp.where(K >= H, C, A - B + D)
+    return plain(x1), plain(x2), reflected(y1), reflected(y2)
+
+
+def barrier_price(S0, K, T, r, sigma, barrier, q=0.0, option_type: str = "call",
+                  barrier_type: str = "down-in"):
+    """Reiner-Rubinstein European barrier price, all four knock variants
+    (rebate 0, continuous monitoring).
+
+    Generalizes the reference's QuantLib ``Barrier.DownIn`` engine
+    (`american_monte_carlo.py:63`) to ``down-in | up-in | down-out |
+    up-out``. Knock-outs use in-out parity (in + out = vanilla, rebate 0);
+    a spot starting beyond the barrier means already-knocked (in → vanilla,
+    out → 0).
+    """
+    S0, K, T, r, sigma, H, q = map(jnp.asarray, (S0, K, T, r, sigma, barrier, q))
+    bt = barrier_type.strip().lower()
+    if bt not in ("down-in", "up-in", "down-out", "up-out"):
+        raise ValueError(f"barrier_type must be down/up-in/out, got {barrier_type!r}")
+    down = bt.startswith("down")
+    knock_in = bt.endswith("in")
+    phi = _phi(option_type)
+    eta = 1.0 if down else -1.0
+    is_call = option_type.strip().lower() == "call"
+
+    A, B, C, D = _rr_terms(S0, K, T, r, sigma, H, q, phi, eta)
+    if down:
+        ins = jnp.where(K >= H, C, A - B + D) if is_call else jnp.where(K >= H, B - C + D, A)
     else:
-        # K >= H: B - C + D ; K < H: A
-        price = jnp.where(K >= H, B - C + D, A)
-    # If the spot already starts at/below the barrier the option is knocked
-    # in and equals the vanilla.
+        # up-and-in (Haug): call: K>=H → A ; K<H → B - C + D
+        #                   put:  K>=H → A - B + D ; K<H → C
+        ins = jnp.where(K >= H, A, B - C + D) if is_call else jnp.where(K >= H, A - B + D, C)
+    ins = jnp.maximum(ins, 0.0)
     vanilla = bs_price(S0, K, T, r, sigma, q, option_type)
-    return jnp.where(S0 <= H, vanilla, jnp.maximum(price, 0.0))
+    already = (S0 <= H) if down else (S0 >= H)
+    if knock_in:
+        return jnp.where(already, vanilla, ins)
+    out = jnp.maximum(vanilla - ins, 0.0)
+    return jnp.where(already, 0.0, out)
+
+
+def down_in_price(S0, K, T, r, sigma, barrier, q=0.0, option_type: str = "call"):
+    """Reiner-Rubinstein down-and-in European barrier price (rebate 0,
+    continuous monitoring, barrier below spot).
+
+    Equivalent of QuantLib's `AnalyticBarrierEngine` with
+    ``ql.Barrier.DownIn`` (`american_monte_carlo.py:40,63`).
+    """
+    return barrier_price(S0, K, T, r, sigma, barrier, q, option_type, "down-in")
 
 
 @partial(jax.jit, static_argnames=("n_steps", "option_type", "american"))
@@ -228,8 +249,10 @@ def crr_price(S0, K, T, r, sigma, n_steps: int = 1000, q=0.0,
     return _crr_impl(S0, K, T, r, sigma, q, int(n_steps), option_type, american)
 
 
-@partial(jax.jit, static_argnames=("n_steps", "option_type", "american"))
-def _crr_down_in_impl(S0, K, T, r, sigma, q, barrier, n_steps, option_type, american):
+@partial(jax.jit, static_argnames=("n_steps", "option_type", "american", "down",
+                                   "knock_in"))
+def _crr_barrier_impl(S0, K, T, r, sigma, q, barrier, n_steps, option_type,
+                      american, down, knock_in):
     dtype = jnp.result_type(S0, K, T, r, sigma, jnp.float32)
     S0, K, T, r, sigma, q, H = (
         jnp.asarray(v, dtype) for v in (S0, K, T, r, sigma, q, barrier)
@@ -242,31 +265,66 @@ def _crr_down_in_impl(S0, K, T, r, sigma, q, barrier, n_steps, option_type, amer
     def node_spots(level):
         return S0 * jnp.exp((2.0 * j - level) * sigma * jnp.sqrt(dt))
 
+    def hit(S):
+        return S <= H if down else S >= H
+
     S_T = node_spots(jnp.asarray(n_steps, dtype))
     payoff_T = jnp.maximum(phi * (S_T - K), 0.0)
-    V_van = payoff_T
-    # A node at/below the barrier at maturity knocks in at maturity — the
-    # LSMC engine counts that too (`american_monte_carlo.py:147-148`).
-    V_di = jnp.where(S_T <= H, payoff_T, 0.0)
 
-    def step(carry, level):
-        V_van, V_di = carry
+    if knock_in:
+        # joint vanilla/knock-in recursion: touching the barrier converts
+        # the claim into the vanilla; no early exercise before knock-in
+        # (SURVEY Q4 semantics). A barrier touch at maturity counts, like
+        # the LSMC engine (`american_monte_carlo.py:147-148`).
+        V_van = payoff_T
+        V_bar = jnp.where(hit(S_T), payoff_T, 0.0)
+
+        def step(carry, level):
+            V_van, V_bar = carry
+            S = node_spots(level)
+            van_up = jnp.concatenate([V_van[1:], V_van[-1:]])
+            bar_up = jnp.concatenate([V_bar[1:], V_bar[-1:]])
+            V_van = disc * (p * van_up + (1.0 - p) * V_van)
+            V_bar = disc * (p * bar_up + (1.0 - p) * V_bar)
+            if american:
+                V_van = jnp.maximum(V_van, jnp.maximum(phi * (S - K), 0.0))
+            V_bar = jnp.where(hit(S), V_van, V_bar)
+            return (V_van, V_bar), None
+
+        levels = jnp.arange(n_steps, dtype=dtype)
+        (V_van, V_bar), _ = lax.scan(step, (V_van, V_bar), levels, reverse=True)
+        return V_bar[0]
+
+    # knock-out: value dies at the barrier (rebate 0); exercise while alive
+    V = jnp.where(hit(S_T), 0.0, payoff_T)
+
+    def step(V, level):
         S = node_spots(level)
-        van_up = jnp.concatenate([V_van[1:], V_van[-1:]])
-        di_up = jnp.concatenate([V_di[1:], V_di[-1:]])
-        V_van = disc * (p * van_up + (1.0 - p) * V_van)
-        V_di = disc * (p * di_up + (1.0 - p) * V_di)
+        V_up = jnp.concatenate([V[1:], V[-1:]])
+        V = disc * (p * V_up + (1.0 - p) * V)
         if american:
-            V_van = jnp.maximum(V_van, jnp.maximum(phi * (S - K), 0.0))
-        # Touching the barrier converts the knock-in claim into the vanilla.
-        # No early exercise above the barrier: the holder owns nothing
-        # exercisable until knocked (SURVEY Q4 semantics).
-        V_di = jnp.where(S <= H, V_van, V_di)
-        return (V_van, V_di), None
+            V = jnp.maximum(V, jnp.maximum(phi * (S - K), 0.0))
+        V = jnp.where(hit(S), 0.0, V)
+        return V, None
 
     levels = jnp.arange(n_steps, dtype=dtype)
-    (V_van, V_di), _ = lax.scan(step, (V_van, V_di), levels, reverse=True)
-    return V_di[0]
+    V, _ = lax.scan(step, V, levels, reverse=True)
+    return V[0]
+
+
+def crr_barrier_price(S0, K, T, r, sigma, barrier, n_steps: int = 1000, q=0.0,
+                      option_type: str = "call", american: bool = False,
+                      barrier_type: str = "down-in"):
+    """CRR binomial barrier price, all four knock variants (rebate 0,
+    tree-level monitoring). Generalizes QuantLib's `BinomialBarrierEngine`
+    (`american_monte_carlo.py:43`)."""
+    bt = barrier_type.strip().lower()
+    if bt not in ("down-in", "up-in", "down-out", "up-out"):
+        raise ValueError(f"barrier_type must be down/up-in/out, got {barrier_type!r}")
+    return _crr_barrier_impl(
+        S0, K, T, r, sigma, q, barrier, int(n_steps), option_type, american,
+        bt.startswith("down"), bt.endswith("in"),
+    )
 
 
 def crr_down_in_price(S0, K, T, r, sigma, barrier, n_steps: int = 1000, q=0.0,
@@ -277,8 +335,9 @@ def crr_down_in_price(S0, K, T, r, sigma, barrier, n_steps: int = 1000, q=0.0,
     n_steps)`` (`american_monte_carlo.py:43`), via a joint vanilla/knock-in
     backward scan.
     """
-    return _crr_down_in_impl(
-        S0, K, T, r, sigma, q, barrier, int(n_steps), option_type, american
+    return _crr_barrier_impl(
+        S0, K, T, r, sigma, q, barrier, int(n_steps), option_type, american,
+        True, True,
     )
 
 
@@ -311,7 +370,7 @@ def implied_vol(price, S0, K, T, r, q=0.0, option_type: str = "call",
 
 def oracle_price(S0, K, T, r, sigma, n_steps: int = 1000, q=0.0,
                  option_type: str = "call", exercise: str = "european",
-                 barrier=None):
+                 barrier=None, barrier_type: str = "down-in"):
     """Dispatch to the right engine, mirroring `setup_exercise_and_engine`
     (`american_monte_carlo.py:10-53`):
 
@@ -330,7 +389,8 @@ def oracle_price(S0, K, T, r, sigma, n_steps: int = 1000, q=0.0,
             return bs_price(S0, K, T, r, sigma, q, option_type)
         return crr_price(S0, K, T, r, sigma, n_steps, q, option_type, american=True)
     if exercise == "european":
-        return down_in_price(S0, K, T, r, sigma, barrier, q, option_type)
-    return crr_down_in_price(
-        S0, K, T, r, sigma, barrier, n_steps, q, option_type, american=True
+        return barrier_price(S0, K, T, r, sigma, barrier, q, option_type, barrier_type)
+    return crr_barrier_price(
+        S0, K, T, r, sigma, barrier, n_steps, q, option_type, american=True,
+        barrier_type=barrier_type,
     )

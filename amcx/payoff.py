@@ -31,19 +31,31 @@ def intrinsic_value(S: jnp.ndarray, K, option_type: str = "call") -> jnp.ndarray
     return jnp.maximum(S - K, 0.0)
 
 
-def barrier_knocked(paths_tm: jnp.ndarray, barrier) -> jnp.ndarray:
-    """Down-and-in knock state per (time, path): has the path touched
-    ``S <= barrier`` at or before t?
+def barrier_knocked(paths_tm: jnp.ndarray, barrier, down: bool = True) -> jnp.ndarray:
+    """Knock state per (time, path): has the path touched the barrier
+    (``S <= barrier`` for down, ``S >= barrier`` for up) at or before t?
 
     Parity: `precompute_barrier_hit_matrix` (`american_monte_carlo.py:
-    171-176`) — a running maximum of the hit indicator along time. ``barrier
-    is None`` yields the all-True matrix (vanilla product). Time-major input
-    ``(n_steps+1, n_paths, ...)``.
+    171-176`) — a running maximum of the hit indicator along time (the
+    reference is down-only). ``barrier is None`` yields the all-True matrix
+    (vanilla product). Time-major input ``(n_steps+1, n_paths, ...)``.
     """
     if barrier is None:
         return jnp.ones(paths_tm.shape, dtype=bool)
-    hit = paths_tm <= barrier
+    hit = paths_tm <= barrier if down else paths_tm >= barrier
     return lax.associative_scan(jnp.logical_or, hit, axis=0)
+
+
+def barrier_gate(paths_tm: jnp.ndarray, barrier, barrier_type: str = "down-in"):
+    """Per-(time, path) exercisability gate for any knock variant: for
+    knock-IN products a cashflow exists only once knocked; for knock-OUT
+    products only while never knocked (value dies at the touch, rebate 0).
+    """
+    if barrier is None:
+        return jnp.ones(paths_tm.shape, dtype=bool)
+    bt = barrier_type.strip().lower()
+    knocked = barrier_knocked(paths_tm, barrier, down=bt.startswith("down"))
+    return knocked if bt.endswith("in") else ~knocked
 
 
 def max_call_payoff(S: jnp.ndarray, K) -> jnp.ndarray:

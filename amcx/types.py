@@ -72,14 +72,21 @@ class ProductSpec:
     barrier: Optional[jax.Array | float] = None
     option_type: str = dataclasses.field(default="put", metadata={"static": True})
     exercise: str = dataclasses.field(default="european", metadata={"static": True})
+    barrier_type: str = dataclasses.field(default="down-in", metadata={"static": True})
 
     def __post_init__(self):
         object.__setattr__(self, "option_type", _norm(self.option_type))
         object.__setattr__(self, "exercise", _norm(self.exercise))
+        object.__setattr__(self, "barrier_type", _norm(self.barrier_type))
         if self.option_type not in ("put", "call"):
             raise ValueError(f"option_type must be 'put' or 'call', got {self.option_type!r}")
         if self.exercise not in ("european", "american"):
             raise ValueError(f"exercise must be 'european' or 'american', got {self.exercise!r}")
+        if self.barrier_type not in ("down-in", "up-in", "down-out", "up-out"):
+            raise ValueError(
+                f"barrier_type must be one of down-in/up-in/down-out/up-out, "
+                f"got {self.barrier_type!r}"
+            )
 
     @property
     def is_american(self) -> bool:
@@ -94,7 +101,7 @@ class ProductSpec:
 jax.tree_util.register_dataclass(
     ProductSpec,
     data_fields=["K", "T", "barrier"],
-    meta_fields=["option_type", "exercise"],
+    meta_fields=["option_type", "exercise", "barrier_type"],
 )
 
 
