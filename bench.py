@@ -63,10 +63,15 @@ def main():
     # Warm up / compile, and grab a price for the accuracy gate.
     price1 = float(chained(jax.random.key(0), 1))
 
+    # Median of 3 chained batches: the host<->device tunnel adds tens of ms
+    # of per-sync jitter, which is +/-10% at these timescales.
     iters = 10 if on_tpu else 2
-    t0 = time.time()
-    total = float(chained(jax.random.key(1), iters))
-    dt = (time.time() - t0) / iters
+    times, total = [], 0.0
+    for rep in range(3 if on_tpu else 1):
+        t0 = time.time()
+        total = float(chained(jax.random.key(1 + rep), iters))
+        times.append((time.time() - t0) / iters)
+    dt = sorted(times)[len(times) // 2]
     throughput = N_PATHS * N_STEPS / dt
 
     crr = float(
