@@ -19,8 +19,10 @@ from .oracle import (
     bs_price,
     bs_greeks,
     down_in_price,
+    barrier_price,
     crr_price,
     crr_down_in_price,
+    crr_barrier_price,
     oracle_price,
     implied_vol,
 )
@@ -58,6 +60,8 @@ __all__ = [
     "bs_price",
     "bs_greeks",
     "down_in_price",
+    "barrier_price",
+    "crr_barrier_price",
     "crr_price",
     "crr_down_in_price",
     "oracle_price",

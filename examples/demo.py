@@ -101,6 +101,21 @@ def main():
     print(f"  streaming CCR profile: EPE(0)={float(ccr.epe[0]):.3f} "
           f"PFE95(T/2)={float(ccr.pfe95[sim.n_steps // 2]):.3f}")
 
+    # two-sided price: nested Andersen-Broadie dual bound
+    from amcx.dual import dual_upper_bound
+    from amcx.engine_pallas import precompute_standardization
+
+    spec6 = RegressionSpec(degree=6)
+    res6 = lsmc_option_pricing(paths, prod_am, MARKET.r, spec6,
+                               return_surface=False, return_coeffs=True)
+    mt, ist = precompute_standardization(paths, None, spec6)
+    paths_d = simulate_gbm(jax.random.key(1234), MARKET, 1.0,
+                           SimConfig(n_paths=8_192, n_steps=sim.n_steps))
+    d = dual_upper_bound(jax.random.key(9), paths_d, res6, MARKET, prod_am,
+                         spec6, mt, ist, n_inner=128, nested=True)
+    print(f"  dual bracket (nested AB): [{float(res6.price):.4f}, "
+          f"{float(d.upper):.4f}] ± {float(d.stderr):.4f}")
+
     if args.plots:
         out = pathlib.Path(args.plots)
         out.mkdir(parents=True, exist_ok=True)
