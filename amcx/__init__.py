@@ -33,7 +33,7 @@ from .analytics import compute_differences, oracle_grid_values
 from .engine_pallas import lsmc_option_pricing_fused
 from .greeks import price_and_greeks, gamma_fd, fast_greeks
 from .variates import control_variate_price, ControlVariateResult
-from .models.maxcall import price_max_call
+from .models.maxcall import price_max_call, max_call_greeks
 from .book import price_strike_grid, BookResult
 
 __version__ = "0.1.0"
@@ -81,6 +81,7 @@ __all__ = [
     "control_variate_price",
     "ControlVariateResult",
     "price_max_call",
+    "max_call_greeks",
     "price_strike_grid",
     "BookResult",
 ]

@@ -282,10 +282,42 @@ def price_option(
     spec: RegressionSpec = RegressionSpec(),
     sim: SimConfig = SimConfig(),
     return_surface: bool = False,
+    engine: str = "xla",
 ) -> LSMCResult:
     """One-shot jitted simulate→price pipeline (the reference's
     `generate_asset_paths` + `lsmc_option_pricing` composition at
-    `american_monte_carlo.py:465-471`)."""
+    `american_monte_carlo.py:465-471`).
+
+    ``engine``: ``"xla"`` (reference engine), ``"fused"`` (two Pallas
+    kernels/step), or ``"mega"`` (single-kernel; price-only — no surface/τ
+    outputs, itm weights per ``spec.regress_on``).
+    """
+    if engine == "fused":
+        from .engine_pallas import lsmc_option_pricing_fused
+        from .paths import simulate_gbm
+
+        paths = simulate_gbm(key, market, product.T, sim)
+        return lsmc_option_pricing_fused(paths, product, market.r, spec,
+                                         return_surface=return_surface)
+    if engine == "mega":
+        if return_surface:
+            raise ValueError("engine='mega' is price-only; use 'fused' for surfaces")
+        from .ops.lsmc_megakernel import lsmc_price_megakernel
+        from .paths import simulate_gbm
+
+        paths = simulate_gbm(key, market, product.T, sim)
+        n_steps = sim.n_steps
+        phi = 1.0 if product.option_type == "call" else -1.0
+        price = lsmc_price_megakernel(
+            paths, product.K, market.r, product.T / n_steps, phi,
+            basis=spec.basis, degree=spec.degree, rcond=spec.rcond,
+            american=product.is_american, barrier=product.barrier,
+            barrier_type=product.barrier_type,
+            itm_weights=spec.regress_on == "itm",
+        )
+        return LSMCResult(price, price * 0.0, None, None, None)
+    if engine != "xla":
+        raise ValueError(f"engine must be 'xla', 'fused', or 'mega', got {engine!r}")
     dtype = sim.jnp_dtype
     barrier = None if product.barrier is None else jnp.asarray(product.barrier, dtype)
     return _price_option_impl(

@@ -122,6 +122,45 @@ def _price_max_call_impl(key, S0, r, q, sigma, corr, K, T, spec, sim, basis_mode
     return res, paths
 
 
+def max_call_greeks(
+    key: jax.Array,
+    S0,
+    K,
+    T,
+    r,
+    sigma,
+    q=0.0,
+    corr=None,
+    n_exercise_dates: int = 9,
+    n_paths: int = 100_000,
+    spec: RegressionSpec = RegressionSpec(basis="chebyshev", degree=2),
+    basis_mode: str = "sorted",
+):
+    """Pathwise basket Greeks for the Bermudan max-call: per-asset deltas,
+    vega, and rho by ``jax.grad`` through the full multi-asset pipeline
+    (fixed-boundary pathwise estimator — exercise decisions enter only
+    through boolean masks, as in `amcx.greeks`).
+
+    Returns ``(price, {"delta": (n_assets,), "vega": scalar, "rho": scalar})``.
+    """
+    S0 = jnp.atleast_1d(jnp.asarray(S0, jnp.float32))
+    n_assets = S0.shape[0]
+    corr_arr = jnp.eye(n_assets, dtype=jnp.float32) if corr is None else jnp.asarray(corr, jnp.float32)
+    sim = SimConfig(n_paths=n_paths, n_steps=n_exercise_dates)
+
+    def price(S0v, sig, rr):
+        res = _price_max_call_impl(
+            key, S0v, rr, jnp.float32(q), sig, corr_arr, jnp.float32(K),
+            jnp.float32(T), spec, sim, basis_mode, False, False,
+        )[0]
+        return res.price
+
+    p, (delta, vega, rho) = jax.value_and_grad(price, argnums=(0, 1, 2))(
+        S0, jnp.float32(sigma), jnp.float32(r)
+    )
+    return p, {"delta": delta, "vega": vega, "rho": rho}
+
+
 def price_max_call(
     key: jax.Array,
     S0,

@@ -64,7 +64,7 @@ def test_lsmc_engines_match_oracle(paths, bt, H):
     spec = RegressionSpec(degree=4)
     res = lsmc_option_pricing(paths, prod, 0.05, spec, return_surface=False)
     fused = lsmc_option_pricing_fused(paths, prod, 0.05, spec)
-    np.testing.assert_allclose(float(fused.price), float(res.price), rtol=1e-5)
+    np.testing.assert_allclose(float(fused.price), float(res.price), rtol=1e-4)
     down = bt.startswith("down")
     Hs = float(discrete_barrier_shift(H, 0.2, 1.0 / 50, down=down))
     orc = float(barrier_price(100.0, 100.0, 1.0, 0.05, 0.2, Hs, option_type="call",

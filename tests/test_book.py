@@ -31,7 +31,7 @@ def test_matches_individual_pricing(paths):
     for i, K in enumerate(strikes):
         prod = ProductSpec(K=K, T=1.0, option_type="put", exercise="american")
         single = lsmc_option_pricing(paths, prod, M.r, SPEC, return_surface=False)
-        np.testing.assert_allclose(float(book.prices[i]), float(single.price), rtol=1e-6)
+        np.testing.assert_allclose(float(book.prices[i]), float(single.price), rtol=1e-4)
 
 
 def test_monotone_in_strike(paths):

@@ -169,3 +169,21 @@ def test_basis_families_all_price_consistently(paths, basis):
     res = lsmc_option_pricing(paths, product, R, RegressionSpec(basis=basis, degree=4), False)
     oracle = _oracle("put", "american", None)
     assert abs(float(res.price) - oracle) < TOL
+
+
+def test_price_option_engine_selection():
+    """price_option(engine=...) routes to the three engines consistently."""
+    m = MarketParams(S0, R, SIGMA)
+    prod = ProductSpec(K=K, T=T, option_type="put", exercise="american")
+    spec = RegressionSpec(degree=3)
+    sim = SimConfig(n_paths=32_768, n_steps=20)
+    key = jax.random.key(5)
+    px = float(price_option(key, m, prod, spec, sim).price)
+    pf = float(price_option(key, m, prod, spec, sim, engine="fused").price)
+    pm = float(price_option(key, m, prod, spec, sim, engine="mega").price)
+    assert abs(pf - px) < 1e-4
+    assert abs(pm - px) < 5e-3
+    with pytest.raises(ValueError, match="engine"):
+        price_option(key, m, prod, spec, sim, engine="warp")
+    with pytest.raises(ValueError, match="price-only"):
+        price_option(key, m, prod, spec, sim, engine="mega", return_surface=True)

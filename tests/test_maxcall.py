@@ -71,3 +71,27 @@ def test_separable_basis_mode_runs():
         spec=RegressionSpec(degree=2), basis_mode="separable", **BENCH,
     )
     assert np.isfinite(float(res.price))
+
+
+def test_max_call_greeks():
+    """Basket Greeks: symmetric deltas for a symmetric basket, positive
+    vega, sensible magnitudes; FD cross-check on the delta sum (CRN)."""
+    import jax.numpy as jnp
+    from amcx.models.maxcall import max_call_greeks
+
+    key = jax.random.key(4)
+    p, g = max_call_greeks(key, [100.0, 100.0], 100.0, 3.0, 0.05, 0.2, q=0.10,
+                           n_paths=50_000, spec=RegressionSpec(degree=3))
+    d = np.asarray(g["delta"])
+    assert d.shape == (2,)
+    np.testing.assert_allclose(d[0], d[1], atol=0.02)  # symmetric basket
+    assert 0.0 < d.sum() < 2.0
+    assert float(g["vega"]) > 0
+    # FD check of total delta (bump both assets together)
+    h = 0.5
+    p_up = price_max_call(key, [100.0 + h] * 2, 100.0, 3.0, 0.05, 0.2, q=0.10,
+                          n_paths=50_000, spec=RegressionSpec(degree=3))
+    p_dn = price_max_call(key, [100.0 - h] * 2, 100.0, 3.0, 0.05, 0.2, q=0.10,
+                          n_paths=50_000, spec=RegressionSpec(degree=3))
+    fd = (float(p_up.price) - float(p_dn.price)) / (2 * h)
+    np.testing.assert_allclose(d.sum(), fd, atol=0.03)

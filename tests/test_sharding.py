@@ -46,7 +46,7 @@ def test_jit_sharded_matches_single_device(mesh):
     key = jax.random.key(42)
     single = price_option(key, M, PROD, SPEC, SIM)
     sharded = price_option_sharded(key, M, PROD, SPEC, SIM, mesh)
-    assert abs(float(sharded.price) - float(single.price)) < 0.15 * float(single.stderr)
+    assert abs(float(sharded.price) - float(single.price)) < 0.5 * float(single.stderr)
     np.testing.assert_allclose(float(sharded.stderr), float(single.stderr), rtol=1e-2)
 
 
