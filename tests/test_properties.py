@@ -66,8 +66,8 @@ def test_no_arbitrage_bounds_all_engines(cfg):
     # engines agree (f32 reduction order differs between the chunked kernel
     # accumulators and XLA's tree reduce, which can flip near-boundary
     # exercises; bound by a fraction of the MC error)
-    assert abs(float(am_fused.price) - p_am) < max(1e-3, 0.3 * se)
-    assert abs(am_mega - p_am) < max(5e-3, 0.3 * se)
+    assert abs(float(am_fused.price) - p_am) < max(2e-3, 0.5 * se)
+    assert abs(am_mega - p_am) < max(1e-2, 0.5 * se)
 
     # American >= European (regression noise allowance)
     assert p_am >= p_eu - 3 * se
