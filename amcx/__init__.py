@@ -35,6 +35,7 @@ from .greeks import price_and_greeks, gamma_fd, fast_greeks
 from .variates import control_variate_price, ControlVariateResult
 from .models.maxcall import price_max_call, max_call_greeks
 from .book import price_strike_grid, BookResult
+from .qmc import simulate_gbm_qmc, sobol_normals
 
 __version__ = "0.1.0"
 
@@ -84,4 +85,6 @@ __all__ = [
     "max_call_greeks",
     "price_strike_grid",
     "BookResult",
+    "simulate_gbm_qmc",
+    "sobol_normals",
 ]

@@ -1,0 +1,63 @@
+"""Quasi-Monte Carlo path generation (scrambled Sobol).
+
+Variance-reduction capability beyond the reference: GBM paths driven by a
+scrambled Sobol low-discrepancy sequence instead of pseudo-random normals.
+For smooth payoff functionals the RMSE decays ~O(n⁻¹ log^d n) instead of
+O(n⁻¹/²) — at 2¹⁴ paths the European-put price error is typically ~5-10×
+smaller than plain MC.
+
+The sequence is generated host-side (``scipy.stats.qmc.Sobol``, one
+dimension per time step, Owen scrambling keyed by the seed) and shipped to
+the device once; everything downstream (cumsum, engines) is the standard
+on-device pipeline, so QMC paths drop into every pricer that takes a
+``paths_tm`` array. Use power-of-two path counts (Sobol balance).
+
+Caveats: the backward-induction exercise rule is a non-smooth functional, so
+American-price gains are smaller than European ones (still real). The host
+generation is the throughput bottleneck — QMC is for accuracy-critical runs,
+not the throughput benchmark.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .types import MarketParams, SimConfig
+
+__all__ = ["sobol_normals", "simulate_gbm_qmc"]
+
+
+def sobol_normals(seed: int, n_steps: int, n_paths: int) -> np.ndarray:
+    """Scrambled-Sobol standard normals, time-major ``(n_steps, n_paths)``.
+
+    One Sobol dimension per time step; Owen-scrambled with ``seed``;
+    inverse-CDF transform in float64 on host, cast to float32.
+    """
+    from scipy.stats import norm, qmc
+
+    eng = qmc.Sobol(d=n_steps, scramble=True, seed=int(seed))
+    u = eng.random(n_paths)  # (n_paths, n_steps) in (0, 1)
+    # guard the open interval for the inverse CDF
+    u = np.clip(u, 1e-12, 1.0 - 1e-12)
+    z = norm.ppf(u).astype(np.float32)
+    return np.ascontiguousarray(z.T)
+
+
+def simulate_gbm_qmc(seed: int, market: MarketParams, T, sim: SimConfig) -> jnp.ndarray:
+    """GBM paths from scrambled-Sobol increments; same exact-GBM marginals
+    and time-major layout as `amcx.paths.simulate_gbm`."""
+    dtype = sim.jnp_dtype
+    Z = jnp.asarray(sobol_normals(seed, sim.n_steps, sim.n_paths), dtype)
+    S0 = jnp.asarray(market.S0, dtype)
+    r = jnp.asarray(market.r, dtype)
+    q = jnp.asarray(market.q, dtype)
+    sigma = jnp.asarray(market.sigma, dtype)
+    dt = jnp.asarray(T, dtype) / sim.n_steps
+    log_inc = (r - q - 0.5 * sigma**2) * dt + sigma * jnp.sqrt(dt) * Z
+    log_rel = jnp.cumsum(log_inc, axis=0)
+    log_rel = jnp.concatenate(
+        [jnp.zeros((1, sim.n_paths), dtype), log_rel], axis=0
+    )
+    return S0 * jnp.exp(log_rel)

@@ -1,0 +1,58 @@
+"""Quasi-Monte Carlo paths: distribution + convergence advantage over MC."""
+
+import numpy as np
+import pytest
+
+from amcx import MarketParams, ProductSpec, RegressionSpec, SimConfig, bs_price, lsmc_option_pricing
+from amcx.qmc import simulate_gbm_qmc, sobol_normals
+
+M = MarketParams(100.0, 0.05, 0.2)
+
+
+def test_sobol_normals_distribution():
+    z = sobol_normals(0, 8, 4096)
+    assert z.shape == (8, 4096)
+    # near-perfect first moments (QMC stratification)
+    assert abs(z.mean()) < 5e-3
+    np.testing.assert_allclose(z.std(), 1.0, atol=5e-3)
+
+
+def test_qmc_paths_structure():
+    sim = SimConfig(n_paths=2048, n_steps=16)
+    p = simulate_gbm_qmc(1, M, 1.0, sim)
+    assert p.shape == (17, 2048)
+    np.testing.assert_allclose(np.asarray(p[0]), 100.0)
+    assert np.isfinite(np.asarray(p)).all()
+
+
+def test_qmc_beats_mc_on_european_price():
+    """RMSE over scrambled replicates must beat plain MC at equal budget
+    (the whole point of QMC)."""
+    import jax
+
+    from amcx import simulate_gbm
+
+    sim = SimConfig(n_paths=4096, n_steps=16)
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="european")
+    want = float(bs_price(100.0, 100.0, 1.0, 0.05, 0.2, option_type="put"))
+
+    def price(paths):
+        return float(lsmc_option_pricing(paths, prod, M.r,
+                                         RegressionSpec(degree=2), False).price)
+
+    qmc_err = [price(simulate_gbm_qmc(s, M, 1.0, sim)) - want for s in range(8)]
+    mc_err = [price(simulate_gbm(jax.random.key(s), M, 1.0, sim)) - want for s in range(8)]
+    rmse_qmc = float(np.sqrt(np.mean(np.square(qmc_err))))
+    rmse_mc = float(np.sqrt(np.mean(np.square(mc_err))))
+    assert rmse_qmc < 0.5 * rmse_mc, (rmse_qmc, rmse_mc)
+
+
+def test_qmc_american_prices_sanely():
+    from amcx.oracle import crr_price
+
+    sim = SimConfig(n_paths=16_384, n_steps=32)
+    paths = simulate_gbm_qmc(3, M, 1.0, sim)
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american")
+    res = lsmc_option_pricing(paths, prod, M.r, RegressionSpec(degree=4), False)
+    crr = float(crr_price(100.0, 100.0, 1.0, 0.05, 0.2, 2000, option_type="put", american=True))
+    assert abs(float(res.price) - crr) < 0.1
