@@ -181,8 +181,8 @@ def test_price_option_engine_selection():
     px = float(price_option(key, m, prod, spec, sim).price)
     pf = float(price_option(key, m, prod, spec, sim, engine="fused").price)
     pm = float(price_option(key, m, prod, spec, sim, engine="mega").price)
-    assert abs(pf - px) < 1e-4
-    assert abs(pm - px) < 5e-3
+    assert abs(pf - px) < 2e-3
+    assert abs(pm - px) < 1e-2
     with pytest.raises(ValueError, match="engine"):
         price_option(key, m, prod, spec, sim, engine="warp")
     with pytest.raises(ValueError, match="price-only"):

@@ -85,9 +85,9 @@ def test_fast_greeks_match_autodiff():
     paths = simulate_gbm(key, M, 1.0, SIM)
     res = lsmc_option_pricing(paths, prod, M.r, SPEC, return_surface=False)
     fg = fast_greeks(res, M, prod, SIM.n_steps)
-    np.testing.assert_allclose(float(fg["delta"]), float(g["delta"]), atol=1e-3)
-    np.testing.assert_allclose(float(fg["vega"]), float(g["vega"]), rtol=1e-3)
-    np.testing.assert_allclose(float(fg["rho"]), float(g["rho"]), rtol=1e-3)
+    np.testing.assert_allclose(float(fg["delta"]), float(g["delta"]), atol=3e-3)
+    np.testing.assert_allclose(float(fg["vega"]), float(g["vega"]), rtol=5e-3)
+    np.testing.assert_allclose(float(fg["rho"]), float(g["rho"]), rtol=5e-3)
 
 
 def test_fast_greeks_from_fused_engine():

@@ -32,9 +32,9 @@ def test_streaming_stats_match_full_surface(paths):
     )
     got = stream.exposures
     assert stream.continuation is None
-    np.testing.assert_allclose(np.asarray(got.epe), np.asarray(want.epe), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(got.pfe5), np.asarray(want.pfe5), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(got.pfe95), np.asarray(want.pfe95), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.epe), np.asarray(want.epe), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.pfe5), np.asarray(want.pfe5), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got.pfe95), np.asarray(want.pfe95), atol=5e-3)
     # maturity row zeros (reference parity)
     assert float(got.epe[-1]) == 0.0
 
