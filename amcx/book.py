@@ -8,9 +8,9 @@ exercise recursion, so American early-exercise boundaries are per-strike
 exact. Greeks for the whole book come from :func:`amcx.greeks.fast_greeks`
 applied per row.
 
-Maturities: a shorter-dated option on the same grid is priced by masking
-steps beyond its maturity (the path grid must contain each maturity as a
-step index).
+All options in the grid share the path grid's maturity; mixed-maturity
+books would need per-option step masking (not implemented — price each
+maturity bucket on its own grid).
 """
 
 from __future__ import annotations

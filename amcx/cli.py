@@ -94,15 +94,15 @@ def cmd_price(args):
         from .ops.lsmc_megakernel import lsmc_price_megakernel
 
         phi = 1.0 if product.option_type == "call" else -1.0
-        price = lsmc_price_megakernel(
+        price, stderr = lsmc_price_megakernel(
             paths, product.K, market.r, product.T / sim.n_steps, phi,
             basis=spec.basis, degree=spec.degree,
             american=product.is_american, barrier=product.barrier,
-            barrier_type=product.barrier_type,
+            barrier_type=product.barrier_type, return_stats=True,
         )
         from .engine import LSMCResult
 
-        res = LSMCResult(price, price * 0.0, None, None, None)
+        res = LSMCResult(price, stderr, None, None, None)
     else:
         pricer = lsmc_option_pricing_fused if args.engine == "fused" else lsmc_option_pricing
         res = pricer(paths, product, market.r, spec, return_surface=bool(args.plot))

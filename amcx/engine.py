@@ -308,14 +308,15 @@ def price_option(
         paths = simulate_gbm(key, market, product.T, sim)
         n_steps = sim.n_steps
         phi = 1.0 if product.option_type == "call" else -1.0
-        price = lsmc_price_megakernel(
+        price, stderr = lsmc_price_megakernel(
             paths, product.K, market.r, product.T / n_steps, phi,
             basis=spec.basis, degree=spec.degree, rcond=spec.rcond,
             american=product.is_american, barrier=product.barrier,
             barrier_type=product.barrier_type,
             itm_weights=spec.regress_on == "itm",
+            return_stats=True,
         )
-        return LSMCResult(price, price * 0.0, None, None, None)
+        return LSMCResult(price, stderr, None, None, None)
     if engine != "xla":
         raise ValueError(f"engine must be 'xla', 'fused', or 'mega', got {engine!r}")
     dtype = sim.jnp_dtype

@@ -21,10 +21,12 @@ Two execution styles are provided:
    hand-placed ``psum``s (via ``axis_name`` threading in the engine), for
    full control of the communication schedule.
 
-Both produce identical prices to the single-device engine given the same
-threefry key, because ``jax_threefry_partitionable`` RNG makes path i's
-normals independent of the mesh layout — this is tested on a virtual
-8-device CPU mesh in ``tests/test_sharding.py``.
+The jit-sharded style is bit-reproducible against the single-device engine
+given the same threefry key (``jax_threefry_partitionable`` RNG makes path
+i's normals independent of the mesh layout). The shard_map style folds the
+mesh rank into the key so each rank simulates only its own shard — its price
+is *statistically* equivalent (the test suite asserts 5-stderr agreement).
+Both are tested on a virtual 8-device CPU mesh in ``tests/test_sharding.py``.
 """
 
 from __future__ import annotations
@@ -148,6 +150,11 @@ def price_option_shardmap(
     n_dev = mesh.devices.size
     if sim.n_paths % n_dev:
         raise ValueError(f"n_paths={sim.n_paths} not divisible by mesh size {n_dev}")
+    if sim.antithetic and (sim.n_paths // n_dev) % 2:
+        raise ValueError(
+            "antithetic under shard_map pairs paths within each rank; "
+            f"n_paths/n_dev = {sim.n_paths // n_dev} must be even"
+        )
     dtype = sim.jnp_dtype
     K, T, barrier = _product_leaves(product, dtype)
 
@@ -161,11 +168,13 @@ def price_option_shardmap(
             # the local shard is cheaper. Fold the rank into the key.
             rank = jax.lax.axis_index(axis)
             local_key = jax.random.fold_in(key, rank)
+            # antithetic pairs are formed within each rank's shard; the
+            # union of per-rank pairs is still a valid antithetic set.
             local_sim = SimConfig(
                 n_paths=sim.n_paths // n_dev,
                 n_steps=sim.n_steps,
                 dtype=sim.dtype,
-                antithetic=False,
+                antithetic=sim.antithetic,
                 backend=sim.backend,
             )
             paths = simulate_gbm(local_key, MarketParams(S0, r, sigma, q), T, local_sim)

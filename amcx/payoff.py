@@ -18,7 +18,13 @@ from jax import lax
 
 from .types import ProductSpec
 
-__all__ = ["intrinsic_value", "barrier_knocked", "max_call_payoff"]
+__all__ = [
+    "intrinsic_value",
+    "barrier_knocked",
+    "barrier_gate",
+    "payoff_fn_for",
+    "max_call_payoff",
+]
 
 
 def intrinsic_value(S: jnp.ndarray, K, option_type: str = "call") -> jnp.ndarray:

@@ -26,7 +26,7 @@ M = MarketParams(100.0, 0.01, 0.2)
 
 @pytest.fixture(scope="module")
 def paths():
-    return simulate_gbm(jax.random.key(42), M, 1.0, SimConfig(n_paths=32_768, n_steps=20))
+    return simulate_gbm(jax.random.key(42), M, 1.0, SimConfig(n_paths=131_072, n_steps=20))
 
 
 def test_american_put_matches_xla_engine(paths):
@@ -35,7 +35,7 @@ def test_american_put_matches_xla_engine(paths):
         M.r, RegressionSpec(degree=4), return_surface=False,
     )
     p = lsmc_price_megakernel(paths, 100.0, M.r, 1.0 / 20, -1.0, degree=4)
-    assert abs(float(p) - float(ref.price)) < 1e-2
+    assert abs(float(p) - float(ref.price)) < 2.5e-3
 
 
 def test_european_exact_discounting(paths):
@@ -57,7 +57,7 @@ def test_call_side(paths):
         M.r, RegressionSpec(degree=4), return_surface=False,
     )
     p = lsmc_price_megakernel(paths, 100.0, M.r, 1.0 / 20, +1.0, degree=4)
-    assert abs(float(p) - float(ref.price)) < 1e-2
+    assert abs(float(p) - float(ref.price)) < 2.5e-3
 
 
 def test_degree_and_basis_variants(paths):
@@ -68,7 +68,22 @@ def test_degree_and_basis_variants(paths):
         )
         p = lsmc_price_megakernel(paths, 100.0, M.r, 1.0 / 20, -1.0,
                                   basis=basis, degree=degree)
-        assert abs(float(p) - float(ref.price)) < 1e-2, (basis, degree)
+        assert abs(float(p) - float(ref.price)) < 2.5e-3, (basis, degree)
+
+
+def test_mega_stderr_matches_xla(paths):
+    """return_stats=True emits Σ/ΣV² from the kernel; the resulting MC
+    standard error must agree with the XLA engine's (same estimator, same
+    paths — only boundary-flip noise differs)."""
+    ref = lsmc_option_pricing(
+        paths, ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american"),
+        M.r, RegressionSpec(degree=4), return_surface=False,
+    )
+    p, se = lsmc_price_megakernel(paths, 100.0, M.r, 1.0 / 20, -1.0, degree=4,
+                                  return_stats=True)
+    assert float(se) > 0.0
+    np.testing.assert_allclose(float(se), float(ref.stderr), rtol=0.05)
+    assert abs(float(p) - float(ref.price)) < 2.5e-3
 
 
 def test_alignment_validation(paths):
@@ -84,7 +99,7 @@ def test_barrier_sign_encoding(paths, am):
     ref = lsmc_option_pricing(paths, prod, M.r, RegressionSpec(degree=4), return_surface=False)
     p = lsmc_price_megakernel(paths, 100.0, M.r, 1.0 / 20, -1.0, degree=4,
                               american=am, barrier=80.0)
-    assert abs(float(p) - float(ref.price)) < 1e-2
+    assert abs(float(p) - float(ref.price)) < 2.5e-3
 
 
 def test_barrier_bounded_by_vanilla_mega(paths):

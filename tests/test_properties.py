@@ -67,7 +67,7 @@ def test_no_arbitrage_bounds_all_engines(cfg):
     # accumulators and XLA's tree reduce, which can flip near-boundary
     # exercises; bound by a fraction of the MC error)
     assert abs(float(am_fused.price) - p_am) < max(2e-3, 0.5 * se)
-    assert abs(am_mega - p_am) < max(1e-2, 0.5 * se)
+    assert abs(am_mega - p_am) < max(2.5e-3, 0.5 * se)
 
     # American >= European (regression noise allowance)
     assert p_am >= p_eu - 3 * se
