@@ -133,7 +133,7 @@ def _solve_equilibrated_ridge(packed, k, rcond):
     return [c[i] * d[i] for i in range(k)]
 
 
-def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, V, macc, *, n_steps,
+def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, macc, *, n_steps,
                  n_rows, chunk_rows, basis, degree, american, barrier,
                  itm_weights):
     k = degree + 1
@@ -239,8 +239,8 @@ def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, V, macc, *, n_steps,
         # the host can compute a real Monte-Carlo stderr (not a fabricated
         # zero — VERDICT r1 weak #2).
         v = V[...]
-        out_ref[0, 0] = jnp.sum(v)
-        out_ref[0, 1] = jnp.sum(v * v)
+        out_ref[...] = jnp.sum(v).reshape(1, 1)
+        out_sq_ref[...] = jnp.sum(v * v).reshape(1, 1)
 
 
 @functools.partial(
@@ -263,9 +263,11 @@ def _run(scalars, stats, paths_blocks, n_steps, n_rows, basis, degree, american,
     )
     k = degree + 1
     P = len(_pairs(k)) + k
-    out = pl.pallas_call(
+    out_shape = jax.ShapeDtypeStruct((1, 1), jnp.float32)
+    out_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out, out_sq = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
+        out_shape=(out_shape, out_shape),
         grid=(n_steps + 1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -276,7 +278,7 @@ def _run(scalars, stats, paths_blocks, n_steps, n_rows, basis, degree, american,
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_specs=(out_spec, out_spec),
         scratch_shapes=[
             pltpu.VMEM((n_rows, LANES), jnp.float32),  # resident V carry
             pltpu.VMEM((P, LANES), jnp.float32),       # moment accumulators
@@ -287,7 +289,7 @@ def _run(scalars, stats, paths_blocks, n_steps, n_rows, basis, degree, american,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(scalars, stats, paths_blocks)
-    return out[0]
+    return jnp.stack([out[0, 0], out_sq[0, 0]])
 
 
 def lsmc_price_megakernel(
