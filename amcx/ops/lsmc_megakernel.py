@@ -133,9 +133,11 @@ def _solve_equilibrated_ridge(packed, k, rcond):
     return [c[i] * d[i] for i in range(k)]
 
 
-def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, macc, *, n_steps,
-                 n_rows, chunk_rows, basis, degree, american, barrier,
-                 itm_weights):
+def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, macc, *rest,
+                 n_steps, n_rows, chunk_rows, basis, degree, american, barrier,
+                 itm_weights, ring_axis=None, ring_size=1):
+    if ring_axis is not None:
+        comm, send_sem, recv_sem = rest
     k = degree + 1
     pairs = _pairs(k)
     P = len(pairs) + k
@@ -203,9 +205,59 @@ def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, macc, *, n_
             return 0
 
         jax.lax.fori_loop(0, n_chunks, pass1, 0)
-        packed = jnp.sum(macc[...], axis=1)  # (P,)
 
-        # ---- in-kernel solve ----
+        if ring_axis is None:
+            packed = jnp.sum(macc[...], axis=1)  # (P,)
+        else:
+            # ---- mid-scan moment all-reduce over the ICI ring ----
+            # Lane-reduce the accumulators to (P, 128), then forward the
+            # received partial around the ring, accumulating locally — the
+            # only cross-chip bytes of the whole backward induction
+            # (SURVEY §5's "psum tiny moments, solve replicated" plan,
+            # executed as in-kernel RDMA so the flagship single-kernel
+            # engine spans the mesh).
+            #
+            # Slot safety without barriers: one comm slot per hop (no reuse
+            # within a step), and the step axis is parity-double-buffered.
+            # The ring's recv-dependency chain means a device can only start
+            # step s+2's first send once every device has passed step s+1's
+            # first hop, so same-parity slots (s and s+2) are never live at
+            # once. Counting barriers with neighbor-only signals are NOT
+            # safe here: a fast neighbor's step-s+1 credits get consumed as
+            # step-s credits until some wait starves (observed deadlock at
+            # 8 devices × ≥7 steps).
+            m = macc[...]
+            m128 = m[:, 0:128]
+            for lb in range(1, LANES // 128):
+                m128 = m128 + m[:, lb * 128:(lb + 1) * 128]
+            my = jax.lax.axis_index(ring_axis)
+            right = jax.lax.rem(my + 1, ring_size)
+            par = jax.lax.rem(t, 2)
+
+            for pb in range(2):  # static parity branches
+                @pl.when(par == pb)
+                def _ring(pb=pb):
+                    comm[pb, 0] = m128
+                    acc = m128
+                    for h in range(ring_size - 1):  # static unroll
+                        rdma = pltpu.make_async_remote_copy(
+                            src_ref=comm.at[pb, h],
+                            dst_ref=comm.at[pb, h + 1],
+                            send_sem=send_sem.at[pb, h],
+                            recv_sem=recv_sem.at[pb, h],
+                            device_id=right,
+                            device_id_type=pltpu.DeviceIdType.LOGICAL,
+                        )
+                        rdma.start()
+                        rdma.wait()
+                        acc = acc + comm[pb, h + 1]
+                    # stash the reduced moments where both branches can
+                    # hand them to the solve (macc is dead at this point)
+                    macc[:, 0:128] = acc
+
+            packed = jnp.sum(macc[:, 0:128], axis=1)  # (P,) global moments
+
+        # ---- in-kernel solve (replicated: identical on every chip) ----
         coeffs = _solve_equilibrated_ridge(packed, k, rcond)
 
         # ---- pass 2: fitted continuation + exercise select ----
@@ -243,13 +295,8 @@ def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, macc, *, n_
         out_sq_ref[...] = jnp.sum(v * v).reshape(1, 1)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_steps", "n_rows", "basis", "degree", "american",
-                     "barrier", "itm_weights", "interpret"),
-)
 def _run(scalars, stats, paths_blocks, n_steps, n_rows, basis, degree, american,
-         barrier, itm_weights, interpret):
+         barrier, itm_weights, interpret, ring_axis=None, ring_size=1):
     kernel = functools.partial(
         _mega_kernel,
         n_steps=n_steps,
@@ -260,9 +307,23 @@ def _run(scalars, stats, paths_blocks, n_steps, n_rows, basis, degree, american,
         american=american,
         barrier=barrier,
         itm_weights=itm_weights,
+        ring_axis=ring_axis,
+        ring_size=ring_size,
     )
     k = degree + 1
     P = len(_pairs(k)) + k
+    scratch_shapes = [
+        pltpu.VMEM((n_rows, LANES), jnp.float32),  # resident V carry
+        pltpu.VMEM((P, LANES), jnp.float32),       # moment accumulators
+    ]
+    compiler_kwargs = dict(vmem_limit_bytes=64 * 1024 * 1024)
+    if ring_axis is not None:
+        scratch_shapes += [
+            pltpu.VMEM((2, ring_size, P, 128), jnp.float32),  # parity × hop slots
+            pltpu.SemaphoreType.DMA((2, ring_size)),
+            pltpu.SemaphoreType.DMA((2, ring_size)),
+        ]
+        compiler_kwargs["collective_id"] = 0
     out_shape = jax.ShapeDtypeStruct((1, 1), jnp.float32)
     out_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
     out, out_sq = pl.pallas_call(
@@ -279,17 +340,22 @@ def _run(scalars, stats, paths_blocks, n_steps, n_rows, basis, degree, american,
             ),
         ],
         out_specs=(out_spec, out_spec),
-        scratch_shapes=[
-            pltpu.VMEM((n_rows, LANES), jnp.float32),  # resident V carry
-            pltpu.VMEM((P, LANES), jnp.float32),       # moment accumulators
-        ],
+        scratch_shapes=scratch_shapes,
         # Budget: S double-buffer (2×4 MB at 1M paths) + resident V (4 MB)
         # + chunk-sized basis temporaries; the default 16 MB scoped limit is
         # a compiler conservatism, not the physical VMEM size.
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(**compiler_kwargs),
         interpret=interpret,
     )(scalars, stats, paths_blocks)
     return jnp.stack([out[0, 0], out_sq[0, 0]])
+
+
+_run_jit = jax.jit(
+    _run,
+    static_argnames=("n_steps", "n_rows", "basis", "degree", "american",
+                     "barrier", "itm_weights", "interpret", "ring_axis",
+                     "ring_size"),
+)
 
 
 def lsmc_price_megakernel(
@@ -307,8 +373,10 @@ def lsmc_price_megakernel(
     itm_weights: bool = False,
     mean_t: Optional[jnp.ndarray] = None,
     inv_std_t: Optional[jnp.ndarray] = None,
-    interpret: Optional[bool] = None,
+    interpret=None,
     return_stats: bool = False,
+    axis_name: Optional[str] = None,
+    axis_size: int = 1,
 ):
     """Price a vanilla or down-and-in put/call with the single-kernel
     backward induction.
@@ -321,6 +389,15 @@ def lsmc_price_megakernel(
     emits Σ and ΣV² so the Monte-Carlo standard error is real, not a
     placeholder). No τ/surface outputs (use the two-kernel engine for
     analytics).
+
+    **Collective mode**: called inside ``shard_map`` with ``axis_name`` (and
+    the mesh size as ``axis_size``), ``paths_tm`` is the local shard and the
+    kernel all-reduces the packed regression moments mid-scan over an
+    in-kernel RDMA ring, so every chip solves the same global fit. The
+    standardization statistics and the final price/stderr use ``psum``s.
+    Returns the *global* price (replicated). On CPU meshes the ring runs
+    under the TPU interpret machinery (``pltpu.InterpretParams``), which
+    simulates the remote DMAs.
     """
     n_steps = paths_tm.shape[0] - 1
     n_paths = paths_tm.shape[1]
@@ -330,7 +407,17 @@ def lsmc_price_megakernel(
         )
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if axis_name is not None and interpret is True:
+        # plain interpret mode has no remote-DMA semantics; the TPU
+        # interpreter simulates the ring on CPU meshes.
+        interpret = pltpu.InterpretParams()
     n_rows = n_paths // LANES
+
+    def gsum(x, axis):
+        s = jnp.sum(x, axis=axis)
+        return jax.lax.psum(s, axis_name) if axis_name is not None else s
+
+    n_glob = n_paths * (axis_size if axis_name is not None else 1)
     if mean_t is None:
         if itm_weights:
             w = (jnp.maximum(phi * (paths_tm - K), 0.0) > 0).astype(paths_tm.dtype)
@@ -338,14 +425,14 @@ def lsmc_price_megakernel(
                 from ..payoff import barrier_gate as _bg
 
                 w = w * _bg(paths_tm, barrier, barrier_type).astype(paths_tm.dtype)
-            wsum = jnp.maximum(jnp.sum(w, axis=1), 1e-6)
-            mean_t = jnp.sum(w * paths_tm, axis=1) / wsum
-            var = jnp.sum(w * jnp.square(paths_tm - mean_t[:, None]), axis=1) / wsum
+            wsum = jnp.maximum(gsum(w, 1), 1e-6)
+            mean_t = gsum(w * paths_tm, 1) / wsum
+            var = gsum(w * jnp.square(paths_tm - mean_t[:, None]), 1) / wsum
             inv_std_t = 1.0 / jnp.maximum(jnp.sqrt(var), 1e-6)
         else:
-            mean_t = jnp.mean(paths_tm, axis=1)
-            std = jnp.maximum(jnp.std(paths_tm, axis=1), 1e-6)
-            inv_std_t = 1.0 / std
+            mean_t = gsum(paths_tm, 1) / n_glob
+            var = gsum(jnp.square(paths_tm - mean_t[:, None]), 1) / n_glob
+            inv_std_t = 1.0 / jnp.maximum(jnp.sqrt(var), 1e-6)
     if barrier is not None:
         from ..payoff import barrier_gate
 
@@ -363,11 +450,15 @@ def lsmc_price_megakernel(
         [mean_t.astype(jnp.float32), inv_std_t.astype(jnp.float32)]
     )
     blocks = paths_tm.reshape(n_steps + 1, n_rows, LANES)
-    sums = _run(scalars, stats, blocks, n_steps, n_rows, basis, degree,
-                american, barrier is not None, itm_weights, interpret)
-    price = sums[0] / n_paths
+    run = _run if axis_name is not None else _run_jit
+    sums = run(scalars, stats, blocks, n_steps, n_rows, basis, degree,
+               american, barrier is not None, itm_weights, interpret,
+               ring_axis=axis_name, ring_size=axis_size)
+    if axis_name is not None:
+        sums = jax.lax.psum(sums, axis_name)
+    price = sums[0] / n_glob
     if not return_stats:
         return price
-    var = jnp.maximum(sums[1] / n_paths - price * price, 0.0)
-    stderr = jnp.sqrt(var / n_paths)
+    var = jnp.maximum(sums[1] / n_glob - price * price, 0.0)
+    stderr = jnp.sqrt(var / n_glob)
     return price, stderr

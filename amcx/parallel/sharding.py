@@ -48,6 +48,7 @@ __all__ = [
     "shard_paths",
     "price_option_sharded",
     "price_option_shardmap",
+    "price_option_shardmap_mega",
     "init_multihost",
 ]
 
@@ -194,6 +195,77 @@ def price_option_shardmap(
         out_specs = LSMCResult(P(), P(), P(axis), P(axis), None)
         return shard_map(
             local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )(key, S0, r, sigma, q, K, T, barrier)
+
+    return run(
+        key,
+        jnp.asarray(market.S0, dtype),
+        jnp.asarray(market.r, dtype),
+        jnp.asarray(market.sigma, dtype),
+        jnp.asarray(market.q, dtype),
+        K,
+        T,
+        barrier,
+    )
+
+
+def price_option_shardmap_mega(
+    key: jax.Array,
+    market: MarketParams,
+    product: ProductSpec,
+    spec: RegressionSpec = RegressionSpec(),
+    sim: SimConfig = SimConfig(),
+    mesh: Optional[Mesh] = None,
+):
+    """The flagship single-kernel engine on a mesh: every rank simulates its
+    path shard and runs :func:`amcx.ops.lsmc_megakernel.lsmc_price_megakernel`
+    in collective mode — the packed regression moments are all-reduced
+    mid-scan over an in-kernel RDMA ring (one (P,128) hop per neighbor per
+    time step, the only cross-chip bytes), so all ranks solve the same global
+    fit and the returned price equals the single-device mega price on the
+    union of the shards (up to f32 reduction order).
+
+    Returns ``(price, stderr)`` (replicated scalars).
+    """
+    mesh = make_mesh() if mesh is None else mesh
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    if sim.n_paths % n_dev:
+        raise ValueError(f"n_paths={sim.n_paths} not divisible by mesh size {n_dev}")
+    dtype = sim.jnp_dtype
+    K, T, barrier = _product_leaves(product, dtype)
+    phi = 1.0 if product.option_type == "call" else -1.0
+    n_steps = sim.n_steps
+
+    from jax import shard_map
+
+    from ..ops.lsmc_megakernel import lsmc_price_megakernel
+
+    @jax.jit
+    def run(key, S0, r, sigma, q, K, T, barrier):
+        def local(key, S0, r, sigma, q, K, T, barrier):
+            rank = jax.lax.axis_index(axis)
+            local_key = jax.random.fold_in(key, rank)
+            local_sim = SimConfig(
+                n_paths=sim.n_paths // n_dev,
+                n_steps=n_steps,
+                dtype=sim.dtype,
+                antithetic=sim.antithetic,
+                backend=sim.backend,
+            )
+            paths = simulate_gbm(local_key, MarketParams(S0, r, sigma, q), T, local_sim)
+            return lsmc_price_megakernel(
+                paths, K, r, T / n_steps, phi,
+                basis=spec.basis, degree=spec.degree, rcond=spec.rcond,
+                american=product.is_american, barrier=barrier,
+                barrier_type=product.barrier_type,
+                itm_weights=spec.regress_on == "itm",
+                return_stats=True, axis_name=axis, axis_size=n_dev,
+            )
+
+        return shard_map(
+            local, mesh=mesh, in_specs=(P(),) * 8, out_specs=(P(), P()),
             check_vma=False,
         )(key, S0, r, sigma, q, K, T, barrier)
 
