@@ -42,6 +42,40 @@ __all__ = ["simulate_gbm_pallas", "gbm_paths_pallas"]
 BLOCK_PATHS = 512  # lanes: multiple of 128; 101×512 f32 tile ≈ 200 KB VMEM
 _TWO_PI = 6.283185307179586
 
+# Minimax polynomial coefficients for sin/cos on [-π/2, π/2] (least-squares
+# on Chebyshev nodes; max abs error 3.4e-9 / 2.2e-10 — below f32 eps).
+# Mosaic's general-range sin/cos lowering costs ~16 cycles per vreg each;
+# with the argument already in (0, 1] turns the pair into ~18 single-cycle
+# VPU ops via quadrant folding (measured: 1M×100 pathgen 5.2 → 3.5 ms).
+_SIN_C = (9.99999977e-01, -1.66666476e-01, 8.33289921e-03, -1.98008646e-04,
+          2.59042857e-06)
+_COS_C = (1.00000000e+00, -4.99999994e-01, 4.16666362e-02, -1.38883608e-03,
+          2.47601340e-05, -2.60510518e-07)
+
+
+def _sincos_2pi(u):
+    """``(sin(2πu), cos(2πu))`` for ``u ∈ (0, 1]``.
+
+    Quadrant folding in the *uniform* domain (exact arithmetic on u, no
+    large-angle reduction needed): fold to ``b ∈ [0, 1/4]`` (x = 2πb ∈
+    [0, π/2]), evaluate odd/even minimax polynomials, restore signs.
+    """
+    t = u - jnp.round(u)               # [-1/2, 1/2], cos/sin(2πt) == (2πu)
+    a = jnp.abs(t)
+    big = a > 0.25
+    b = jnp.where(big, 0.5 - a, a)     # [0, 1/4]
+    x = _TWO_PI * b                    # [0, π/2]
+    x2 = x * x
+    s = jnp.float32(_SIN_C[-1])
+    for c in _SIN_C[-2::-1]:
+        s = s * x2 + c
+    s = s * x
+    cpoly = jnp.float32(_COS_C[-1])
+    for c in _COS_C[-2::-1]:
+        cpoly = cpoly * x2 + c
+    # sin(2πa) == sin poly for both folds; cos flips sign past the quadrant
+    return jnp.where(t < 0, -s, s), jnp.where(big, -cpoly, cpoly)
+
 
 def _random_uniform(shape):
     """float32 uniform in (0, 1] from raw PRNG bits.
@@ -64,17 +98,18 @@ def _box_muller(shape):
     already be seeded).
 
     Both the cosine and sine normals are used, so each output normal costs
-    one uniform draw and ~1.5 transcendentals — the kernel is VPU-
-    transcendental-bound, so this halves its cost vs the cos-only variant.
+    one uniform draw and ~0.5 log + 0.5 sqrt + the polynomial sincos pair.
     ``shape[0]`` (time steps) may be odd; one surplus row is dropped.
+    ``shape`` may have extra trailing dims (blocked layouts).
     """
-    rows, cols = shape
+    rows = shape[0]
     half = (rows + 1) // 2
-    u1 = _random_uniform((half, cols))
-    u2 = _random_uniform((half, cols))
+    u1 = _random_uniform((half,) + shape[1:])
+    u2 = _random_uniform((half,) + shape[1:])
     r = jnp.sqrt(-2.0 * jnp.log(u1))
-    z = jnp.concatenate([r * jnp.cos(_TWO_PI * u2), r * jnp.sin(_TWO_PI * u2)], axis=0)
-    return z[:rows, :]
+    sn, cs = _sincos_2pi(u2)
+    z = jnp.concatenate([r * cs, r * sn], axis=0)
+    return z[:rows]
 
 
 def _gbm_kernel(seed_ref, params_ref, out_ref, *, n_steps, antithetic):
@@ -95,7 +130,7 @@ def _gbm_kernel(seed_ref, params_ref, out_ref, *, n_steps, antithetic):
 
     pltpu.prng_seed(seed_ref[0], base)
 
-    z = _box_muller((n_steps, out_ref.shape[1]))
+    z = _box_muller((n_steps,) + out_ref.shape[1:])
     if antithetic:
         sign = jnp.where(mirror, -1.0, 1.0)
         z = z * sign
@@ -111,22 +146,36 @@ def _gbm_kernel(seed_ref, params_ref, out_ref, *, n_steps, antithetic):
         rolled = pltpu.roll(cum, shift=shift, axis=0)
         cum = cum + jnp.where(rows >= shift, rolled, 0.0)
         shift *= 2
-    out_ref[0, :] = jnp.full((out_ref.shape[1],), S0, jnp.float32)
-    out_ref[1:, :] = S0 * jnp.exp(cum)
+    out_ref[0] = jnp.full(out_ref.shape[1:], S0, jnp.float32)
+    out_ref[1:] = S0 * jnp.exp(cum)
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps", "n_paths", "antithetic", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_steps", "n_paths", "antithetic",
+                                              "interpret", "out_blocked"))
 def gbm_paths_pallas(seed, S0, r, sigma, q, T, n_steps, n_paths, antithetic=False,
-                     interpret=False):
+                     interpret=False, out_blocked=False):
     """Time-major ``(n_steps+1, n_paths)`` float32 GBM paths, generated
     entirely in-kernel.
 
     ``seed`` is an int32 scalar; every path block derives its stream from
     ``(seed, block_index)`` so results are independent of sharding layout.
+
+    ``out_blocked=True`` emits ``(n_steps+1, n_paths // 512, 512)`` — the
+    lane-blocked layout the LSMC kernels consume. This is not cosmetic: on
+    TPU the 2-D→blocked reshape splits the (tiled) lane dimension, which XLA
+    must implement as a physical transpose-copy plus a slice (~2×800 MB of
+    HBM traffic at 1M×100, ≈4 ms — measured). Generating blocked avoids the
+    relayout entirely. Each grid block then spans 8 sublane rows (4096
+    paths, tile-aligned), so blocked and unblocked modes draw different —
+    equally valid — PRNG streams for the same seed.
     """
     if n_paths % BLOCK_PATHS:
         raise ValueError(f"n_paths must be a multiple of {BLOCK_PATHS}, got {n_paths}")
-    n_blocks = n_paths // BLOCK_PATHS
+    if out_blocked and n_paths % (8 * BLOCK_PATHS):
+        raise ValueError(
+            f"blocked output needs n_paths divisible by {8 * BLOCK_PATHS}, got {n_paths}"
+        )
+    n_blocks = (n_paths // (8 * BLOCK_PATHS)) if out_blocked else (n_paths // BLOCK_PATHS)
     if antithetic and n_blocks % 2:
         raise ValueError("antithetic pallas paths need an even number of path blocks")
     dt = T / n_steps
@@ -140,19 +189,35 @@ def gbm_paths_pallas(seed, S0, r, sigma, q, T, n_steps, n_paths, antithetic=Fals
     seed_arr = jnp.asarray(seed, jnp.int32).reshape((1,))
 
     kernel = functools.partial(_gbm_kernel, n_steps=n_steps, antithetic=antithetic)
+    compiler_params = None
+    if out_blocked:
+        # (101, 8, 512) blocks: 8-sublane rows keep the step-plane blocks of
+        # the consuming LSMC kernels tile-aligned.
+        out_shape = jax.ShapeDtypeStruct(
+            (n_steps + 1, n_paths // BLOCK_PATHS, BLOCK_PATHS), jnp.float32
+        )
+        out_spec = pl.BlockSpec(
+            (n_steps + 1, 8, BLOCK_PATHS), lambda i: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+        # z/u/cum temporaries are 8× the unblocked variant's
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
+    else:
+        out_shape = jax.ShapeDtypeStruct((n_steps + 1, n_paths), jnp.float32)
+        out_spec = pl.BlockSpec(
+            (n_steps + 1, BLOCK_PATHS), lambda i: (0, i),
+            memory_space=pltpu.VMEM,
+        )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_steps + 1, n_paths), jnp.float32),
+        out_shape=out_shape,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (n_steps + 1, BLOCK_PATHS),
-            lambda i: (0, i),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=out_spec,
+        compiler_params=compiler_params,
         interpret=interpret,
     )(seed_arr, params)
 

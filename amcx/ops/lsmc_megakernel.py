@@ -398,9 +398,21 @@ def lsmc_price_megakernel(
     Returns the *global* price (replicated). On CPU meshes the ring runs
     under the TPU interpret machinery (``pltpu.InterpretParams``), which
     simulates the remote DMAs.
+
+    ``paths_tm`` may also be pre-blocked ``(n_steps+1, n_rows, 512)`` (the
+    layout `amcx.ops.gbm_pallas.gbm_paths_pallas(out_blocked=True)` emits):
+    the 2-D→blocked reshape is a physical relayout on TPU (~4 ms of HBM
+    traffic at 1M×100), so the production pipeline stays blocked end to end.
     """
     n_steps = paths_tm.shape[0] - 1
-    n_paths = paths_tm.shape[1]
+    if paths_tm.ndim == 3:
+        if paths_tm.shape[2] != LANES or paths_tm.shape[1] % 8:
+            raise ValueError(
+                f"blocked paths must be (T+1, 8k, {LANES}), got {paths_tm.shape}"
+            )
+        n_paths = paths_tm.shape[1] * LANES
+    else:
+        n_paths = paths_tm.shape[1]
     if n_paths % (8 * LANES):
         raise ValueError(
             f"megakernel needs n_paths divisible by {8 * LANES}, got {n_paths}"
@@ -412,6 +424,7 @@ def lsmc_price_megakernel(
         # interpreter simulates the ring on CPU meshes.
         interpret = pltpu.InterpretParams()
     n_rows = n_paths // LANES
+    path_axes = 1 if paths_tm.ndim == 2 else (1, 2)
 
     def gsum(x, axis):
         s = jnp.sum(x, axis=axis)
@@ -425,13 +438,15 @@ def lsmc_price_megakernel(
                 from ..payoff import barrier_gate as _bg
 
                 w = w * _bg(paths_tm, barrier, barrier_type).astype(paths_tm.dtype)
-            wsum = jnp.maximum(gsum(w, 1), 1e-6)
-            mean_t = gsum(w * paths_tm, 1) / wsum
-            var = gsum(w * jnp.square(paths_tm - mean_t[:, None]), 1) / wsum
+            wsum = jnp.maximum(gsum(w, path_axes), 1e-6)
+            mean_t = gsum(w * paths_tm, path_axes) / wsum
+            mean_b = mean_t.reshape((-1,) + (1,) * (paths_tm.ndim - 1))
+            var = gsum(w * jnp.square(paths_tm - mean_b), path_axes) / wsum
             inv_std_t = 1.0 / jnp.maximum(jnp.sqrt(var), 1e-6)
         else:
-            mean_t = gsum(paths_tm, 1) / n_glob
-            var = gsum(jnp.square(paths_tm - mean_t[:, None]), 1) / n_glob
+            mean_t = gsum(paths_tm, path_axes) / n_glob
+            mean_b = mean_t.reshape((-1,) + (1,) * (paths_tm.ndim - 1))
+            var = gsum(jnp.square(paths_tm - mean_b), path_axes) / n_glob
             inv_std_t = 1.0 / jnp.maximum(jnp.sqrt(var), 1e-6)
     if barrier is not None:
         from ..payoff import barrier_gate
@@ -449,7 +464,8 @@ def lsmc_price_megakernel(
     stats = jnp.concatenate(
         [mean_t.astype(jnp.float32), inv_std_t.astype(jnp.float32)]
     )
-    blocks = paths_tm.reshape(n_steps + 1, n_rows, LANES)
+    blocks = (paths_tm if paths_tm.ndim == 3
+              else paths_tm.reshape(n_steps + 1, n_rows, LANES))
     run = _run if axis_name is not None else _run_jit
     sums = run(scalars, stats, blocks, n_steps, n_rows, basis, degree,
                american, barrier is not None, itm_weights, interpret,

@@ -35,12 +35,33 @@ __all__ = [
     "simulate_gbm_multi",
     "to_path_major",
     "brownian_normals",
+    "gbm_standardization",
 ]
 
 
 def to_path_major(paths_tm: jnp.ndarray) -> jnp.ndarray:
     """(n_steps+1, n_paths, ...) -> (n_paths, n_steps+1, ...) reference layout."""
     return jnp.swapaxes(paths_tm, 0, 1)
+
+
+def gbm_standardization(market, T, n_steps: int, dtype=jnp.float32):
+    """Closed-form per-step standardization statistics for GBM spot paths:
+    ``(mean_t, 1/std_t)`` with ``E[S_t] = S0 e^{(r−q)t}`` and
+    ``Var[S_t] = S0² e^{2(r−q)t}(e^{σ²t} − 1)``.
+
+    Standardizing the regressor is pure numerical conditioning — any affine
+    map yields identical fitted values in exact arithmetic — so for the
+    simulate→price pipeline the analytic moments replace the XLA
+    data-statistics pass (which costs several full sweeps over the path
+    array: ~5.8 ms of the 1M×100 pricing before this existed). At t=0 the
+    variance is 0; the clamped 1/std then multiplies an exactly-zero
+    deviation, matching the data-statistics behaviour (SURVEY Q3).
+    """
+    t = jnp.arange(n_steps + 1, dtype=dtype) * (jnp.asarray(T, dtype) / n_steps)
+    growth = jnp.exp((market.r - market.q) * t)
+    mean = market.S0 * growth
+    var = (market.S0 * growth) ** 2 * jnp.expm1(market.sigma**2 * t)
+    return mean, 1.0 / jnp.maximum(jnp.sqrt(var), 1e-6)
 
 
 def brownian_normals(key: jax.Array, n_steps: int, n_paths: int, dtype, antithetic: bool):

@@ -24,7 +24,7 @@ from amcx import MarketParams, ProductSpec, RegressionSpec, SimConfig
 from amcx.engine import lsmc_option_pricing
 from amcx.ops.lsmc_megakernel import lsmc_price_megakernel
 from amcx.oracle import crr_price
-from amcx.paths import simulate_gbm
+from amcx.paths import gbm_standardization, simulate_gbm
 
 N_PATHS = 1_048_576
 N_STEPS = 100
@@ -39,20 +39,31 @@ def main():
     sim = SimConfig(
         n_paths=N_PATHS, n_steps=N_STEPS, backend="pallas" if on_tpu else "xla"
     )
+    # Closed-form GBM standardization stats (conditioning-equivalent to the
+    # data statistics; saves several XLA sweeps over the 400 MB path array).
+    mean_t, inv_std_t = gbm_standardization(market, 1.0, N_STEPS)
 
     @jax.jit
     def chained(key, n):
         def body(i, acc):
-            paths = simulate_gbm(jax.random.fold_in(key, i), market, 1.0, sim)
             if on_tpu:
-                # flagship path: single-kernel backward induction; ITM-
-                # restricted fit per the BASELINE north star ("polynomial
-                # basis on in-the-money paths")
+                # flagship path: blocked-layout pallas path generation
+                # (no relayout at the kernel boundary) + single-kernel
+                # backward induction; ITM-restricted fit per the BASELINE
+                # north star ("polynomial basis on in-the-money paths")
+                from amcx.ops.gbm_pallas import _key_to_seed, gbm_paths_pallas
+
+                paths = gbm_paths_pallas(
+                    _key_to_seed(jax.random.fold_in(key, i)), market.S0,
+                    market.r, market.sigma, market.q, 1.0, N_STEPS, N_PATHS,
+                    out_blocked=True,
+                )
                 price = lsmc_price_megakernel(
                     paths, 100.0, 0.01, 1.0 / N_STEPS, -1.0, degree=4,
-                    itm_weights=True,
+                    itm_weights=True, mean_t=mean_t, inv_std_t=inv_std_t,
                 )
             else:
+                paths = simulate_gbm(jax.random.fold_in(key, i), market, 1.0, sim)
                 price = lsmc_option_pricing(
                     paths, product, market.r, spec, return_surface=False
                 ).price
@@ -63,9 +74,9 @@ def main():
     # Warm up / compile, and grab a price for the accuracy gate.
     price1 = float(chained(jax.random.key(0), 1))
 
-    # Median of 3 chained batches: the host<->device tunnel adds tens of ms
-    # of per-sync jitter, which is +/-10% at these timescales.
-    iters = 10 if on_tpu else 2
+    # Median of 3 chained batches: the host<->device tunnel adds ~32 ms
+    # per sync — at 50 chained pricings that is <3% of the batch.
+    iters = 50 if on_tpu else 2
     times, total = [], 0.0
     for rep in range(3 if on_tpu else 1):
         t0 = time.time()

@@ -82,3 +82,57 @@ def test_block_multiple_validation():
         from amcx.ops.gbm_pallas import gbm_paths_pallas
 
         gbm_paths_pallas(0, 100.0, 0.01, 0.2, 0.0, 1.0, 10, 1000)
+
+
+def test_sincos_2pi_polynomial_accuracy():
+    """The quadrant-folded minimax sincos must match numpy over (0, 1] to
+    a few f32 ulps (it replaces Mosaic's ~16-cycle transcendental lowering
+    in the Box-Muller hot loop)."""
+    from amcx.ops.gbm_pallas import _sincos_2pi
+
+    u = jnp.linspace(1e-6, 1.0, 20001, dtype=jnp.float32)
+    sn, cs = _sincos_2pi(u)
+    ref_s = np.sin(2 * np.pi * np.asarray(u, np.float64))
+    ref_c = np.cos(2 * np.pi * np.asarray(u, np.float64))
+    np.testing.assert_allclose(np.asarray(sn), ref_s, atol=3e-7)
+    np.testing.assert_allclose(np.asarray(cs), ref_c, atol=3e-7)
+
+
+def test_gbm_standardization_matches_data_stats():
+    """Closed-form GBM standardization stats agree with data statistics of a
+    large simulated path set (the analytic stats replace the XLA sweep in
+    the production mega pipeline)."""
+    from amcx.paths import gbm_standardization
+
+    m = MarketParams(100.0, 0.03, 0.25, 0.01)
+    sim = SimConfig(n_paths=200_000, n_steps=12)
+    paths = simulate_gbm(jax.random.key(3), m, 2.0, sim)
+    mean_a, inv_std_a = gbm_standardization(m, 2.0, 12)
+    mean_d = jnp.mean(paths, axis=1)
+    std_d = jnp.std(paths, axis=1)
+    # t=0: exact
+    assert float(mean_a[0]) == 100.0
+    np.testing.assert_allclose(np.asarray(mean_a)[1:], np.asarray(mean_d)[1:], rtol=3e-3)
+    np.testing.assert_allclose(1.0 / np.asarray(inv_std_a)[1:], np.asarray(std_d)[1:], rtol=2e-2)
+
+
+def test_megakernel_blocked_input_matches_2d():
+    """The mega-kernel accepts pre-blocked (T+1, rows, 512) paths (the
+    relayout-free production layout) and must price identically to the same
+    paths passed 2-D."""
+    from amcx.ops.lsmc_megakernel import LANES, lsmc_price_megakernel
+
+    m = MarketParams(100.0, 0.01, 0.2)
+    sim = SimConfig(n_paths=8192, n_steps=6)
+    paths = simulate_gbm(jax.random.key(11), m, 1.0, sim)
+    blocked = paths.reshape(7, sim.n_paths // LANES, LANES)
+    p2 = lsmc_price_megakernel(paths, 100.0, m.r, 1.0 / 6, -1.0, degree=3)
+    p3 = lsmc_price_megakernel(blocked, 100.0, m.r, 1.0 / 6, -1.0, degree=3)
+    np.testing.assert_allclose(float(p3), float(p2), atol=1e-6)
+    # analytic stats give the same price up to conditioning noise
+    from amcx.paths import gbm_standardization
+
+    mean_t, inv_std_t = gbm_standardization(m, 1.0, 6)
+    pa = lsmc_price_megakernel(blocked, 100.0, m.r, 1.0 / 6, -1.0, degree=3,
+                               mean_t=mean_t, inv_std_t=inv_std_t)
+    np.testing.assert_allclose(float(pa), float(p2), atol=2.5e-3)

@@ -92,3 +92,43 @@ def test_bench_contract_line():
     payload = json.loads(lines[0])
     assert {"metric", "value", "unit", "vs_baseline"} <= set(payload)
     assert payload["vs_baseline"] > 1.0
+
+
+def test_blocked_pathgen_statistics_and_mega():
+    """Blocked-layout path generation (the relayout-free production path):
+    log-increment statistics match GBM, and the mega-kernel on the blocked
+    array agrees with itself on the 2-D reshape of the same array."""
+    from amcx.ops.gbm_pallas import gbm_paths_pallas
+    from amcx.ops.lsmc_megakernel import lsmc_price_megakernel
+    from amcx.paths import gbm_standardization
+
+    n_paths, n_steps = 262_144, 50
+    pb = gbm_paths_pallas(7, M.S0, M.r, M.sigma, M.q, 1.0, n_steps, n_paths,
+                          out_blocked=True)
+    assert pb.shape == (n_steps + 1, n_paths // 512, 512)
+    p2 = np.asarray(pb, np.float64).reshape(n_steps + 1, n_paths)
+    lp = np.diff(np.log(p2), axis=0)
+    dt = 1.0 / n_steps
+    want_mean = (M.r - 0.5 * M.sigma**2) * dt
+    want_std = M.sigma * np.sqrt(dt)
+    se = want_std / np.sqrt(lp.size)
+    assert abs(lp.mean() - want_mean) < 5 * se
+    np.testing.assert_allclose(lp.std(), want_std, rtol=3e-3)
+    np.testing.assert_allclose(p2[0], 100.0)
+
+    mean_t, inv_std_t = gbm_standardization(M, 1.0, n_steps)
+    pm3 = lsmc_price_megakernel(pb, 100.0, M.r, dt, -1.0, degree=4,
+                                mean_t=mean_t, inv_std_t=inv_std_t)
+    pm2 = lsmc_price_megakernel(jnp_asarray(pb).reshape(n_steps + 1, n_paths),
+                                100.0, M.r, dt, -1.0, degree=4,
+                                mean_t=mean_t, inv_std_t=inv_std_t)
+    assert abs(float(pm3) - float(pm2)) < 1e-5
+    crr = float(crr_price(100.0, 100.0, 1.0, M.r, M.sigma, 2000,
+                          option_type="put", american=True))
+    assert abs(float(pm3) - crr) < 0.05
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
