@@ -1,0 +1,109 @@
+"""LSMC pricing kernels on REAL TPU — Mosaic lowering + numerics.
+
+The hermetic suite (`tests/`) runs every kernel in interpreter mode on CPU;
+an on-chip Mosaic lowering or numerics regression in the fused step kernels
+or the mega-kernel would previously surface only as a bench failure. These
+tests compile and run all three engines on hardware and cross-check prices
+(VERDICT r1 weak #5 / next #6).
+
+Run directly on the TPU host: ``python -m pytest tests_tpu/ -q``.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from amcx import (
+    MarketParams,
+    ProductSpec,
+    RegressionSpec,
+    SimConfig,
+    lsmc_option_pricing,
+    simulate_gbm,
+)
+from amcx.engine_pallas import lsmc_option_pricing_fused
+from amcx.oracle import bs_price
+from amcx.ops.lsmc_megakernel import lsmc_price_megakernel
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() == "cpu", reason="needs a real TPU"
+)
+
+M = MarketParams(100.0, 0.01, 0.2)
+SPEC = RegressionSpec(degree=4)
+
+
+@pytest.fixture(scope="module")
+def paths():
+    # hardware-PRNG paths, 256k × 50: big enough that cross-engine gaps are
+    # coefficient noise, small enough to keep compile+run fast
+    return simulate_gbm(
+        jax.random.key(2), M, 1.0,
+        SimConfig(n_paths=262_144, n_steps=50, backend="pallas"),
+    )
+
+
+@pytest.fixture(scope="module")
+def xla_put(paths):
+    return lsmc_option_pricing(
+        paths, ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american"),
+        M.r, SPEC, return_surface=False,
+    )
+
+
+def test_fused_vs_xla_onchip(paths, xla_put):
+    """Two-kernel fused engine lowers and prices on hardware."""
+    f = lsmc_option_pricing_fused(
+        paths, ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american"),
+        M.r, SPEC,
+    )
+    assert abs(float(f.price) - float(xla_put.price)) < 2.5e-3
+    np.testing.assert_allclose(float(f.stderr), float(xla_put.stderr), rtol=0.05)
+
+
+def test_mega_vs_xla_onchip(paths, xla_put):
+    """Single-kernel engine lowers and prices on hardware (incl. stats)."""
+    p, se = lsmc_price_megakernel(paths, 100.0, M.r, 1.0 / 50, -1.0, degree=4,
+                                  return_stats=True)
+    assert abs(float(p) - float(xla_put.price)) < 2.5e-3
+    np.testing.assert_allclose(float(se), float(xla_put.stderr), rtol=0.05)
+
+
+@pytest.mark.parametrize("barrier_type,barrier", [("down-in", 85.0), ("up-out", 120.0)])
+def test_barrier_variants_onchip(paths, barrier_type, barrier):
+    """Sign-bit knock encoding (mega) and knock tiles (fused) on hardware."""
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american",
+                       barrier=barrier, barrier_type=barrier_type)
+    ref = lsmc_option_pricing(paths, prod, M.r, SPEC, return_surface=False)
+    f = lsmc_option_pricing_fused(paths, prod, M.r, SPEC)
+    assert abs(float(f.price) - float(ref.price)) < 2.5e-3, barrier_type
+    if barrier_type == "down-in":  # mega supports the reference's Q4 variant
+        p = lsmc_price_megakernel(paths, 100.0, M.r, 1.0 / 50, -1.0, degree=4,
+                                  barrier=barrier, barrier_type=barrier_type)
+        assert abs(float(p) - float(ref.price)) < 2.5e-3
+
+
+def test_no_dividend_call_bias():
+    """q=0 American call: early exercise is never optimal, so the oracle is
+    the European BS price. The reference's Q1 all-paths fit exercises
+    spuriously and biases the price low by ~0.2 at 1M paths (docs/PARITY.md
+    item 5 — reference-parity behaviour, bounded here); the canonical
+    ITM-restricted fit removes the bias."""
+    sim = SimConfig(n_paths=1_048_576, n_steps=100, backend="pallas")
+    paths = simulate_gbm(jax.random.key(9), M, 1.0, sim)
+    oracle = float(bs_price(100.0, 100.0, 1.0, M.r, M.sigma, option_type="call"))
+
+    p_all = lsmc_price_megakernel(paths, 100.0, M.r, 0.01, +1.0, degree=4)
+    p_itm4 = lsmc_price_megakernel(paths, 100.0, M.r, 0.01, +1.0, degree=4,
+                                   itm_weights=True)
+    p_itm6 = lsmc_price_megakernel(paths, 100.0, M.r, 0.01, +1.0, degree=6,
+                                   itm_weights=True)
+    err_all = abs(float(p_all) - oracle)
+    # all-paths fit: documented low bias, bounded (fails if it ever worsens
+    # past the reference's own 0.2 test tolerance + margin)
+    assert float(p_all) < oracle  # bias direction: spurious exercise -> low
+    assert err_all < 0.30
+    # ITM fit shrinks the bias (~0.08 at degree 4); degree >=6 reaches ~2
+    # MC stderr of the truth
+    assert abs(float(p_itm4) - oracle) < err_all
+    assert abs(float(p_itm6) - oracle) < 0.05
