@@ -61,14 +61,59 @@ def _price_grads(key, S0, r, sigma, q, K, T, barrier, spec, sim, option_type, ex
     return p, {"delta": delta, "vega": vega, "rho": rho, "dividend_rho": dq, "theta": -theta_T}
 
 
+@partial(jax.jit, static_argnames=("spec", "sim", "option_type", "exercise"))
+def _fused_price_greeks(key, S0, r, sigma, q, K, T, spec, sim, option_type, exercise):
+    from .engine_pallas import lsmc_option_pricing_fused
+    from .paths import simulate_gbm as _sim
+
+    market = MarketParams(S0, r, sigma, q)
+    product = ProductSpec(K=K, T=T, option_type=option_type, exercise=exercise)
+    paths = _sim(key, market, product.T, sim)
+    res = lsmc_option_pricing_fused(paths, product, market.r, spec)
+    return res.price, fast_greeks(res, market, product, sim.n_steps)
+
+
 def price_and_greeks(
     key: jax.Array,
     market: MarketParams,
     product: ProductSpec,
     spec: RegressionSpec = RegressionSpec(),
     sim: SimConfig = SimConfig(),
+    engine: str = "xla",
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """LSMC price plus pathwise delta/vega/rho/dividend-rho/theta."""
+    """LSMC price plus pathwise delta/vega/rho/dividend-rho/theta.
+
+    ``engine="xla"`` differentiates the whole simulate→regress→exercise
+    pipeline with ``jax.grad`` (works for any product, incl. barriers with
+    the documented knock-sensitivity caveat). ``engine="fused"`` runs the
+    fused Pallas engine (hardware-PRNG path generation on TPU) and derives
+    the *same* fixed-boundary pathwise estimator from the (cashflow, τ)
+    outputs in closed form (:func:`fast_greeks`) — no autodiff pass, so
+    Greeks come at full fused-engine pricing speed. Vanilla GBM products
+    only (the closed-form path derivatives assume GBM).
+    """
+    if engine == "fused":
+        if product.has_barrier:
+            raise ValueError(
+                "engine='fused' Greeks cover vanilla products; barrier "
+                "products need the autodiff estimator (engine='xla')"
+            )
+        dtype = sim.jnp_dtype
+        return _fused_price_greeks(
+            key,
+            jnp.asarray(market.S0, dtype),
+            jnp.asarray(market.r, dtype),
+            jnp.asarray(market.sigma, dtype),
+            jnp.asarray(market.q, dtype),
+            jnp.asarray(product.K, dtype),
+            jnp.asarray(product.T, dtype),
+            spec,
+            sim,
+            product.option_type,
+            product.exercise,
+        )
+    if engine != "xla":
+        raise ValueError(f"engine must be 'xla' or 'fused', got {engine!r}")
     sim = _xla_sim(sim)
     dtype = sim.jnp_dtype
     barrier = None if product.barrier is None else jnp.asarray(product.barrier, dtype)
@@ -129,12 +174,25 @@ def fast_greeks(
     delta = jnp.sum(disc * dpay_dS * S_tau / S0) / n
     # σW_τ = ln(S_τ/S0) − (r−q−σ²/2)τ  ⇒ dS/dσ = S(W − στ)
     log_rel = jnp.where(exercised, jnp.log(jnp.maximum(S_tau, 1e-30) / S0), 0.0)
-    W = (log_rel - (r - q - 0.5 * sigma**2) * tau_y) / sigma
+    drift = r - q - 0.5 * sigma**2
+    W = (log_rel - drift * tau_y) / sigma
     dS_dsigma = S_tau * (W - sigma * tau_y)
     vega = jnp.sum(disc * dpay_dS * dS_dsigma) / n
     # rho: payoff sensitivity through the drift + the discount factor
     rho = jnp.sum(disc * (dpay_dS * S_tau * tau_y - tau_y * cf)) / n
-    return {"delta": delta, "vega": vega, "rho": rho}
+    # dividend rho: d ln S_τ / dq = −τ_y
+    div_rho = jnp.sum(disc * dpay_dS * S_tau * (-tau_y)) / n
+    # theta = −dP/dT with the exercise *step index* fixed (the same
+    # convention as autodiff through the pipeline: T enters via dt = T/n and
+    # the √dt Brownian scaling): with a = r−q−σ²/2 and L = ln(S_τ/S0),
+    # dS_τ/dT = S_τ·(a·τ_y + L)/(2T) and d(disc)/dT = −r·(τ_y/T)·disc.
+    T = jnp.asarray(product.T, dtype)
+    dP_dT = jnp.sum(
+        disc * (dpay_dS * S_tau * (drift * tau_y + log_rel) / (2.0 * T)
+                - r * (tau_y / T) * cf)
+    ) / n
+    return {"delta": delta, "vega": vega, "rho": rho,
+            "dividend_rho": div_rho, "theta": -dP_dT}
 
 
 def gamma_fd(

@@ -112,3 +112,45 @@ def test_fast_greeks_rejects_barrier():
     barrier_prod = ProductSpec(K=100.0, T=1.0, barrier=80.0, option_type="put", exercise="american")
     with pytest.raises(ValueError, match="vanilla"):
         fast_greeks(dummy, M, barrier_prod, 4)
+
+
+def test_fast_greeks_theta_divrho_match_autodiff():
+    """The closed-form theta / dividend-rho added to fast_greeks equal the
+    autodiff estimator on the same paths (same fixed-boundary quantity)."""
+    from amcx import lsmc_option_pricing, simulate_gbm
+    from amcx.greeks import fast_greeks
+
+    m = MarketParams(100.0, 0.03, 0.25, 0.02)
+    prod = ProductSpec(K=105.0, T=1.5, option_type="put", exercise="american")
+    key = jax.random.key(13)
+    _, g = price_and_greeks(key, m, prod, SPEC, SIM)
+    paths = simulate_gbm(key, m, 1.5, SIM)
+    res = lsmc_option_pricing(paths, prod, m.r, SPEC, return_surface=False)
+    fg = fast_greeks(res, m, prod, SIM.n_steps)
+    np.testing.assert_allclose(float(fg["theta"]), float(g["theta"]), rtol=1e-2, atol=2e-3)
+    np.testing.assert_allclose(float(fg["dividend_rho"]), float(g["dividend_rho"]),
+                               rtol=1e-2, atol=2e-3)
+
+
+def test_fused_engine_greeks_match_closed_form():
+    """price_and_greeks(engine='fused'): Greeks at fused-engine speed must
+    match Black-Scholes closed form for the European case (VERDICT r1 #7)."""
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="european")
+    sim = SimConfig(n_paths=262_144, n_steps=20)
+    p, g = price_and_greeks(jax.random.key(4), M, prod, SPEC, sim, engine="fused")
+    from amcx.oracle import bs_greeks, bs_price
+
+    ref = bs_greeks(100.0, 100.0, 1.0, M.r, M.sigma, option_type="put")
+    bs = float(bs_price(100.0, 100.0, 1.0, M.r, M.sigma, option_type="put"))
+    assert abs(float(p) - bs) < 0.08
+    np.testing.assert_allclose(float(g["delta"]), float(ref["delta"]), atol=5e-3)
+    np.testing.assert_allclose(float(g["vega"]), float(ref["vega"]), rtol=2e-2)
+    np.testing.assert_allclose(float(g["rho"]), float(ref["rho"]), rtol=2e-2)
+    assert float(g["theta"]) < 0
+
+
+def test_fused_engine_greeks_rejects_barrier():
+    prod = ProductSpec(K=100.0, T=1.0, barrier=80.0, option_type="put",
+                       exercise="american")
+    with pytest.raises(ValueError, match="vanilla"):
+        price_and_greeks(jax.random.key(0), M, prod, SPEC, SIM, engine="fused")
