@@ -113,8 +113,9 @@ def backward_induction(
         estimate directly from the scan (exact, sort-based) instead of — or
         in addition to — the dense surface. This is the summary-stats export
         for path counts where the O(n_steps·n_paths) surface is undesirable
-        (SURVEY §5). Not supported under ``axis_name`` (global quantiles
-        need a global sort; use jit-level sharding instead).
+        (SURVEY §5). Under ``axis_name`` the quantiles come from a psum'd
+        2048-bin histogram (`amcx.exposures.distributed_percentiles`) —
+        global to one bin width of the global range; EPE is an exact psum.
       return_coeffs: also return the ``(n_steps, degree+1)`` solved
         regression coefficients per step (requires the default fitter).
       exercise_from_step: earliest step index at which early exercise is
@@ -128,7 +129,7 @@ def backward_induction(
     r = jnp.asarray(r, dtype)
     dt = jnp.asarray(dt, dtype)
     if surface_stats and axis_name is not None:
-        raise ValueError("surface_stats needs a global sort; not available under shard_map")
+        from .exposures import distributed_percentiles
     if return_coeffs and fit_fn is not None and not fit_fn_returns_coeffs:
         raise ValueError(
             "return_coeffs requires the default univariate fitter or a "
@@ -171,11 +172,21 @@ def backward_induction(
                 exercise = exercise & (t >= exercise_from_step)
             cashflows = jnp.where(exercise, ex, cashflows)
             tau = jnp.where(exercise, t, tau)
+        if surface_stats:
+            if axis_name is None:
+                stats_t = (jnp.mean(cont), jnp.percentile(cont, jnp.asarray([5.0, 95.0])))
+            else:
+                # global EPE via psum; global PFE quantiles via the psum'd
+                # histogram (no global sort needed under shard_map)
+                n_g = lax.psum(jnp.asarray(float(n_paths), dtype), axis_name)
+                epe_t = lax.psum(jnp.sum(cont), axis_name) / n_g
+                stats_t = (
+                    epe_t,
+                    distributed_percentiles(cont, jnp.asarray([5.0, 95.0]), axis_name),
+                )
         ys = (
             cont if return_surface else None,
-            (jnp.mean(cont), jnp.percentile(cont, jnp.asarray([5.0, 95.0])))
-            if surface_stats
-            else None,
+            stats_t if surface_stats else None,
             coefs if return_coeffs else None,
         )
         return (cashflows, tau), ys

@@ -62,3 +62,37 @@ def test_coeffs_rejected_with_custom_fitter(paths):
             paths, (paths > 0), M.r, 1.0 / 15, payoff_fn_for(PROD), SPEC,
             fit_fn=lambda *a: a[0], return_coeffs=True,
         )
+
+
+def test_distributed_surface_stats_match_single_device(paths, eight_devices):
+    """surface_stats under shard_map: EPE is an exact psum; PFE quantiles
+    come from the psum'd 2048-bin histogram and must match the single-device
+    sort-based values to a bin width of the per-step range (VERDICT r1 #8)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from amcx.parallel.sharding import make_mesh
+
+    mesh = make_mesh(eight_devices)
+    single = lsmc_option_pricing(paths, PROD, M.r, SPEC, return_surface=True,
+                                 surface_stats=True)
+
+    @jax.jit
+    def sharded(paths):
+        def local(p):
+            res = lsmc_option_pricing(p, PROD, M.r, SPEC, return_surface=False,
+                                      surface_stats=True, axis_name="paths")
+            return res.exposures
+
+        return shard_map(local, mesh=mesh, in_specs=P(None, "paths"),
+                         out_specs=P(), check_vma=False)(paths)
+
+    got = sharded(paths)
+    want = single.exposures
+    np.testing.assert_allclose(np.asarray(got.epe), np.asarray(want.epe),
+                               rtol=1e-5, atol=1e-5)
+    # histogram quantile: within one 2048-bin width of the per-step range
+    surf = np.asarray(single.continuation)
+    binw = (surf.max(axis=1) - surf.min(axis=1)) / 2048 + 1e-6
+    assert np.all(np.abs(np.asarray(got.pfe5) - np.asarray(want.pfe5)) < 2 * binw)
+    assert np.all(np.abs(np.asarray(got.pfe95) - np.asarray(want.pfe95)) < 2 * binw)
