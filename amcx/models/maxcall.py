@@ -32,7 +32,7 @@ from ..payoff import max_call_payoff
 from ..regress import pinv_solve
 from ..types import RegressionSpec, SimConfig
 
-__all__ = ["price_max_call", "max_call_fit"]
+__all__ = ["price_max_call", "max_call_fit", "backward_induction_fused_maxcall"]
 
 
 def _standardize_columns(X, weights, eps=1e-6):
@@ -161,6 +161,99 @@ def max_call_greeks(
     return p, {"delta": delta, "vega": vega, "rho": rho}
 
 
+def backward_induction_fused_maxcall(
+    paths_tm: jnp.ndarray,
+    K,
+    r,
+    dt,
+    spec: RegressionSpec = RegressionSpec(basis="chebyshev", degree=2),
+    basis_mode: str = "sorted",
+    exercise_from_step: int = 1,
+    interpret=None,
+) -> LSMCResult:
+    """Multi-asset LSMC on the fused Pallas kernel path (VERDICT r1 #9).
+
+    ``paths_tm``: ``(n_steps+1, n_paths, n_assets)``. The asset planes are
+    laid out asset-major blocked ``(A, rows, 512)`` per step; each step runs
+    the two fused kernels of `amcx.ops.maxcall_pallas` (cross-term columns
+    built in-register — no ``(n_paths, m)`` design matrix ever reaches HBM)
+    plus the tiny replicated `pinv_solve`. Prices match the XLA engine
+    (`price_max_call`) to MC/coefficient tolerance.
+    """
+    from ..ops.lsmc_pallas import LANES, unpack_moments
+    from ..ops.maxcall_pallas import ma_step_apply, ma_step_moments
+
+    n_steps = paths_tm.shape[0] - 1
+    n_paths = paths_tm.shape[1]
+    n_assets = paths_tm.shape[2]
+    if n_paths % (8 * LANES):
+        raise ValueError(f"fused max-call needs n_paths divisible by {8 * LANES}")
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    dtype = paths_tm.dtype
+    rows = n_paths // LANES
+    rdt = jnp.asarray(r * dt, dtype)
+    K_ = jnp.asarray(K, dtype)
+    sorted_basis = basis_mode == "sorted"
+    mode = "total" if sorted_basis else basis_mode
+    from ..basis import _multi_index_set
+
+    m = len(_multi_index_set(n_assets, spec.degree, mode))
+    itm = spec.regress_on == "itm"
+
+    # asset-major blocked planes: (T+1, A, rows, LANES)
+    planes_tm = jnp.moveaxis(paths_tm, -1, 1).reshape(
+        n_steps + 1, n_assets, rows, LANES
+    )
+    mean_t, inv_std_t = maxcall_standardization(paths_tm, basis_mode)
+
+    cf0 = max_call_payoff(paths_tm[n_steps], K_).reshape(rows, LANES)
+    tau0 = jnp.full((rows, LANES), float(n_steps), dtype)
+
+    moments = partial(ma_step_moments, n_assets=n_assets, basis=spec.basis,
+                      degree=spec.degree, mode=mode, sorted_basis=sorted_basis,
+                      itm_weights=itm, interpret=interpret)
+    apply_ = partial(ma_step_apply, n_assets=n_assets, basis=spec.basis,
+                     degree=spec.degree, mode=mode, sorted_basis=sorted_basis,
+                     interpret=interpret)
+
+    def step(carry, xs):
+        cf, tau = carry
+        planes, t, mean, inv_std, allow = xs
+        scalars = jnp.concatenate([
+            jnp.stack([t, rdt, K_]), mean, inv_std, allow[None],
+        ]).astype(jnp.float32)
+        packed = moments(scalars, planes, cf, tau)
+        G, b = unpack_moments(packed, m)
+        coeffs = pinv_solve(G, b, spec.rcond)
+        cf, tau = apply_(scalars, coeffs, planes, cf, tau)
+        return (cf, tau), None
+
+    ts = jnp.arange(n_steps, dtype=dtype)
+    allow = (ts >= exercise_from_step).astype(dtype)
+    (cf, tau), _ = lax.scan(
+        step, (cf0, tau0),
+        (planes_tm[:n_steps], ts, mean_t[:n_steps].astype(jnp.float32),
+         inv_std_t[:n_steps].astype(jnp.float32), allow),
+        reverse=True,
+    )
+    discounted = (cf * jnp.exp(-rdt * tau)).reshape(-1)
+    price = jnp.mean(discounted)
+    var = jnp.mean(jnp.square(discounted - price))
+    stderr = jnp.sqrt(var) / jnp.sqrt(float(n_paths))
+    return LSMCResult(price, stderr, cf.reshape(-1), tau.reshape(-1), None)
+
+
+@partial(jax.jit, static_argnames=("spec", "sim", "basis_mode"))
+def _price_max_call_fused_impl(key, S0, r, q, sigma, corr, K, T, spec, sim,
+                               basis_mode):
+    paths = simulate_gbm_multi(key, S0, r, sigma, T, sim, q=q, corr=corr)
+    res = backward_induction_fused_maxcall(
+        paths, K, r, T / sim.n_steps, spec, basis_mode,
+    )
+    return res, paths
+
+
 def price_max_call(
     key: jax.Array,
     S0,
@@ -177,10 +270,15 @@ def price_max_call(
     return_surface: bool = False,
     return_coeffs: bool = False,
     return_paths: bool = False,
+    engine: str = "xla",
 ) -> LSMCResult:
     """Price a Bermudan max-call on an ``len(S0)``-asset correlated GBM
     basket, exercisable at ``n_exercise_dates`` equally spaced dates
-    (simulation grid == exercise grid, as in the Bermudan benchmarks)."""
+    (simulation grid == exercise grid, as in the Bermudan benchmarks).
+
+    ``engine="fused"`` routes the backward induction through the fused
+    multi-asset Pallas kernels (:func:`backward_induction_fused_maxcall`);
+    price-only outputs (no surface/coeffs)."""
     sim = SimConfig(n_paths=n_paths, n_steps=n_exercise_dates)
     S0 = jnp.atleast_1d(jnp.asarray(S0, jnp.float32))
     corr_arr = None if corr is None else jnp.asarray(corr, jnp.float32)
@@ -191,6 +289,16 @@ def price_max_call(
             f"corr must be ({S0.shape[0]}, {S0.shape[0]}) to match the "
             f"{S0.shape[0]}-asset basket, got {corr_arr.shape}"
         )
+    if engine == "fused":
+        if return_surface or return_coeffs:
+            raise ValueError("engine='fused' max-call is price-only")
+        res, paths = _price_max_call_fused_impl(
+            key, S0, jnp.float32(r), jnp.float32(q), jnp.float32(sigma),
+            corr_arr, jnp.float32(K), jnp.float32(T), spec, sim, basis_mode,
+        )
+        return (res, paths) if return_paths else res
+    if engine != "xla":
+        raise ValueError(f"engine must be 'xla' or 'fused', got {engine!r}")
     res, paths = _price_max_call_impl(
         key,
         S0,
