@@ -213,7 +213,9 @@ def cmd_sweep(args):
                    "min": {k: res.extra[k] for k in ("min_error", "min_n_paths", "min_n_steps")}}
         if args.plot:
             from .plots import plot_error_heatmap
-            plot_error_heatmap(res, save=args.plot)
+            plot_error_heatmap(res, save=args.plot,
+                               option_type=product.option_type,
+                               exercise=product.exercise)
     if not args.json:
         print(json.dumps(payload, indent=2))
         if args.plot:

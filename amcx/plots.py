@@ -234,8 +234,10 @@ def plot_convergence(result, xlabel, title, ax=None, log_x=False, save=None):
     return _finish(ax, save, own)
 
 
-def plot_error_heatmap(result, ax=None, save=None):
-    """|error| heatmap with argmin star (`additional_plots.py:115-135`)."""
+def plot_error_heatmap(result, ax=None, save=None, option_type=None,
+                       exercise=None):
+    """|error| heatmap with argmin star (`additional_plots.py:115-135`):
+    log-scale path axis, rotated step ticks, product-bearing title."""
     own = ax is None
     if own:
         _, ax = plt.subplots(figsize=(10, 8))
@@ -246,12 +248,23 @@ def plot_error_heatmap(result, ax=None, save=None):
                s=200, edgecolor="black", marker="*",
                label=(f"Minimum Absolute Error\nTimeSteps={result.extra['min_n_steps']},"
                       f" Paths={result.extra['min_n_paths']}"))
+    # parity with `additional_plots.py:125-132`: path counts span decades —
+    # log y-axis with ticks at the tested points; step ticks rotated 45°
+    ax.set_yscale("log")
     ax.set_xticks(steps)
+    ax.tick_params(axis="x", rotation=45)
     ax.set_yticks(result.x)
+    ax.yaxis.set_major_formatter(plt.matplotlib.ticker.ScalarFormatter())
     ax.grid(visible=True, color="black", linestyle="--", linewidth=0.5, alpha=0.5)
     ax.set_xlabel("Number of Time Steps")
-    ax.set_ylabel("Number of Paths")
-    ax.set_title("Absolute Error in Option Price")
+    ax.set_ylabel("Number of Paths (Log Scale)")
+    if option_type and exercise:
+        ax.set_title(
+            f"Absolute Error in {option_type.title()} Option Price with "
+            f"{exercise.title()} Exercise"
+        )
+    else:
+        ax.set_title("Absolute Error in Option Price")
     ax.legend()
     return _finish(ax, save, own)
 
