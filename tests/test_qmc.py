@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+import jax.numpy as jnp
 
 from amcx import MarketParams, ProductSpec, RegressionSpec, SimConfig, bs_price, lsmc_option_pricing
 from amcx.qmc import simulate_gbm_qmc, sobol_normals
@@ -56,3 +57,45 @@ def test_qmc_american_prices_sanely():
     res = lsmc_option_pricing(paths, prod, M.r, RegressionSpec(degree=4), False)
     crr = float(crr_price(100.0, 100.0, 1.0, 0.05, 0.2, 2000, option_type="put", american=True))
     assert abs(float(res.price) - crr) < 0.1
+
+
+def test_device_sobol_kernel_matches_scipy_pointset():
+    """The on-device Sobol kernel (natural-order digital net from scipy's
+    scrambled direction numbers) must reproduce the scipy engine's point set
+    per dimension up to f32 mantissa truncation (interpret mode)."""
+    from scipy.stats import norm, qmc
+
+    from amcx.ops.sobol_pallas import sobol_gbm_paths
+
+    n, steps, seed = 2048, 8, 42
+    paths = sobol_gbm_paths(seed, 100.0, 0.01, 0.2, 0.0, 1.0, steps, n,
+                            interpret=True)
+    assert paths.shape == (steps + 1, n)
+    np.testing.assert_allclose(np.asarray(paths[0]), 100.0)
+    lp = np.diff(np.log(np.asarray(paths, np.float64)), axis=0)
+    dt = 1.0 / steps
+    z = (lp - (0.01 - 0.5 * 0.04) * dt) / (0.2 * np.sqrt(dt))
+    u_mine = norm.cdf(z.T)  # (n, steps)
+    u_ref = qmc.Sobol(d=steps, scramble=True, seed=seed).random(n)
+    # same point set per dimension (order is a block permutation)
+    for d in range(steps):
+        gap = np.abs(np.sort(u_mine[:, d]) - np.sort(u_ref[:, d])).max()
+        assert gap < 5e-5, (d, gap)
+
+
+def test_norm_ppf_accuracy():
+    from scipy.stats import norm
+
+    from amcx.ops.sobol_pallas import norm_ppf
+
+    p = jnp.linspace(1e-6, 1 - 1e-6, 100_001, dtype=jnp.float32)
+    err = np.abs(np.asarray(norm_ppf(p)) - norm.ppf(np.asarray(p, np.float64)))
+    assert err.max() < 5e-4
+
+
+def test_device_qmc_wrapper_cpu_fallback():
+    from amcx.ops.sobol_pallas import simulate_gbm_qmc_device
+
+    m = MarketParams(100.0, 0.01, 0.2)
+    p = simulate_gbm_qmc_device(3, m, 1.0, SimConfig(n_paths=4096, n_steps=10))
+    assert p.shape == (11, 4096)

@@ -132,3 +132,24 @@ def jnp_asarray(x):
     import jax.numpy as jnp
 
     return jnp.asarray(x)
+
+
+def test_device_sobol_on_hardware():
+    """On-device scrambled-Sobol pathgen: prices the European put with
+    QMC-grade error (well under the MC stderr at this size) on the chip."""
+    from amcx.ops.sobol_pallas import sobol_gbm_paths
+    from amcx import ProductSpec, RegressionSpec, lsmc_option_pricing
+    from amcx.oracle import bs_price
+
+    n, steps = 65_536, 50
+    bs = float(bs_price(100.0, 100.0, 1.0, M.r, M.sigma, option_type="put"))
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="european")
+    errs = []
+    for seed in (1, 2, 3):
+        pq = sobol_gbm_paths(seed, M.S0, M.r, M.sigma, M.q, 1.0, steps, n)
+        r = lsmc_option_pricing(pq, prod, M.r, RegressionSpec(degree=4),
+                                return_surface=False)
+        errs.append(abs(float(r.price) - bs))
+    # MC stderr at 65k paths is ~0.037; scrambled Sobol should sit well
+    # inside it on every seed (typical ~0.002-0.012)
+    assert max(errs) < 0.02, errs
