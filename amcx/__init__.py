@@ -34,7 +34,7 @@ from .engine_pallas import lsmc_option_pricing_fused
 from .greeks import price_and_greeks, gamma_fd, fast_greeks
 from .variates import control_variate_price, ControlVariateResult
 from .models.maxcall import price_max_call, max_call_greeks
-from .book import price_strike_grid, BookResult
+from .book import price_strike_grid, price_mixed_book, BookResult
 from .qmc import simulate_gbm_qmc, sobol_normals
 
 __version__ = "0.1.0"
@@ -84,6 +84,7 @@ __all__ = [
     "price_max_call",
     "max_call_greeks",
     "price_strike_grid",
+    "price_mixed_book",
     "BookResult",
     "simulate_gbm_qmc",
     "sobol_normals",

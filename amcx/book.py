@@ -8,9 +8,18 @@ exercise recursion, so American early-exercise boundaries are per-strike
 exact. Greeks for the whole book come from :func:`amcx.greeks.fast_greeks`
 applied per row.
 
-All options in the grid share the path grid's maturity; mixed-maturity
-books would need per-option step masking (not implemented — price each
-maturity bucket on its own grid).
+:func:`price_strike_grid` shares the path grid's maturity across the book;
+:func:`price_mixed_book` additionally takes per-option maturity step indices
+(a real desk book has maturity structure): the mega engine masks each
+option's induction to its own maturity inside the one kernel, the XLA
+engine prices maturity buckets on sliced grids.
+
+Two engines: ``engine="xla"`` (default) vmaps the full backward induction —
+per-strike regressions, full cashflow/τ outputs; ``engine="mega"`` runs the
+whole book in ONE strike-batched Pallas kernel
+(:func:`amcx.ops.lsmc_megakernel.lsmc_book_megakernel`) that shares the
+path reads, the Gram power sums, and the Cholesky factorization across
+strikes — prices/stderrs only.
 """
 
 from __future__ import annotations
@@ -25,17 +34,16 @@ from .engine import backward_induction
 from .payoff import intrinsic_value
 from .types import RegressionSpec
 
-__all__ = ["BookResult", "price_strike_grid"]
+__all__ = ["BookResult", "price_strike_grid", "price_mixed_book"]
 
 
 class BookResult(NamedTuple):
     prices: jnp.ndarray   # (n_strikes,)
     stderrs: jnp.ndarray  # (n_strikes,)
-    cashflows: jnp.ndarray       # (n_strikes, n_paths)
-    exercise_times: jnp.ndarray  # (n_strikes, n_paths)
+    cashflows: jnp.ndarray       # (n_strikes, n_paths); None for engine="mega"
+    exercise_times: jnp.ndarray  # (n_strikes, n_paths); None for engine="mega"
 
 
-@partial(jax.jit, static_argnames=("option_type", "american", "spec"))
 def price_strike_grid(
     paths_tm: jnp.ndarray,
     strikes: jnp.ndarray,
@@ -44,13 +52,47 @@ def price_strike_grid(
     option_type: str = "put",
     american: bool = True,
     spec: RegressionSpec = RegressionSpec(),
+    engine: str = "xla",
 ) -> BookResult:
     """Price a strike grid of vanilla puts/calls on shared paths.
 
-    One compiled program: the backward induction is vmapped over strikes
-    (shared (n_steps+1, n_paths) path tensor; per-strike regressions and
-    exercise boundaries).
+    ``engine="xla"``: one compiled program, the backward induction vmapped
+    over strikes (per-strike regressions and exercise boundaries, full
+    cashflow/τ outputs). ``engine="mega"``: the strike-batched single
+    Pallas kernel — fit-on-all-paths regression only, prices/stderrs only.
     """
+    if engine == "mega":
+        if spec.regress_on == "itm":
+            raise ValueError(
+                "engine='mega' book shares the Gram across strikes, which "
+                "requires fit-on-all-paths regression (itm_weights=False)"
+            )
+        from .ops.lsmc_megakernel import lsmc_book_megakernel
+
+        n_steps = paths_tm.shape[0] - 1
+        phi = 1.0 if option_type == "call" else -1.0
+        prices, stderrs = lsmc_book_megakernel(
+            paths_tm, strikes, r, T / n_steps, phi,
+            basis=spec.basis, degree=spec.degree, rcond=spec.rcond,
+            american=american,
+        )
+        return BookResult(prices, stderrs, None, None)
+    if engine != "xla":
+        raise ValueError(f"unknown book engine {engine!r} (use 'xla' or 'mega')")
+    return _price_strike_grid_xla(paths_tm, strikes, r, T, option_type,
+                                  american, spec)
+
+
+@partial(jax.jit, static_argnames=("option_type", "american", "spec"))
+def _price_strike_grid_xla(
+    paths_tm: jnp.ndarray,
+    strikes: jnp.ndarray,
+    r,
+    T,
+    option_type: str = "put",
+    american: bool = True,
+    spec: RegressionSpec = RegressionSpec(),
+) -> BookResult:
     n_steps = paths_tm.shape[0] - 1
     dt = T / n_steps
     knocked = jnp.ones(paths_tm.shape, dtype=bool)
@@ -66,3 +108,71 @@ def price_strike_grid(
 
     prices, stderrs, cfs, taus = jax.vmap(one)(strikes)
     return BookResult(prices, stderrs, cfs, taus)
+
+
+def price_mixed_book(
+    paths_tm: jnp.ndarray,
+    strikes,
+    maturity_steps,
+    r,
+    T,
+    option_type: str = "put",
+    american: bool = True,
+    spec: RegressionSpec = RegressionSpec(),
+    engine: str = "xla",
+) -> BookResult:
+    """Price a mixed-maturity vanilla book on one shared path grid.
+
+    ``maturity_steps[i]`` is option i's maturity as a step index on the
+    grid (1..n_steps); its maturity in years is ``maturity_steps[i]·T/n_steps``.
+
+    ``engine="mega"`` runs the whole book in ONE strike-batched Pallas
+    kernel with per-option maturity masking (prices/stderrs only);
+    ``engine="xla"`` groups options into maturity buckets and prices each
+    bucket with the vmapped induction on a sliced grid (exact per-bucket
+    reference; one compile per distinct maturity).
+    """
+    import numpy as np
+
+    n_steps = paths_tm.shape[0] - 1
+    strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
+    mats = [int(m) for m in maturity_steps]
+    if len(mats) != strikes.shape[0]:
+        raise ValueError(
+            f"{len(mats)} maturity_steps for {strikes.shape[0]} strikes"
+        )
+    if engine == "mega":
+        if spec.regress_on == "itm":
+            raise ValueError(
+                "engine='mega' book shares the Gram across options, which "
+                "requires fit-on-all-paths regression (itm_weights=False)"
+            )
+        from .ops.lsmc_megakernel import lsmc_book_megakernel
+
+        phi = 1.0 if option_type == "call" else -1.0
+        prices, stderrs = lsmc_book_megakernel(
+            paths_tm, strikes, r, T / n_steps, phi,
+            basis=spec.basis, degree=spec.degree, rcond=spec.rcond,
+            american=american, maturity_steps=tuple(mats),
+        )
+        return BookResult(prices, stderrs, None, None)
+    if engine != "xla":
+        raise ValueError(f"unknown book engine {engine!r} (use 'xla' or 'mega')")
+
+    # XLA reference: per-maturity buckets on sliced grids. Blocked paths
+    # are flattened (the XLA engine consumes (T+1, n_paths)).
+    if paths_tm.ndim == 3:
+        paths_tm = paths_tm.reshape(paths_tm.shape[0], -1)
+    dt = T / n_steps
+    n_opts = len(mats)
+    prices = np.zeros(n_opts, np.float32)
+    stderrs = np.zeros(n_opts, np.float32)
+    for m in sorted(set(mats)):
+        idx = [i for i, mi in enumerate(mats) if mi == m]
+        sub = price_strike_grid(
+            paths_tm[: m + 1], strikes[jnp.asarray(idx)], r, m * dt,
+            option_type=option_type, american=american, spec=spec,
+        )
+        prices[idx] = np.asarray(sub.prices)
+        stderrs[idx] = np.asarray(sub.stderrs)
+    return BookResult(jnp.asarray(prices), jnp.asarray(stderrs), None, None)

@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..basis import BASIS_FAMILIES, _first_order
 
-__all__ = ["lsmc_price_megakernel", "CHUNK_ROWS"]
+__all__ = ["lsmc_price_megakernel", "lsmc_book_megakernel", "CHUNK_ROWS"]
 
 LANES = 512
 CHUNK_ROWS = 256  # preferred rows per inner sweep iteration (512 KB tiles)
@@ -72,28 +72,57 @@ def _pairs(k):
     return [(i, j) for i in range(k) for j in range(i, k)]
 
 
-def _solve_equilibrated_ridge(packed, k, rcond):
-    """Unrolled in-kernel solve of the packed Gram system.
+# Bases whose pairwise products linearize into single higher-order terms, so
+# the Gram matrix is recoverable from power sums alone:
+#   chebyshev:  T_i·T_j = ½(T_{i+j} + T_{|i−j|})
+#   power:      x^i·x^j = x^{i+j}
+# (Legendre/Laguerre/Hermite products need multi-term linearization sums —
+# not worth it in-kernel; those keep the explicit pair products.)
+_IDENTITY_BASES = ("chebyshev", "power", "monomial")
 
-    packed: (P,) vector [G_upper..., b...]. Returns list of k coefficient
-    scalars. Column-equilibrate (D G D), add rcond ridge, Cholesky, two
-    triangular solves, de-equilibrate — all static-k Python unrolls over
-    traced f32 scalars.
+
+def _moment_layout(basis, degree):
+    """(layout, P): how pass-1 packs the regression moments.
+
+    ``pairs``:    P = k(k+1)/2 upper-Gram products + k y-moments.
+    ``identity``: P = (2·degree+1) power sums M_m = Σ w·B_m(x) + k y-moments;
+                  the solve reconstructs G_ij from the product identity. Cuts
+                  pass-1 from k(k+1)/2 mult+reduce sweeps to 2d+1 reduce
+                  sweeps (d=4: 20 → 14 reductions and no pair multiplies).
     """
+    k = degree + 1
+    if basis in _IDENTITY_BASES:
+        return "identity", (2 * degree + 1) + k
+    return "pairs", len(_pairs(k)) + k
+
+
+def _g_raw_fn(packed, k, layout, basis):
+    """Accessor for the raw Gram entry G_ij from the packed moment head."""
+    if layout == "identity":
+        if basis in ("power", "monomial"):
+            def g_raw(i, j):
+                return packed[i + j]
+        else:  # chebyshev
+            def g_raw(i, j):
+                return 0.5 * (packed[i + j] + packed[abs(i - j)])
+        return g_raw
     pairs = _pairs(k)
     idx = {p: n for n, p in enumerate(pairs)}
-    tiny = 1e-30
 
     def g_raw(i, j):
         return packed[idx[(i, j)] if i <= j else idx[(j, i)]]
 
-    b_raw = [packed[len(pairs) + i] for i in range(k)]
+    return g_raw
+
+
+def _factor_equilibrated_ridge(g_raw, k, rcond):
+    """Equilibrate + ridge + Cholesky-factor the Gram; reusable across many
+    right-hand sides (the book kernel shares one factorization over all
+    strikes — G depends only on the regressor, never on K)."""
+    tiny = 1e-30
     d = [jax.lax.rsqrt(jnp.maximum(g_raw(i, i), tiny)) for i in range(k)]
-    # equilibrated G with ridge
     G = [[g_raw(i, j) * d[i] * d[j] + (rcond if i == j else 0.0) for j in range(k)]
          for i in range(k)]
-    b = [b_raw[i] * d[i] for i in range(k)]
-
     # Cholesky G = L Lᵀ (static unroll)
     L = [[jnp.float32(0.0)] * k for _ in range(k)]
     for i in range(k):
@@ -105,7 +134,17 @@ def _solve_equilibrated_ridge(packed, k, rcond):
                 L[i][j] = jnp.sqrt(jnp.maximum(s, tiny))
             else:
                 L[i][j] = s / L[j][j]
+    return L, d, G
 
+
+def _solve_factored(L, d, G, b_raw, k):
+    """Two triangular solves + one iterative-refinement step + de-equilibrate.
+
+    The f32 Cholesky of an equilibrated but still poorly conditioned Gram
+    loses a few digits; the residual correction recovers most of the
+    eigh-pseudo-inverse accuracy of the XLA engines at ~2× the (negligible)
+    solve cost.
+    """
     def chol_solve(rhs):
         z = [jnp.float32(0.0)] * k
         for i in range(k):
@@ -121,16 +160,27 @@ def _solve_equilibrated_ridge(packed, k, rcond):
             c[i] = s / L[i][i]
         return c
 
+    b = [b_raw[i] * d[i] for i in range(k)]
     c = chol_solve(b)
-    # One step of iterative refinement: the f32 Cholesky of an equilibrated
-    # but still poorly conditioned Gram loses a few digits; the residual
-    # correction recovers most of the eigh-pseudo-inverse accuracy of the
-    # XLA engines at ~2× the (negligible) solve cost.
     resid = [b[i] - sum(G[i][j] * c[j] for j in range(k)) for i in range(k)]
     dc = chol_solve(resid)
-    c = [c[i] + dc[i] for i in range(k)]
-    # de-equilibrate
-    return [c[i] * d[i] for i in range(k)]
+    return [(c[i] + dc[i]) * d[i] for i in range(k)]
+
+
+def _solve_equilibrated_ridge(packed, k, rcond, layout="pairs", basis=None):
+    """Unrolled in-kernel solve of the packed Gram system.
+
+    packed: (P,) vector — ``pairs`` layout: [G_upper..., b...]; ``identity``
+    layout: [M_0..M_{2d}, b...] with G_ij rebuilt via the basis's product
+    identity. Returns list of k coefficient scalars. Column-equilibrate
+    (D G D), add rcond ridge, Cholesky, two triangular solves,
+    de-equilibrate — all static-k Python unrolls over traced f32 scalars.
+    """
+    g_raw = _g_raw_fn(packed, k, layout, basis)
+    off = (2 * (k - 1) + 1) if layout == "identity" else len(_pairs(k))
+    b_raw = [packed[off + i] for i in range(k)]
+    L, d, G = _factor_equilibrated_ridge(g_raw, k, rcond)
+    return _solve_factored(L, d, G, b_raw, k)
 
 
 def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, macc, *rest,
@@ -139,8 +189,7 @@ def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, macc, *rest
     if ring_axis is not None:
         comm, send_sem, recv_sem = rest
     k = degree + 1
-    pairs = _pairs(k)
-    P = len(pairs) + k
+    layout, P = _moment_layout(basis, degree)
     i = pl.program_id(0)
     t = n_steps - i  # this grid step's time index
 
@@ -184,7 +233,6 @@ def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, macc, *rest
             S, _ = decode(s_ref[0, sl, :])
             y = disc * V[sl, :]
             xhat = (S - mean) * inv_std
-            cols = _basis_cols(xhat, basis, degree)
             if itm_weights:
                 # canonical Longstaff-Schwartz: weight the fit by the
                 # ITM (and knocked) indicator; fitted values still
@@ -193,15 +241,29 @@ def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, macc, *rest
                 if barrier:
                     kn = s_ref[0, sl, :] > 0.0
                     w = w * kn.astype(jnp.float32)
-                cols_w = [c_ * w for c_ in cols]
-                yw = y * w
             else:
-                cols_w = cols
-                yw = y
-            for p, (a, b_) in enumerate(pairs):
-                macc[p, :] += jnp.sum(cols_w[a] * cols[b_], axis=0)
-            for a in range(k):
-                macc[len(pairs) + a, :] += jnp.sum(cols[a] * yw, axis=0)
+                w = None
+            if layout == "identity":
+                # Gram via the product identity: accumulate power sums
+                # M_m = Σ w·B_m(x̂) for m ≤ 2d (G_ij is rebuilt in the
+                # solve), plus the k y-moments. No pair products at all.
+                n_pow = 2 * degree + 1
+                cols = _basis_cols(xhat, basis, 2 * degree)
+                yw = y if w is None else y * w
+                for m in range(n_pow):
+                    cm = cols[m] if w is None else cols[m] * w
+                    macc[m, :] += jnp.sum(cm, axis=0)
+                for a in range(k):
+                    macc[n_pow + a, :] += jnp.sum(cols[a] * yw, axis=0)
+            else:
+                pairs = _pairs(k)
+                cols = _basis_cols(xhat, basis, degree)
+                cols_w = cols if w is None else [c_ * w for c_ in cols]
+                yw = y if w is None else y * w
+                for p, (a, b_) in enumerate(pairs):
+                    macc[p, :] += jnp.sum(cols_w[a] * cols[b_], axis=0)
+                for a in range(k):
+                    macc[len(pairs) + a, :] += jnp.sum(cols[a] * yw, axis=0)
             return 0
 
         jax.lax.fori_loop(0, n_chunks, pass1, 0)
@@ -258,7 +320,7 @@ def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, macc, *rest
             packed = jnp.sum(macc[:, 0:128], axis=1)  # (P,) global moments
 
         # ---- in-kernel solve (replicated: identical on every chip) ----
-        coeffs = _solve_equilibrated_ridge(packed, k, rcond)
+        coeffs = _solve_equilibrated_ridge(packed, k, rcond, layout, basis)
 
         # ---- pass 2: fitted continuation + exercise select ----
         def pass2(c, _):
@@ -295,6 +357,288 @@ def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, macc, *rest
         out_sq_ref[...] = jnp.sum(v * v).reshape(1, 1)
 
 
+def _book_kernel(scal_ref, ks_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, macc,
+                 *, n_steps, n_rows, chunk_rows, basis, degree, american,
+                 n_strikes, mat_steps=None):
+    """Strike-batched mega-kernel: one backward induction over a whole book.
+
+    All strikes share the S column read (the step's only HBM traffic), the
+    standardized-basis power sums, and the Cholesky factorization of the
+    Gram (G never depends on K); only the k rhs-moments, the triangular
+    back-solves, and the exercise select are per-strike. V carries are
+    stacked on the leading axis of one VMEM scratch.
+
+    ``mat_steps`` (static per-option maturity step indices, all ≤ n_steps)
+    enables mixed-maturity books on the shared grid: option s's V plane is
+    held at 0 above its maturity, payoff-initialized exactly at t == m_s,
+    and stepped normally below — so shorter-dated options are discounted
+    from their own maturity, not the grid's.
+    """
+    k = degree + 1
+    layout, _ = _moment_layout(basis, degree)
+    n_g = (2 * degree + 1) if layout == "identity" else len(_pairs(k))
+    i = pl.program_id(0)
+    t = n_steps - i
+
+    rdt = scal_ref[0]
+    phi = scal_ref[1]
+    rcond = scal_ref[2]
+    disc = jnp.exp(-rdt)
+    n_chunks = n_rows // chunk_rows
+
+    mats = mat_steps if mat_steps is not None else (n_steps,) * n_strikes
+
+    @pl.when(i == 0)
+    def _maturity():
+        def body(c, _):
+            sl = pl.ds(c * chunk_rows, chunk_rows)
+            S = s_ref[0, sl, :]
+            for s in range(n_strikes):
+                if mats[s] == n_steps:
+                    V[s, sl, :] = jnp.maximum(phi * (S - ks_ref[s]), 0.0)
+                else:
+                    # shorter-dated: nothing alive above its maturity
+                    V[s, sl, :] = jnp.zeros((chunk_rows, LANES), jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    @pl.when(i > 0)
+    def _step():
+        mean = stats_ref[t]
+        inv_std = stats_ref[n_steps + 1 + t]
+
+        # ---- pass 1: shared Gram head + per-strike rhs moments ----
+        macc[...] = jnp.zeros_like(macc)
+
+        def pass1(c, _):
+            sl = pl.ds(c * chunk_rows, chunk_rows)
+            S = s_ref[0, sl, :]
+            xhat = (S - mean) * inv_std
+            if layout == "identity":
+                cols = _basis_cols(xhat, basis, 2 * degree)
+                for m in range(n_g):
+                    macc[m, :] += jnp.sum(cols[m], axis=0)
+            else:
+                cols = _basis_cols(xhat, basis, degree)
+                for p, (a, b_) in enumerate(_pairs(k)):
+                    macc[p, :] += jnp.sum(cols[a] * cols[b_], axis=0)
+            for s in range(n_strikes):
+                y = disc * V[s, sl, :]
+                for a in range(k):
+                    macc[n_g + s * k + a, :] += jnp.sum(cols[a] * y, axis=0)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, pass1, 0)
+        packed = jnp.sum(macc[...], axis=1)
+
+        # ---- one factorization, n_strikes back-solves ----
+        g_raw = _g_raw_fn(packed, k, layout, basis)
+        L, d, G = _factor_equilibrated_ridge(g_raw, k, rcond)
+        coeffs = [
+            _solve_factored(L, d, G, [packed[n_g + s * k + a] for a in range(k)], k)
+            for s in range(n_strikes)
+        ]
+
+        # ---- pass 2: per-strike fitted continuation + exercise ----
+        def pass2(c, _):
+            sl = pl.ds(c * chunk_rows, chunk_rows)
+            S = s_ref[0, sl, :]
+            if american:
+                xhat = (S - mean) * inv_std
+                cols = _basis_cols(xhat, basis, degree)
+            for s in range(n_strikes):
+                y = disc * V[s, sl, :]
+                if american:
+                    fitted = cols[0] * coeffs[s][0]
+                    for a in range(1, k):
+                        fitted = fitted + cols[a] * coeffs[s][a]
+                    cont = jnp.maximum(fitted, 0.0)  # Q2
+                    ex = jnp.maximum(phi * (S - ks_ref[s]), 0.0)
+                    mask = (ex > 0.0) & (ex > cont)
+                    stepped = jnp.where(mask, ex, y)
+                else:
+                    stepped = y
+                if mats[s] == n_steps:
+                    V[s, sl, :] = stepped
+                else:
+                    # mixed maturity: payoff-init at own maturity, step
+                    # below it, hold 0 above (t is traced; static unroll
+                    # keeps the full-maturity path branch-free)
+                    pay = jnp.maximum(phi * (S - ks_ref[s]), 0.0)
+                    V[s, sl, :] = jnp.where(
+                        t == mats[s], pay, jnp.where(t < mats[s], stepped, y)
+                    )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, pass2, 0)
+
+    @pl.when(i == n_steps)
+    def _emit():
+        # Per-strike Σ and ΣV², staged as lane-vectors in the (dead) moment
+        # accumulators, then reduced to the (n_strikes, 1) outputs in one
+        # full-ref store each (Mosaic cannot store scalars to VMEM slices).
+        for s in range(n_strikes):
+            v = V[s]
+            macc[s, :] = jnp.sum(v, axis=0)
+            macc[n_strikes + s, :] = jnp.sum(v * v, axis=0)
+        out_ref[:, 0] = jnp.sum(macc[...], axis=1)[:n_strikes]
+        out_sq_ref[:, 0] = jnp.sum(macc[...], axis=1)[n_strikes:2 * n_strikes]
+
+
+def _run_book(scalars, strikes, stats, paths_blocks, n_steps, n_rows, basis,
+              degree, american, interpret, mat_steps=None):
+    n_strikes = strikes.shape[0]
+    k = degree + 1
+    layout, _ = _moment_layout(basis, degree)
+    n_g = (2 * degree + 1) if layout == "identity" else len(_pairs(k))
+    P = max(n_g + n_strikes * k, 2 * n_strikes)
+    kernel = functools.partial(
+        _book_kernel,
+        n_steps=n_steps,
+        n_rows=n_rows,
+        chunk_rows=_chunk_rows_for(n_rows),
+        basis=basis,
+        degree=degree,
+        american=american,
+        n_strikes=n_strikes,
+        mat_steps=mat_steps,
+    )
+    out_shape = jax.ShapeDtypeStruct((n_strikes, 1), jnp.float32)
+    out_spec = pl.BlockSpec((n_strikes, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out, out_sq = pl.pallas_call(
+        kernel,
+        out_shape=(out_shape, out_shape),
+        grid=(n_steps + 1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, n_rows, LANES),
+                lambda i: (n_steps - i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(out_spec, out_spec),
+        scratch_shapes=[
+            pltpu.VMEM((n_strikes, n_rows, LANES), jnp.float32),  # V per strike
+            pltpu.VMEM((P, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(scalars, strikes, stats, paths_blocks)
+    return jnp.concatenate([out[:, 0], out_sq[:, 0]])
+
+
+_run_book_jit = jax.jit(
+    _run_book,
+    static_argnames=("n_steps", "n_rows", "basis", "degree", "american",
+                     "interpret", "mat_steps"),
+)
+
+
+def lsmc_book_megakernel(
+    paths_tm: jnp.ndarray,
+    strikes,
+    r,
+    dt,
+    phi: float,
+    basis: str = "chebyshev",
+    degree: int = 4,
+    rcond: float = 1e-6,
+    american: bool = True,
+    mean_t: Optional[jnp.ndarray] = None,
+    inv_std_t: Optional[jnp.ndarray] = None,
+    interpret=None,
+    maturity_steps=None,
+):
+    """Price a vanilla strike grid in ONE kernel on shared paths.
+
+    Production book pricing at mega-kernel speed (no reference equivalent —
+    the reference prices one option per run, `american_monte_carlo.py`
+    drives single configs). vs ``n_strikes`` separate mega-kernel runs,
+    this shares per step: the S column HBM read, the basis power sums
+    (unweighted Gram is strike-independent), and the Cholesky factorization;
+    only rhs moments / back-solves / exercise selects scale with strikes.
+
+    VMEM budget: the per-strike V carries need ``n_strikes · n_paths · 4``
+    bytes resident (e.g. 16 strikes × 512k paths = 32 MB); a ValueError
+    guards the ~90 MB practical ceiling. Fit-on-all-paths regression only
+    (SURVEY Q1 default mode; ITM-weighted Grams differ per strike, which
+    would forfeit the sharing — use per-strike pricing for that).
+
+    ``maturity_steps``: optional per-option maturity step indices (static
+    ints in 1..n_steps) for mixed-maturity books on the shared grid —
+    option s is payoff-initialized at its own maturity step and priced by
+    backward induction only below it.
+
+    Returns ``(prices, stderrs)``, each ``(n_strikes,)``.
+    """
+    n_steps = paths_tm.shape[0] - 1
+    if paths_tm.ndim == 3:
+        if paths_tm.shape[2] != LANES or paths_tm.shape[1] % 8:
+            raise ValueError(
+                f"blocked paths must be (T+1, 8k, {LANES}), got {paths_tm.shape}"
+            )
+        n_paths = paths_tm.shape[1] * LANES
+    else:
+        n_paths = paths_tm.shape[1]
+    if n_paths % (8 * LANES):
+        raise ValueError(
+            f"book megakernel needs n_paths divisible by {8 * LANES}, got {n_paths}"
+        )
+    strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
+    n_strikes = strikes.shape[0]
+    if maturity_steps is not None:
+        maturity_steps = tuple(int(m) for m in maturity_steps)
+        if len(maturity_steps) != n_strikes:
+            raise ValueError(
+                f"maturity_steps has {len(maturity_steps)} entries for "
+                f"{n_strikes} strikes"
+            )
+        if any(m < 1 or m > n_steps for m in maturity_steps):
+            raise ValueError(f"maturity_steps must lie in 1..{n_steps}")
+        if all(m == n_steps for m in maturity_steps):
+            maturity_steps = None
+    vmem_v = n_strikes * n_paths * 4
+    if vmem_v > 90 * 1024 * 1024:
+        raise ValueError(
+            f"book V carries need {vmem_v / 2**20:.0f} MB VMEM (> 90 MB): "
+            f"{n_strikes} strikes × {n_paths} paths; shard the book or paths"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n_rows = n_paths // LANES
+    path_axes = 1 if paths_tm.ndim == 2 else (1, 2)
+    if mean_t is None:
+        mean_t = jnp.mean(paths_tm, axis=path_axes)
+        mean_b = mean_t.reshape((-1,) + (1,) * (paths_tm.ndim - 1))
+        var = jnp.mean(jnp.square(paths_tm - mean_b), axis=path_axes)
+        inv_std_t = 1.0 / jnp.maximum(jnp.sqrt(var), 1e-6)
+    scalars = jnp.stack(
+        [
+            jnp.asarray(r * dt, jnp.float32),
+            jnp.asarray(phi, jnp.float32),
+            jnp.asarray(rcond, jnp.float32),
+        ]
+    )
+    stats = jnp.concatenate(
+        [mean_t.astype(jnp.float32), inv_std_t.astype(jnp.float32)]
+    )
+    blocks = (paths_tm if paths_tm.ndim == 3
+              else paths_tm.reshape(n_steps + 1, n_rows, LANES))
+    sums = _run_book_jit(scalars, strikes, stats, blocks, n_steps, n_rows,
+                         basis, degree, american, interpret,
+                         mat_steps=maturity_steps)
+    price = sums[:n_strikes] / n_paths
+    var = jnp.maximum(sums[n_strikes:] / n_paths - price * price, 0.0)
+    stderr = jnp.sqrt(var / n_paths)
+    return price, stderr
+
+
 def _run(scalars, stats, paths_blocks, n_steps, n_rows, basis, degree, american,
          barrier, itm_weights, interpret, ring_axis=None, ring_size=1):
     kernel = functools.partial(
@@ -310,8 +654,7 @@ def _run(scalars, stats, paths_blocks, n_steps, n_rows, basis, degree, american,
         ring_axis=ring_axis,
         ring_size=ring_size,
     )
-    k = degree + 1
-    P = len(_pairs(k)) + k
+    _, P = _moment_layout(basis, degree)
     scratch_shapes = [
         pltpu.VMEM((n_rows, LANES), jnp.float32),  # resident V carry
         pltpu.VMEM((P, LANES), jnp.float32),       # moment accumulators

@@ -48,8 +48,83 @@ def test_monotone_in_strike(paths):
     assert (np.diff(p, 2) > -0.05).all()
 
 
+def test_mega_book_matches_xla(paths):
+    """The strike-batched mega-kernel shares Gram/Cholesky across strikes;
+    prices must agree with the vmapped XLA induction to the characterized
+    engine gap (boundary-flip MC noise dominates at 32k paths)."""
+    strikes = jnp.asarray([85.0, 95.0, 100.0, 115.0])
+    xla = price_strike_grid(paths, strikes, M.r, 1.0, option_type="put",
+                            american=True, spec=SPEC)
+    mega = price_strike_grid(paths, strikes, M.r, 1.0, option_type="put",
+                             american=True, spec=SPEC, engine="mega")
+    np.testing.assert_allclose(np.asarray(mega.prices), np.asarray(xla.prices),
+                               atol=8e-3)
+    np.testing.assert_allclose(np.asarray(mega.stderrs), np.asarray(xla.stderrs),
+                               rtol=0.03)
+    assert mega.cashflows is None and mega.exercise_times is None
+
+
+def test_mega_book_european_exact(paths):
+    """European book: no exercise decisions, so mega and XLA agree to f32
+    accumulation noise."""
+    strikes = jnp.asarray([90.0, 110.0])
+    xla = price_strike_grid(paths, strikes, M.r, 1.0, option_type="call",
+                            american=False, spec=SPEC)
+    mega = price_strike_grid(paths, strikes, M.r, 1.0, option_type="call",
+                             american=False, spec=SPEC, engine="mega")
+    np.testing.assert_allclose(np.asarray(mega.prices), np.asarray(xla.prices),
+                               atol=2e-4)
+
+
+def test_mega_book_rejects_itm_weights(paths):
+    with pytest.raises(ValueError, match="itm_weights"):
+        price_strike_grid(paths, jnp.asarray([100.0]), M.r, 1.0,
+                          spec=RegressionSpec(degree=4, regress_on="itm"),
+                          engine="mega")
+
+
 def test_book_shapes(paths):
     book = price_strike_grid(paths, jnp.asarray([95.0, 105.0]), M.r, 1.0, spec=SPEC)
     assert book.prices.shape == (2,)
     assert book.cashflows.shape == (2, 32_768)
     assert book.exercise_times.shape == (2, 32_768)
+
+
+def test_mixed_book_mega_matches_bucketed_xla(paths):
+    """Mixed maturities in one mega-kernel: option s's induction is masked
+    to its own maturity step; must match pricing each maturity bucket on a
+    sliced grid with the XLA engine."""
+    from amcx.book import price_mixed_book
+
+    strikes = jnp.asarray([90.0, 100.0, 100.0, 110.0])
+    mats = [20, 20, 10, 5]
+    xla = price_mixed_book(paths, strikes, mats, M.r, 1.0, option_type="put",
+                           american=True, spec=SPEC)
+    mega = price_mixed_book(paths, strikes, mats, M.r, 1.0, option_type="put",
+                            american=True, spec=SPEC, engine="mega")
+    np.testing.assert_allclose(np.asarray(mega.prices), np.asarray(xla.prices),
+                               atol=8e-3)
+    np.testing.assert_allclose(np.asarray(mega.stderrs), np.asarray(xla.stderrs),
+                               rtol=0.05)
+
+
+def test_mixed_book_shorter_maturity_cheaper(paths):
+    """American put value is nondecreasing in maturity (same paths)."""
+    from amcx.book import price_mixed_book
+
+    strikes = jnp.asarray([100.0, 100.0, 100.0])
+    mats = [5, 10, 20]
+    res = price_mixed_book(paths, strikes, mats, M.r, 1.0, option_type="put",
+                           american=True, spec=SPEC, engine="mega")
+    p = np.asarray(res.prices)
+    assert p[0] < p[1] < p[2]
+
+
+def test_mixed_book_validates(paths):
+    from amcx.book import price_mixed_book
+
+    with pytest.raises(ValueError, match="maturity_steps"):
+        price_mixed_book(paths, jnp.asarray([100.0, 90.0]), [20], M.r, 1.0)
+    with pytest.raises(ValueError, match="1[.][.]20"):
+        price_mixed_book(paths, jnp.asarray([100.0]), [25], M.r, 1.0,
+                         engine="mega")

@@ -12,6 +12,8 @@ This catches sign/discounting/exercise bugs that config-specific tests can
 miss.
 """
 
+import zlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -47,7 +49,11 @@ CONFIGS = [
 def test_no_arbitrage_bounds_all_engines(cfg):
     m = MarketParams(cfg["S0"], cfg["r"], cfg["sigma"])
     sim = SimConfig(n_paths=32_768, n_steps=20)
-    paths = simulate_gbm(jax.random.key(hash(str(cfg)) % 2**31), m, cfg["T"], sim)
+    # zlib.crc32, NOT hash(): str hashes are salted per process, which made
+    # the path RNG key differ between pytest runs (observed tail flakes).
+    paths = simulate_gbm(
+        jax.random.key(zlib.crc32(str(cfg).encode()) % 2**31), m, cfg["T"], sim
+    )
     spec = RegressionSpec(degree=4)
     dt = cfg["T"] / 20
     phi = 1.0 if cfg["ot"] == "call" else -1.0

@@ -107,3 +107,36 @@ def test_no_dividend_call_bias():
     # MC stderr of the truth
     assert abs(float(p_itm4) - oracle) < err_all
     assert abs(float(p_itm6) - oracle) < 0.05
+
+
+def test_book_megakernel_onchip(paths):
+    """Strike-batched book kernel lowers on hardware and matches per-strike
+    mega-kernel prices (endpoints are bitwise-identical recursions)."""
+    import jax.numpy as jnp
+
+    from amcx.ops.lsmc_megakernel import lsmc_book_megakernel
+
+    strikes = jnp.asarray([90.0, 100.0, 110.0])
+    bp, bs = lsmc_book_megakernel(paths, strikes, M.r, 1.0 / 50, -1.0, degree=4)
+    for i, K in enumerate([90.0, 100.0, 110.0]):
+        single = float(lsmc_price_megakernel(paths, K, M.r, 1.0 / 50, -1.0, degree=4))
+        assert abs(float(bp[i]) - single) < 1e-5, (K, float(bp[i]), single)
+    assert (np.diff(np.asarray(bp)) > 0).all()
+
+
+def test_mixed_book_megakernel_onchip(paths):
+    """Per-option maturity masking lowers on hardware; shorter-dated puts
+    are worth less and bucket-XLA agrees."""
+    import jax.numpy as jnp
+
+    from amcx.book import price_mixed_book
+
+    strikes = jnp.asarray([100.0, 100.0, 100.0])
+    mats = [10, 25, 50]
+    mega = price_mixed_book(paths, strikes, mats, M.r, 1.0, "put", True,
+                            SPEC, engine="mega")
+    xla = price_mixed_book(paths, strikes, mats, M.r, 1.0, "put", True,
+                           SPEC, engine="xla")
+    p = np.asarray(mega.prices)
+    assert p[0] < p[1] < p[2]
+    np.testing.assert_allclose(p, np.asarray(xla.prices), atol=5e-3)
