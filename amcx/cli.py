@@ -26,6 +26,7 @@ import json
 import sys
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -53,6 +54,11 @@ def _reg_sim_args(p: argparse.ArgumentParser):
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--antithetic", action="store_true")
     p.add_argument("--backend", choices=["xla", "pallas"], default="xla")
+    p.add_argument("--qmc", action="store_true",
+                   help="scrambled-Sobol path generation (variance reduction)")
+    p.add_argument("--brownian-bridge", action="store_true",
+                   help="with --qmc: bridge dimension ordering (better on "
+                        "long step grids)")
     p.add_argument("--engine", choices=["xla", "fused", "mega"], default="xla")
     p.add_argument("--seed", type=int, default=42)
 
@@ -77,6 +83,20 @@ def _emit(payload, as_json):
     return payload
 
 
+
+def _gen_paths(args, market, T, sim):
+    """Path generation honoring --qmc/--brownian-bridge."""
+    if getattr(args, "qmc", False):
+        from .ops.sobol_pallas import simulate_gbm_qmc_device
+
+        return simulate_gbm_qmc_device(
+            args.seed, market, T, sim,
+            brownian_bridge=getattr(args, "brownian_bridge", False))
+    from .paths import simulate_gbm
+
+    return simulate_gbm(jax.random.key(args.seed), market, T, sim)
+
+
 def cmd_price(args):
     from .engine import lsmc_option_pricing
     from .engine_pallas import lsmc_option_pricing_fused
@@ -85,8 +105,7 @@ def cmd_price(args):
     from .paths import simulate_gbm
 
     market, product, spec, sim = _build(args)
-    key = jax.random.key(args.seed)
-    paths = simulate_gbm(key, market, product.T, sim)
+    paths = _gen_paths(args, market, product.T, sim)
     if args.engine == "mega":
         if args.plot:
             raise SystemExit("--engine mega is price-only (no --plot); "
@@ -239,6 +258,51 @@ def cmd_maxcall(args):
     return _emit(payload, args.json)
 
 
+def cmd_book(args):
+    """Price a strike (and optionally maturity) grid on shared paths."""
+    from .book import price_mixed_book, price_strike_grid
+    from .oracle import oracle_price
+    from .paths import simulate_gbm
+
+    market, product, spec, sim = _build(args)
+    paths = _gen_paths(args, market, product.T, sim)
+    strikes = [float(s) for s in args.strikes.split(",")]
+    if args.maturity_steps:
+        mats = [int(m) for m in args.maturity_steps.split(",")]
+        res = price_mixed_book(
+            paths, jnp.asarray(strikes), mats, market.r, product.T,
+            option_type=product.option_type, american=product.is_american,
+            spec=spec, engine=args.book_engine,
+        )
+    else:
+        mats = [sim.n_steps] * len(strikes)
+        res = price_strike_grid(
+            paths, jnp.asarray(strikes), market.r, product.T,
+            option_type=product.option_type, american=product.is_american,
+            spec=spec, engine=args.book_engine,
+        )
+    dt = product.T / sim.n_steps
+    rows = []
+    for i, (K, m_step) in enumerate(zip(strikes, mats)):
+        T_i = m_step * dt
+        orc = float(oracle_price(market.S0, K, T_i, market.r, market.sigma,
+                                 option_type=product.option_type,
+                                 exercise=product.exercise, q=market.q))
+        rows.append({
+            "K": K, "T": T_i, "price": float(res.prices[i]),
+            "stderr": float(res.stderrs[i]), "oracle": orc,
+            "abs_err": abs(float(res.prices[i]) - orc),
+        })
+    payload = {"engine": args.book_engine, "options": rows}
+    if not args.json:
+        for row in rows:
+            print(f"K={row['K']:8.2f} T={row['T']:5.2f}  "
+                  f"price={row['price']:9.4f} ± {row['stderr']:.4f}  "
+                  f"oracle={row['oracle']:9.4f}  |err|={row['abs_err']:.4f}")
+    _emit(payload, args.json)
+    return payload
+
+
 def cmd_preset(args):
     from .presets import get_preset
 
@@ -360,6 +424,18 @@ def build_parser():
     pm.add_argument("--seed", type=int, default=42)
     pm.add_argument("--json", action="store_true")
     pm.set_defaults(fn=cmd_maxcall)
+
+    pk = sub.add_parser("book", help="price a strike/maturity book on shared paths")
+    _market_product_args(pk)
+    _reg_sim_args(pk)
+    pk.add_argument("--strikes", required=True,
+                    help="comma-separated strike list, e.g. 90,100,110")
+    pk.add_argument("--maturity-steps", default=None,
+                    help="optional comma-separated per-option maturity step "
+                         "indices (mixed-maturity book on the shared grid)")
+    pk.add_argument("--book-engine", choices=["xla", "mega"], default="xla")
+    pk.add_argument("--json", action="store_true")
+    pk.set_defaults(fn=cmd_book)
 
     pr = sub.add_parser("preset", help="run a named BASELINE config")
     pr.add_argument("name")

@@ -335,7 +335,9 @@ def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, macc, *rest
                     fitted = fitted + cols[a] * coeffs[a]
                 cont = jnp.maximum(fitted, 0.0)  # Q2
                 ex = jnp.maximum(phi * (S - K), 0.0)
-                mask = (ex > 0.0) & (ex > cont)
+                # ex > cont ⟹ ex > 0 (cont is clamped ≥ 0), so the ITM
+                # clause of the reference's rule is implied
+                mask = ex > cont
                 if barrier:
                     mask = mask & kn  # Q4: exercise only once knocked
                 V[sl, :] = jnp.where(mask, ex, y)
@@ -455,8 +457,7 @@ def _book_kernel(scal_ref, ks_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, mac
                         fitted = fitted + cols[a] * coeffs[s][a]
                     cont = jnp.maximum(fitted, 0.0)  # Q2
                     ex = jnp.maximum(phi * (S - ks_ref[s]), 0.0)
-                    mask = (ex > 0.0) & (ex > cont)
-                    stepped = jnp.where(mask, ex, y)
+                    stepped = jnp.where(ex > cont, ex, y)  # ex>cont ⟹ ITM
                 else:
                     stepped = y
                 if mats[s] == n_steps:

@@ -234,7 +234,8 @@ def _apply_kernel(scal_ref, coef_ref, s_ref, cf_in_ref, tau_in_ref, *rest,
     cont = jnp.maximum(fitted, 0.0)  # SURVEY Q2
 
     ex = _payoff(S, K, phi)
-    mask = (ex > 0.0) & (ex > cont)
+    # ex > cont ⟹ ex > 0 (cont clamped ≥ 0): the ITM clause is implied
+    mask = ex > cont
     if knocked_ref is not None:
         mask = mask & (knocked_ref[...] > 0.0)  # SURVEY Q4
     cf_out_ref[...] = jnp.where(mask, ex, cf)

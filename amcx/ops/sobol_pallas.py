@@ -89,7 +89,11 @@ def _bits_to_uniform(u):
     return f - (1.0 - 2.0 ** -24)  # strictly inside (0, 1)
 
 
-def _sobol_gbm_kernel(params_ref, uhi_ref, ulo_ref, out_ref, *, n_steps):
+def _sobol_gbm_kernel(params_ref, uhi_ref, ulo_ref, *rest, n_steps, bridge):
+    if bridge:
+        bmat_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     S0 = params_ref[0]
     drift_dt = params_ref[1]
     vol_sdt = params_ref[2]
@@ -102,13 +106,27 @@ def _sobol_gbm_kernel(params_ref, uhi_ref, ulo_ref, out_ref, *, n_steps):
     col = jnp.sum(jnp.where(mask, uhi_ref[...], 0), axis=1, keepdims=True)
     u = jnp.bitwise_xor(col, ulo_ref[...])  # (n_steps, LANES)
     z = norm_ppf(_bits_to_uniform(u))
-    cum = drift_dt + vol_sdt * z
-    rows = jax.lax.broadcasted_iota(jnp.int32, cum.shape, 0)
-    shift = 1
-    while shift < n_steps:
-        rolled = pltpu.roll(cum, shift=shift, axis=0)
-        cum = cum + jnp.where(rows >= shift, rolled, 0.0)
-        shift *= 2
+    if bridge:
+        # Brownian-bridge ordering: W = B @ Z on the MXU (B carries the √dt
+        # scale and the dimension permutation; see
+        # `amcx.qmc.brownian_bridge_matrix`), then log-levels directly —
+        # no prefix sum.
+        W = jax.lax.dot_general(
+            bmat_ref[...], z, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # Mosaic iota is integer-only; cast to f32 after
+        trow = (jax.lax.broadcasted_iota(jnp.int32, W.shape, 0) + 1).astype(
+            jnp.float32)
+        cum = drift_dt * trow + vol_sdt * W
+    else:
+        cum = drift_dt + vol_sdt * z
+        rows = jax.lax.broadcasted_iota(jnp.int32, cum.shape, 0)
+        shift = 1
+        while shift < n_steps:
+            rolled = pltpu.roll(cum, shift=shift, axis=0)
+            cum = cum + jnp.where(rows >= shift, rolled, 0.0)
+            shift *= 2
     out_ref[0, :] = jnp.full((out_ref.shape[1],), S0, jnp.float32)
     out_ref[1:, :] = S0 * jnp.exp(cum)
 
@@ -149,30 +167,41 @@ def _direction_tables(seed: int, n_steps: int, n_paths: int):
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "n_paths", "interpret"))
-def _run(u_hi, u_lo, params, n_steps, n_paths, interpret):
-    kernel = functools.partial(_sobol_gbm_kernel, n_steps=n_steps)
+def _run(u_hi, u_lo, params, n_steps, n_paths, interpret, bmat=None):
+    kernel = functools.partial(_sobol_gbm_kernel, n_steps=n_steps,
+                               bridge=bmat is not None)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((n_steps, 128), lambda i: (0, i // 128),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_steps, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [params, u_hi, u_lo]
+    if bmat is not None:
+        in_specs.append(
+            pl.BlockSpec((n_steps, n_steps), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(bmat)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_steps + 1, n_paths), jnp.float32),
         grid=(n_paths // LANES,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((n_steps, 128), lambda i: (0, i // 128),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_steps, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (n_steps + 1, LANES), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(params, u_hi, u_lo)
+    )(*args)
 
 
 def sobol_gbm_paths(seed, S0, r, sigma, q, T, n_steps, n_paths,
-                    interpret: bool = False):
+                    interpret: bool = False, brownian_bridge: bool = False):
     """Time-major ``(n_steps+1, n_paths)`` GBM paths from scrambled-Sobol
     increments, generated on device. Power-of-two ``n_paths`` (multiple of
-    512) recommended for digital-net balance."""
+    512) recommended for digital-net balance. ``brownian_bridge`` applies
+    the bridge dimension ordering in-kernel (one small MXU matmul per block
+    instead of the prefix sum)."""
     if n_paths % LANES:
         raise ValueError(f"n_paths must be a multiple of {LANES}, got {n_paths}")
     u_hi, u_lo = _direction_tables(seed, n_steps, n_paths)
@@ -180,19 +209,30 @@ def sobol_gbm_paths(seed, S0, r, sigma, q, T, n_steps, n_paths,
     params = jnp.stack([
         jnp.asarray(S0, jnp.float32),
         jnp.asarray((r - q - 0.5 * sigma**2) * dt, jnp.float32),
-        jnp.asarray(sigma, jnp.float32) * jnp.sqrt(jnp.asarray(dt, jnp.float32)),
+        # bridge mode: B carries √dt, so the scale is σ alone
+        jnp.asarray(sigma, jnp.float32)
+        * (1.0 if brownian_bridge
+           else jnp.sqrt(jnp.asarray(dt, jnp.float32))),
     ])
+    bmat = None
+    if brownian_bridge:
+        from ..qmc import brownian_bridge_matrix
+
+        bmat = jnp.asarray(brownian_bridge_matrix(n_steps, dt), jnp.float32)
     return _run(jnp.asarray(u_hi), jnp.asarray(u_lo), params, n_steps, n_paths,
-                interpret)
+                interpret, bmat=bmat)
 
 
-def simulate_gbm_qmc_device(seed: int, market: MarketParams, T, sim: SimConfig):
+def simulate_gbm_qmc_device(seed: int, market: MarketParams, T, sim: SimConfig,
+                            brownian_bridge: bool = False):
     """`amcx.qmc.simulate_gbm_qmc` signature, kernel execution. Falls back
     to the host-scipy path on CPU backends (the kernel itself lowers under
     the interpreter, but there is no throughput reason to use it there)."""
     if jax.default_backend() == "cpu":
         from ..qmc import simulate_gbm_qmc
 
-        return simulate_gbm_qmc(seed, market, T, sim)
+        return simulate_gbm_qmc(seed, market, T, sim,
+                                brownian_bridge=brownian_bridge)
     return sobol_gbm_paths(seed, market.S0, market.r, market.sigma, market.q,
-                           T, sim.n_steps, sim.n_paths)
+                           T, sim.n_steps, sim.n_paths,
+                           brownian_bridge=brownian_bridge)

@@ -99,3 +99,67 @@ def test_device_qmc_wrapper_cpu_fallback():
     m = MarketParams(100.0, 0.01, 0.2)
     p = simulate_gbm_qmc_device(3, m, 1.0, SimConfig(n_paths=4096, n_steps=10))
     assert p.shape == (11, 4096)
+
+
+def test_bridge_matrix_covariance():
+    """B @ B.T must reproduce the Brownian covariance min(t_i, t_j)."""
+    from amcx.qmc import brownian_bridge_matrix
+
+    n, dt = 13, 0.07  # non-power-of-two: exercises uneven bisection
+    B = brownian_bridge_matrix(n, dt)
+    t = np.arange(1, n + 1) * dt
+    cov = np.minimum(t[:, None], t[None, :])
+    np.testing.assert_allclose(B @ B.T, cov, atol=1e-12)
+
+
+def test_bridge_paths_distribution_matches_increment_order():
+    """Bridged paths are the same point set re-ordered: terminal-distribution
+    moments agree with the increment ordering."""
+    sim = SimConfig(n_paths=4096, n_steps=16)
+    p_inc = np.asarray(simulate_gbm_qmc(3, M, 1.0, sim))
+    p_bb = np.asarray(simulate_gbm_qmc(3, M, 1.0, sim, brownian_bridge=True))
+    assert p_bb.shape == p_inc.shape
+    np.testing.assert_allclose(p_bb[0], 100.0)
+    # identical terminal log-mean/var up to f32 matmul noise: W_T uses
+    # dimension 0 in bridge order vs the sum of all dims in increment order,
+    # but both are exactly N(0, T) under the Sobol marginals
+    lt_i = np.log(p_inc[-1] / 100.0)
+    lt_b = np.log(p_bb[-1] / 100.0)
+    assert abs(lt_i.mean() - lt_b.mean()) < 5e-3
+    np.testing.assert_allclose(lt_i.std(), lt_b.std(), rtol=2e-2)
+
+
+def test_bridge_tightens_long_grid_european():
+    """On a long step grid the bridge ordering must not lose accuracy vs
+    increment ordering (it typically wins; assert no regression beyond
+    noise and that both beat plain-MC stderr)."""
+    sim = SimConfig(n_paths=4096, n_steps=64)
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="european")
+    want = float(bs_price(100.0, 100.0, 1.0, 0.05, 0.2, option_type="put"))
+
+    def price(paths):
+        return float(lsmc_option_pricing(paths, prod, M.r,
+                                         RegressionSpec(degree=2), False).price)
+
+    bb_err = [price(simulate_gbm_qmc(s, M, 1.0, sim, brownian_bridge=True)) - want
+              for s in range(6)]
+    inc_err = [price(simulate_gbm_qmc(s, M, 1.0, sim)) - want for s in range(6)]
+    rmse_bb = float(np.sqrt(np.mean(np.square(bb_err))))
+    rmse_inc = float(np.sqrt(np.mean(np.square(inc_err))))
+    # MC stderr at 4096 paths is ~0.11; both orderings should be far under
+    assert rmse_bb < 0.05, (rmse_bb, rmse_inc)
+    assert rmse_bb < 1.5 * rmse_inc, (rmse_bb, rmse_inc)
+
+
+def test_device_bridge_kernel_matches_host():
+    """The in-kernel B@Z matmul (interpret mode) agrees with the host/XLA
+    bridge construction on the same scrambled point set."""
+    from amcx.ops.sobol_pallas import sobol_gbm_paths
+
+    sim = SimConfig(n_paths=1024, n_steps=8)
+    host = np.asarray(simulate_gbm_qmc(5, M, 1.0, sim, brownian_bridge=True))
+    dev = np.asarray(sobol_gbm_paths(5, M.S0, M.r, M.sigma, M.q, 1.0, 8, 1024,
+                                     interpret=True, brownian_bridge=True))
+    # same seed → same scrambled net (natural vs gray-code order is a block
+    # permutation); compare sorted terminal values + Acklam-vs-scipy ppf noise
+    np.testing.assert_allclose(np.sort(dev[-1]), np.sort(host[-1]), rtol=2e-4)
