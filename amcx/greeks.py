@@ -38,7 +38,92 @@ from .engine import lsmc_option_pricing
 from .paths import simulate_gbm
 from .types import MarketParams, ProductSpec, RegressionSpec, SimConfig
 
-__all__ = ["price_and_greeks", "gamma_fd"]
+__all__ = ["price_and_greeks", "gamma_fd", "fused_price_diff"]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def fused_price_diff(paths_tm, r, K, dt, barrier, n_steps, phi, spec,
+                     american, barrier_type):
+    """LSMC price from the fused Pallas engine, differentiable w.r.t.
+    ``(paths_tm, r, K, dt)`` via a custom VJP.
+
+    The Pallas kernels define no autodiff rules, but the fixed-boundary
+    pathwise estimator (the same quantity ``jax.grad`` computes through the
+    XLA engine, where the exercise rule enters only via boolean masks)
+    needs no differentiation *through* the induction: with the boundary
+    fixed, ``price = mean(cf·e^{−r·dt·τ})`` and the cotangent w.r.t. the
+    path array is sparse — one nonzero per exercised path, at its exercise
+    step, equal to ``disc(τ)·∂payoff/∂S = disc·φ``. So the backward pass is
+    a cheap reconstruction from the engine's ``(cf, τ)`` outputs, and
+    gradients flow onward through ANY differentiable path generator (GBM,
+    Heston, local vol, …) — generalizing the closed-form GBM-only
+    :func:`fast_greeks` to arbitrary dynamics at fused-engine speed.
+
+    Barrier products carry the usual pathwise caveat (knock-probability
+    sensitivity excluded — the knock indicator is boolean in the autodiff
+    estimator too).
+    """
+    from .engine_pallas import backward_induction_fused
+
+    res = backward_induction_fused(
+        paths_tm, r, dt, K, phi, spec, barrier=barrier,
+        barrier_type=barrier_type, american=american,
+    )
+    return res.price
+
+
+def _fused_price_diff_fwd(paths_tm, r, K, dt, barrier, n_steps, phi, spec,
+                          american, barrier_type):
+    from .engine_pallas import backward_induction_fused
+
+    res = backward_induction_fused(
+        paths_tm, r, dt, K, phi, spec, barrier=barrier,
+        barrier_type=barrier_type, american=american,
+    )
+    return res.price, (r, K, dt, barrier, res.cashflows, res.exercise_times)
+
+
+def _fused_price_diff_bwd(n_steps, phi, spec, american, barrier_type,
+                          resid, g):
+    r, K, dt, barrier, cf, tau = resid
+    n = cf.shape[0]
+    disc = jnp.exp(-r * dt * tau)
+    exercised = cf > 0.0
+    # ∂price/∂S_{t,i} = (1/n)·disc_i·φ·1[τ_i = t ∧ exercised_i]
+    t_idx = jnp.arange(n_steps + 1, dtype=tau.dtype)[:, None]
+    sel = (tau[None, :] == t_idx) & exercised[None, :]
+    cot_paths = (g / n) * jnp.where(sel, (disc * phi)[None, :], 0.0)
+    # direct sensitivities of mean(cf·e^{−r·dt·τ}) to r, K, dt
+    cot_r = g * jnp.mean(-dt * tau * cf * disc)
+    cot_K = g * jnp.mean(jnp.where(exercised, -phi * disc, 0.0))
+    cot_dt = g * jnp.mean(-r * tau * cf * disc)
+    # no pathwise knock sensitivity (boolean indicator — documented caveat)
+    cot_barrier = None if barrier is None else jnp.zeros_like(barrier)
+    return cot_paths.astype(cf.dtype), cot_r, cot_K, cot_dt, cot_barrier
+
+
+fused_price_diff.defvjp(_fused_price_diff_fwd, _fused_price_diff_bwd)
+
+
+@partial(jax.jit, static_argnames=("spec", "sim", "option_type", "exercise",
+                                   "barrier_type"))
+def _fused_ad_price_greeks(key, S0, r, sigma, q, K, T, barrier, spec, sim,
+                           option_type, exercise, barrier_type):
+    n_steps = sim.n_steps
+    phi = 1.0 if option_type == "call" else -1.0
+
+    def price(S0, sigma, r, q, T):
+        market = MarketParams(S0, r, sigma, q)
+        paths = simulate_gbm(key, market, T, sim)  # differentiable XLA pathgen
+        return fused_price_diff(
+            paths, r, K, T / n_steps, barrier, n_steps, phi, spec,
+            exercise == "american", barrier_type,
+        )
+
+    p, grads = jax.value_and_grad(price, argnums=(0, 1, 2, 3, 4))(S0, sigma, r, q, T)
+    delta, vega, rho, dq, theta_T = grads
+    return p, {"delta": delta, "vega": vega, "rho": rho, "dividend_rho": dq,
+               "theta": -theta_T}
 
 
 def _xla_sim(sim: SimConfig) -> SimConfig:
@@ -91,7 +176,30 @@ def price_and_greeks(
     outputs in closed form (:func:`fast_greeks`) — no autodiff pass, so
     Greeks come at full fused-engine pricing speed. Vanilla GBM products
     only (the closed-form path derivatives assume GBM).
+    ``engine="fused-ad"`` prices with the fused Pallas engine under a custom
+    VJP (:func:`fused_price_diff`) and autodiffs only the XLA path
+    generator — the general-dynamics route: same estimator as "xla", Pallas
+    pricing speed, works for barriers and any differentiable simulator.
     """
+    if engine == "fused-ad":
+        dtype = sim.jnp_dtype
+        barrier = (None if product.barrier is None
+                   else jnp.asarray(product.barrier, dtype))
+        return _fused_ad_price_greeks(
+            key,
+            jnp.asarray(market.S0, dtype),
+            jnp.asarray(market.r, dtype),
+            jnp.asarray(market.sigma, dtype),
+            jnp.asarray(market.q, dtype),
+            jnp.asarray(product.K, dtype),
+            jnp.asarray(product.T, dtype),
+            barrier,
+            spec,
+            _xla_sim(sim),
+            product.option_type,
+            product.exercise,
+            product.barrier_type,
+        )
     if engine == "fused":
         if product.has_barrier:
             raise ValueError(
@@ -113,7 +221,7 @@ def price_and_greeks(
             product.exercise,
         )
     if engine != "xla":
-        raise ValueError(f"engine must be 'xla' or 'fused', got {engine!r}")
+        raise ValueError(f"engine must be 'xla', 'fused' or 'fused-ad', got {engine!r}")
     sim = _xla_sim(sim)
     dtype = sim.jnp_dtype
     barrier = None if product.barrier is None else jnp.asarray(product.barrier, dtype)

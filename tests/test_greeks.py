@@ -154,3 +154,71 @@ def test_fused_engine_greeks_rejects_barrier():
                        exercise="american")
     with pytest.raises(ValueError, match="vanilla"):
         price_and_greeks(jax.random.key(0), M, prod, SPEC, SIM, engine="fused")
+
+
+def test_fused_ad_matches_xla_autodiff():
+    """The custom-VJP fused pricer computes the identical fixed-boundary
+    pathwise estimator as jax.grad through the XLA engine — same key, same
+    greeks to f32 noise (both engines run the same decisions on the
+    virtual-CPU interpret path)."""
+    sim = SimConfig(n_paths=16_384, n_steps=20)
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american")
+    key = jax.random.key(11)
+    p_x, g_x = price_and_greeks(key, M, prod, RegressionSpec(degree=4), sim,
+                                engine="xla")
+    p_f, g_f = price_and_greeks(key, M, prod, RegressionSpec(degree=4), sim,
+                                engine="fused-ad")
+    np.testing.assert_allclose(float(p_f), float(p_x), rtol=2e-4)
+    for name in ("delta", "vega", "rho", "dividend_rho", "theta"):
+        np.testing.assert_allclose(float(g_f[name]), float(g_x[name]),
+                                   rtol=5e-3, atol=5e-3, err_msg=name)
+
+
+def test_fused_ad_barrier_greeks_supported():
+    """fused-ad covers barriers (same knock-sensitivity caveat as xla)."""
+    sim = SimConfig(n_paths=16_384, n_steps=20)
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american",
+                       barrier=85.0)
+    key = jax.random.key(4)
+    p_x, g_x = price_and_greeks(key, M, prod, RegressionSpec(degree=4), sim,
+                                engine="xla")
+    p_f, g_f = price_and_greeks(key, M, prod, RegressionSpec(degree=4), sim,
+                                engine="fused-ad")
+    np.testing.assert_allclose(float(p_f), float(p_x), atol=5e-3)
+    np.testing.assert_allclose(float(g_f["delta"]), float(g_x["delta"]),
+                               atol=1e-2)
+
+
+def test_fused_ad_general_dynamics():
+    """The VJP composes with a NON-GBM differentiable simulator: a CEV-like
+    local-vol Euler scheme. Delta must match central finite differences of
+    the same (fixed-key) pipeline."""
+    import jax.numpy as jnp
+
+    from amcx.greeks import fused_price_diff
+
+    n_paths, n_steps = 16_384, 20
+    dt = 1.0 / n_steps
+    key = jax.random.key(7)
+    Z = jax.random.normal(key, (n_steps, n_paths), jnp.float32)
+
+    def simulate_cev(S0, sigma, beta):
+        def step(S, z):
+            vol = sigma * (S / 100.0) ** (beta - 1.0)
+            S2 = S * jnp.exp((0.05 - 0.5 * vol**2) * dt
+                             + vol * jnp.sqrt(dt) * z)
+            return S2, S2
+        _, path = jax.lax.scan(step, jnp.full((n_paths,), S0, jnp.float32), Z)
+        return jnp.concatenate([jnp.full((1, n_paths), S0, jnp.float32), path])
+
+    def price(S0):
+        paths = simulate_cev(S0, 0.25, 0.7)
+        return fused_price_diff(paths, 0.05, 100.0, dt, None, n_steps, -1.0,
+                                RegressionSpec(degree=4), True, "down-in")
+
+    delta = float(jax.grad(price)(jnp.float32(100.0)))
+    h = 0.5
+    fd = (float(price(jnp.float32(100.0 + h))) - float(price(jnp.float32(100.0 - h)))) / (2 * h)
+    # pathwise vs FD differ by boundary terms at this path count; loose gate
+    assert abs(delta - fd) < 0.05, (delta, fd)
+    assert -1.0 < delta < 0.0
