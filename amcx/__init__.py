@@ -35,6 +35,8 @@ from .greeks import price_and_greeks, gamma_fd, fast_greeks
 from .variates import control_variate_price, ControlVariateResult
 from .models.maxcall import price_max_call, max_call_greeks
 from .book import price_strike_grid, price_mixed_book, BookResult
+from .dynamics import (HestonParams, simulate_heston, simulate_local_vol,
+                       heston_price_cf, price_option_heston)
 from .qmc import simulate_gbm_qmc, sobol_normals
 
 __version__ = "0.1.0"
@@ -85,6 +87,11 @@ __all__ = [
     "max_call_greeks",
     "price_strike_grid",
     "price_mixed_book",
+    "HestonParams",
+    "simulate_heston",
+    "simulate_local_vol",
+    "heston_price_cf",
+    "price_option_heston",
     "BookResult",
     "simulate_gbm_qmc",
     "sobol_normals",

@@ -303,6 +303,35 @@ def cmd_book(args):
     return payload
 
 
+def cmd_heston(args):
+    """Vanilla option under Heston stochastic volatility."""
+    from .dynamics import HestonParams, heston_price_cf, price_option_heston
+    from .types import ProductSpec, RegressionSpec, SimConfig
+
+    hp = HestonParams(S0=args.s0, r=args.r, q=args.q, v0=args.v0,
+                      kappa=args.kappa, theta=args.theta_v, xi=args.xi,
+                      rho=args.rho)
+    product = ProductSpec(K=args.k, T=args.t, option_type=args.option_type,
+                          exercise=args.exercise)
+    spec = RegressionSpec(basis=args.basis, degree=args.degree)
+    sim = SimConfig(n_paths=args.paths, n_steps=args.steps,
+                    antithetic=args.antithetic)
+    res = price_option_heston(jax.random.key(args.seed), hp, product, spec, sim)
+    payload = {
+        "price": round(float(res.price), 4),
+        "stderr": round(float(res.stderr), 4),
+        "cf_european": round(heston_price_cf(hp, args.k, args.t,
+                                             args.option_type), 4),
+    }
+    if not args.json:
+        ex = product.exercise.title()
+        print(f"Heston {ex} {product.option_type}: {payload['price']:.4f} "
+              f"± {payload['stderr']:.4f}  (CF European: "
+              f"{payload['cf_european']:.4f})")
+    _emit(payload, args.json)
+    return payload
+
+
 def cmd_preset(args):
     from .presets import get_preset
 
@@ -436,6 +465,30 @@ def build_parser():
     pk.add_argument("--book-engine", choices=["xla", "mega"], default="xla")
     pk.add_argument("--json", action="store_true")
     pk.set_defaults(fn=cmd_book)
+
+    ph = sub.add_parser("heston", help="vanilla option under Heston dynamics")
+    ph.add_argument("--s0", type=float, default=100.0)
+    ph.add_argument("--k", type=float, default=100.0)
+    ph.add_argument("--t", type=float, default=1.0)
+    ph.add_argument("--r", type=float, default=0.03)
+    ph.add_argument("--q", type=float, default=0.0)
+    ph.add_argument("--v0", type=float, default=0.04)
+    ph.add_argument("--kappa", type=float, default=1.5)
+    ph.add_argument("--theta-v", type=float, default=0.04,
+                    help="long-run variance θ")
+    ph.add_argument("--xi", type=float, default=0.5, help="vol of vol")
+    ph.add_argument("--rho", type=float, default=-0.7)
+    ph.add_argument("--option-type", choices=["put", "call"], default="put")
+    ph.add_argument("--exercise", choices=["european", "american"],
+                    default="american")
+    ph.add_argument("--basis", default="chebyshev")
+    ph.add_argument("--degree", type=int, default=3)
+    ph.add_argument("--paths", type=int, default=100_000)
+    ph.add_argument("--steps", type=int, default=100)
+    ph.add_argument("--antithetic", action="store_true")
+    ph.add_argument("--seed", type=int, default=42)
+    ph.add_argument("--json", action="store_true")
+    ph.set_defaults(fn=cmd_heston)
 
     pr = sub.add_parser("preset", help="run a named BASELINE config")
     pr.add_argument("name")
