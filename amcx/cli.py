@@ -59,7 +59,8 @@ def _reg_sim_args(p: argparse.ArgumentParser):
     p.add_argument("--brownian-bridge", action="store_true",
                    help="with --qmc: bridge dimension ordering (better on "
                         "long step grids)")
-    p.add_argument("--engine", choices=["xla", "fused", "mega"], default="xla")
+    p.add_argument("--engine", choices=["xla", "fused", "mega", "fusedpath"],
+                   default="xla")
     p.add_argument("--seed", type=int, default=42)
 
 
@@ -105,8 +106,18 @@ def cmd_price(args):
     from .paths import simulate_gbm
 
     market, product, spec, sim = _build(args)
-    paths = _gen_paths(args, market, product.T, sim)
-    if args.engine == "mega":
+    if args.engine == "fusedpath":
+        if args.plot:
+            raise SystemExit("--engine fusedpath is price-only (no --plot)")
+        if args.qmc:
+            raise SystemExit("--engine fusedpath generates its own paths "
+                             "in-kernel (hardware PRNG); drop --qmc")
+        from .engine import price_option
+
+        res = price_option(jax.random.key(args.seed), market, product, spec,
+                           sim, engine="fusedpath")
+    elif args.engine == "mega":
+        paths = _gen_paths(args, market, product.T, sim)
         if args.plot:
             raise SystemExit("--engine mega is price-only (no --plot); "
                              "use --engine fused for surfaces")
@@ -123,6 +134,7 @@ def cmd_price(args):
 
         res = LSMCResult(price, stderr, None, None, None)
     else:
+        paths = _gen_paths(args, market, product.T, sim)
         pricer = lsmc_option_pricing_fused if args.engine == "fused" else lsmc_option_pricing
         res = pricer(paths, product, market.r, spec, return_surface=bool(args.plot))
 

@@ -300,9 +300,33 @@ def price_option(
     `american_monte_carlo.py:465-471`).
 
     ``engine``: ``"xla"`` (reference engine), ``"fused"`` (two Pallas
-    kernels/step), or ``"mega"`` (single-kernel; price-only — no surface/τ
-    outputs, itm weights per ``spec.regress_on``).
+    kernels/step), ``"mega"`` (single-kernel; price-only — no surface/τ
+    outputs, itm weights per ``spec.regress_on``), or ``"fusedpath"``
+    (single kernel that also *generates* the paths backward in-kernel via
+    the Brownian-bridge recursion — zero path HBM traffic/storage;
+    vanilla GBM only, price/stderr only, TPU for real statistics).
     """
+    if engine == "fusedpath":
+        if return_surface:
+            raise ValueError("engine='fusedpath' is price-only")
+        if product.has_barrier:
+            raise ValueError(
+                "engine='fusedpath' generates paths backward; the knock "
+                "state needs forward history — use 'mega' for barriers"
+            )
+        from .ops.gbm_pallas import _key_to_seed
+        from .ops.lsmc_fusedpath import lsmc_price_fusedpath
+
+        price, stderr = lsmc_price_fusedpath(
+            _key_to_seed(key), market.S0, product.K, market.r, market.sigma,
+            product.T / sim.n_steps, sim.n_steps, sim.n_paths,
+            1.0 if product.option_type == "call" else -1.0, q=market.q,
+            basis=spec.basis, degree=spec.degree, rcond=spec.rcond,
+            american=product.is_american,
+            itm_weights=spec.regress_on == "itm",
+            antithetic=sim.antithetic, return_stats=True,
+        )
+        return LSMCResult(price, stderr, None, None, None)
     if engine == "fused":
         from .engine_pallas import lsmc_option_pricing_fused
         from .paths import simulate_gbm
@@ -349,7 +373,9 @@ def price_option(
         )
         return LSMCResult(price, stderr, None, None, None)
     if engine != "xla":
-        raise ValueError(f"engine must be 'xla', 'fused', or 'mega', got {engine!r}")
+        raise ValueError(
+            f"engine must be 'xla', 'fused', 'mega', or 'fusedpath', got {engine!r}"
+        )
     dtype = sim.jnp_dtype
     barrier = None if product.barrier is None else jnp.asarray(product.barrier, dtype)
     return _price_option_impl(

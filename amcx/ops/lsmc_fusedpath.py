@@ -1,0 +1,302 @@
+"""Fully-fused LSMC: path generation INSIDE the backward induction.
+
+The pipeline `gbm_paths_pallas → lsmc_price_megakernel` is bounded below by
+~800 MB of HBM traffic at 1M×100 (write the paths, read them back). But a
+Brownian path can be generated **backward** with the bridge recursion
+
+    W_T = √(T)·ξ_T,     W_t = (t/(t+1))·W_{t+1} + √(dt·t/(t+1))·ξ_t
+
+which reproduces the exact joint law of (W_1..W_T) — conditionally on
+W_{t+1}, W_t is Gaussian with mean (t/(t+1))·W_{t+1} and variance
+dt·t/(t+1), and induction gives Var(W_t) = t·dt and the Brownian covariance.
+At t = 0 the same formula collapses to W_0 = 0 identically. So the backward
+induction can *regenerate* each spot column just before pricing it:
+
+    S_t = S0·exp((r−q−σ²/2)·t·dt + σ·W_t)
+
+with W resident in VMEM next to the value carry V. The kernel has NO tensor
+inputs: path-step traffic is zero HBM bytes; pricing is pure VPU compute
+(hardware PRNG → Box-Muller ξ, bridge update, exp, moments, select).
+
+Same statistical footing as the forward kernel (counter-based hardware PRNG,
+streams keyed by (seed, t, chunk)); prices agree with the pathgen+mega
+pipeline to MC tolerance, not bit-for-bit. Standardization uses the
+closed-form GBM statistics (`amcx.paths.gbm_standardization` semantics) —
+pure conditioning, fitted values are affine-invariant. Barriers are NOT
+supported here: the knock state at step t depends on the forward path
+history min/max, which a backward generator does not know yet (use the
+forward pipeline). Exposure/τ outputs: none (price + stderr only).
+
+Reference semantics preserved: Q1 both fit modes, Q2 clamp, Q3 via the
+equilibrated ridge solve, Q5/Q7 discounting/exercise (same step structure as
+`lsmc_megakernel._mega_kernel`, which cites the reference lines).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .gbm_pallas import _box_muller
+from .lsmc_megakernel import (
+    LANES,
+    _basis_cols,
+    _chunk_rows_for,
+    _g_raw_fn,
+    _factor_equilibrated_ridge,
+    _moment_layout,
+    _pairs,
+    _solve_factored,
+)
+
+__all__ = ["lsmc_price_fusedpath"]
+
+
+def _fusedpath_kernel(seed_ref, scal_ref, stats_ref, out_ref, out_sq_ref,
+                      V, W, Sp, macc, *, n_steps, n_rows, chunk_rows, basis,
+                      degree, american, itm_weights, antithetic):
+    k = degree + 1
+    layout, P = _moment_layout(basis, degree)
+    i = pl.program_id(0)
+    t = n_steps - i
+    tf = t.astype(jnp.float32)
+
+    rdt = scal_ref[0]
+    K = scal_ref[1]
+    phi = scal_ref[2]
+    rcond = scal_ref[3]
+    sigma = scal_ref[4]
+    drift_dt = scal_ref[5]  # (r − q − σ²/2)·dt
+    dt = scal_ref[6]
+    S0 = scal_ref[7]
+    disc = jnp.exp(-rdt)
+
+    n_chunks = n_rows // chunk_rows
+    half_chunks = n_chunks // 2
+
+    def draw(c):
+        """Fresh ξ tile for (step t, chunk c); antithetic mirrors the
+        second half of the chunks onto the first half's stream."""
+        if antithetic:
+            mirror = c >= half_chunks
+            base = jnp.where(mirror, c - half_chunks, c)
+            sign = jnp.where(mirror, -1.0, 1.0)
+        else:
+            base = c
+            sign = 1.0
+        # Mosaic prng_seed takes ≤ 2 values: fold (step, chunk) into one
+        # stream index (chunk count < 2^16 at any realistic path count)
+        pltpu.prng_seed(seed_ref[0], t * 65536 + base)
+        return _box_muller((chunk_rows, LANES)) * sign
+
+    @pl.when(i == 0)
+    def _maturity():
+        wT = jnp.sqrt(dt * float(n_steps))
+
+        def body(c, _):
+            sl = pl.ds(c * chunk_rows, chunk_rows)
+            Wt = wT * draw(c)
+            W[sl, :] = Wt
+            S = S0 * jnp.exp(drift_dt * float(n_steps) + sigma * Wt)
+            V[sl, :] = jnp.maximum(phi * (S - K), 0.0)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    @pl.when(i > 0)
+    def _step():
+        mean = stats_ref[t]
+        inv_std = stats_ref[n_steps + 1 + t]
+        a = tf / (tf + 1.0)
+        bscale = jnp.sqrt(dt * a)  # √(dt·t/(t+1)); exactly 0 at t = 0
+
+        # ---- pass 1: bridge-regenerate S_t, accumulate moments ----
+        macc[...] = jnp.zeros_like(macc)
+
+        def pass1(c, _):
+            sl = pl.ds(c * chunk_rows, chunk_rows)
+            Wt = a * W[sl, :] + bscale * draw(c)
+            W[sl, :] = Wt
+            S = S0 * jnp.exp(drift_dt * tf + sigma * Wt)
+            Sp[sl, :] = S  # pass 2 re-reads from VMEM, not HBM
+            y = disc * V[sl, :]
+            xhat = (S - mean) * inv_std
+            w = ((jnp.maximum(phi * (S - K), 0.0) > 0.0).astype(jnp.float32)
+                 if itm_weights else None)
+            if layout == "identity":
+                n_pow = 2 * degree + 1
+                cols = _basis_cols(xhat, basis, 2 * degree)
+                yw = y if w is None else y * w
+                for m in range(n_pow):
+                    cm = cols[m] if w is None else cols[m] * w
+                    macc[m, :] += jnp.sum(cm, axis=0)
+                for a_ in range(k):
+                    macc[n_pow + a_, :] += jnp.sum(cols[a_] * yw, axis=0)
+            else:
+                pairs = _pairs(k)
+                cols = _basis_cols(xhat, basis, degree)
+                cols_w = cols if w is None else [c_ * w for c_ in cols]
+                yw = y if w is None else y * w
+                for p, (a_, b_) in enumerate(pairs):
+                    macc[p, :] += jnp.sum(cols_w[a_] * cols[b_], axis=0)
+                for a_ in range(k):
+                    macc[len(pairs) + a_, :] += jnp.sum(cols[a_] * yw, axis=0)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, pass1, 0)
+        packed = jnp.sum(macc[...], axis=1)
+
+        g_raw = _g_raw_fn(packed, k, layout, basis)
+        L, d, G = _factor_equilibrated_ridge(g_raw, k, rcond)
+        off = (2 * degree + 1) if layout == "identity" else len(_pairs(k))
+        coeffs = _solve_factored(L, d, G, [packed[off + a_] for a_ in range(k)], k)
+
+        # ---- pass 2: fitted continuation + exercise on the cached S ----
+        def pass2(c, _):
+            sl = pl.ds(c * chunk_rows, chunk_rows)
+            S = Sp[sl, :]
+            y = disc * V[sl, :]
+            if american:
+                xhat = (S - mean) * inv_std
+                cols = _basis_cols(xhat, basis, degree)
+                fitted = cols[0] * coeffs[0]
+                for a_ in range(1, k):
+                    fitted = fitted + cols[a_] * coeffs[a_]
+                cont = jnp.maximum(fitted, 0.0)  # Q2
+                ex = jnp.maximum(phi * (S - K), 0.0)
+                V[sl, :] = jnp.where(ex > cont, ex, y)  # ex>cont ⟹ ITM
+            else:
+                V[sl, :] = y
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, pass2, 0)
+
+    @pl.when(i == n_steps)
+    def _emit():
+        v = V[...]
+        out_ref[...] = jnp.sum(v).reshape(1, 1)
+        out_sq_ref[...] = jnp.sum(v * v).reshape(1, 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_steps", "n_rows", "basis", "degree", "american",
+                     "itm_weights", "antithetic", "interpret"),
+)
+def _run_fusedpath(seed, scalars, stats, n_steps, n_rows, basis, degree,
+                   american, itm_weights, antithetic, interpret):
+    _, P = _moment_layout(basis, degree)
+    kernel = functools.partial(
+        _fusedpath_kernel,
+        n_steps=n_steps,
+        n_rows=n_rows,
+        chunk_rows=_chunk_rows_for(n_rows),
+        basis=basis,
+        degree=degree,
+        american=american,
+        itm_weights=itm_weights,
+        antithetic=antithetic,
+    )
+    out_shape = jax.ShapeDtypeStruct((1, 1), jnp.float32)
+    out_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out, out_sq = pl.pallas_call(
+        kernel,
+        out_shape=(out_shape, out_shape),
+        grid=(n_steps + 1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(out_spec, out_spec),
+        scratch_shapes=[
+            pltpu.VMEM((n_rows, LANES), jnp.float32),  # V carry
+            pltpu.VMEM((n_rows, LANES), jnp.float32),  # W bridge carry
+            pltpu.VMEM((n_rows, LANES), jnp.float32),  # S_t stage for pass 2
+            pltpu.VMEM((_moment_layout(basis, degree)[1], LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(seed, scalars, stats)
+    return jnp.stack([out[0, 0], out_sq[0, 0]])
+
+
+def lsmc_price_fusedpath(
+    seed,
+    S0,
+    K,
+    r,
+    sigma,
+    dt,
+    n_steps: int,
+    n_paths: int,
+    phi: float,
+    q=0.0,
+    basis: str = "chebyshev",
+    degree: int = 4,
+    rcond: float = 1e-6,
+    american: bool = True,
+    itm_weights: bool = False,
+    antithetic: bool = False,
+    return_stats: bool = False,
+    interpret=None,
+):
+    """American/European vanilla GBM price with ZERO path HBM traffic.
+
+    One kernel generates the paths backward (Brownian-bridge recursion,
+    hardware PRNG) and runs the Longstaff-Schwartz induction on them as they
+    appear. ``seed`` is an int32 scalar (counter-based: the price is a pure
+    function of (seed, n_paths, n_steps)). Returns the price scalar, or
+    ``(price, stderr)`` with ``return_stats=True``.
+
+    TPU-only for statistics: the TPU interpreter stubs the PRNG with zero
+    bits, so CPU/interpret runs produce the deterministic zero-noise path
+    fan (useful for compile checks only).
+    """
+    if n_paths % (8 * LANES):
+        raise ValueError(
+            f"fusedpath needs n_paths divisible by {8 * LANES}, got {n_paths}"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if interpret is True:
+        # plain interpret mode has no prng_seed rule; the TPU interpreter
+        # stubs the PRNG (zero bits) — enough for control-flow checks
+        interpret = pltpu.InterpretParams()
+    n_rows = n_paths // LANES
+    if antithetic and (n_rows // _chunk_rows_for(n_rows)) % 2:
+        raise ValueError("antithetic fusedpath needs an even chunk count")
+    from ..paths import gbm_standardization
+    from ..types import MarketParams
+
+    mean_t, inv_std_t = gbm_standardization(
+        MarketParams(float(S0), float(r), float(sigma), float(q)),
+        float(dt) * n_steps, n_steps,
+    )
+    scalars = jnp.stack([
+        jnp.asarray(r * dt, jnp.float32),
+        jnp.asarray(K, jnp.float32),
+        jnp.asarray(phi, jnp.float32),
+        jnp.asarray(rcond, jnp.float32),
+        jnp.asarray(sigma, jnp.float32),
+        jnp.asarray((r - q - 0.5 * sigma**2) * dt, jnp.float32),
+        jnp.asarray(dt, jnp.float32),
+        jnp.asarray(S0, jnp.float32),
+    ])
+    stats = jnp.concatenate([mean_t.astype(jnp.float32),
+                             inv_std_t.astype(jnp.float32)])
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape((1,))
+    sums = _run_fusedpath(seed_arr, scalars, stats, n_steps, n_rows, basis,
+                          degree, american, itm_weights, antithetic, interpret)
+    price = sums[0] / n_paths
+    if not return_stats:
+        return price
+    var = jnp.maximum(sums[1] / n_paths - price * price, 0.0)
+    stderr = jnp.sqrt(var / n_paths)
+    return price, stderr

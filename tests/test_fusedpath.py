@@ -1,0 +1,69 @@
+"""Fused-path kernel (backward in-kernel path generation): CPU-side checks.
+
+The TPU interpreter stubs the hardware PRNG with zero bits, so statistical
+assertions live in tests_tpu/test_lsmc_kernels_tpu.py; here we verify the
+bridge math, the kernel's control flow (interpret mode), and the engine
+selector plumbing.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from amcx import MarketParams, ProductSpec, RegressionSpec, SimConfig
+from amcx.engine import price_option
+from amcx.ops.lsmc_fusedpath import lsmc_price_fusedpath
+
+
+def test_backward_bridge_law():
+    """The backward recursion W_t = t/(t+1)·W_{t+1} + √(dt·t/(t+1))·ξ must
+    reproduce the Brownian law: Var(W_t) = t·dt and Cov(W_s, W_t) = s·dt."""
+    rng = np.random.default_rng(0)
+    n_steps, n, dt = 8, 200_000, 0.125
+    W = np.sqrt(n_steps * dt) * rng.standard_normal(n)
+    Ws = {n_steps: W.copy()}
+    for t in range(n_steps - 1, 0, -1):
+        a = t / (t + 1)
+        W = a * W + np.sqrt(dt * a) * rng.standard_normal(n)
+        Ws[t] = W.copy()
+    for t in (1, 4, 8):
+        np.testing.assert_allclose(Ws[t].var(), t * dt, rtol=2e-2)
+    # covariance of W_2 with W_6 is min(2,6)·dt
+    cov = np.mean(Ws[2] * Ws[6])
+    np.testing.assert_allclose(cov, 2 * dt, rtol=5e-2)
+
+
+def test_interpret_smoke():
+    """Zero-bit PRNG (interpreter stub) → the deterministic forward curve;
+    the kernel must still run the full induction and emit finite stats."""
+    p, se = lsmc_price_fusedpath(0, 100.0, 100.0, 0.05, 0.2, 0.02, 50, 8192,
+                                 -1.0, return_stats=True)
+    assert np.isfinite(float(p)) and np.isfinite(float(se))
+    assert float(p) >= 0.0
+
+
+def test_validation():
+    with pytest.raises(ValueError, match="divisible"):
+        lsmc_price_fusedpath(0, 100.0, 100.0, 0.05, 0.2, 0.02, 50, 1000, -1.0)
+
+
+def test_engine_selector():
+    m = MarketParams(100.0, 0.05, 0.2)
+    sim = SimConfig(n_paths=8192, n_steps=20)
+    with pytest.raises(ValueError, match="price-only"):
+        price_option(jax.random.key(0), m,
+                     ProductSpec(K=100.0, T=1.0, option_type="put",
+                                 exercise="american"),
+                     RegressionSpec(), sim, return_surface=True,
+                     engine="fusedpath")
+    with pytest.raises(ValueError, match="backward"):
+        price_option(jax.random.key(0), m,
+                     ProductSpec(K=100.0, T=1.0, option_type="put",
+                                 exercise="american", barrier=80.0),
+                     RegressionSpec(), sim, engine="fusedpath")
+    res = price_option(jax.random.key(0), m,
+                       ProductSpec(K=100.0, T=1.0, option_type="put",
+                                   exercise="american"),
+                       RegressionSpec(), sim, engine="fusedpath")
+    assert np.isfinite(float(res.price))
