@@ -49,6 +49,7 @@ __all__ = [
     "price_option_sharded",
     "price_option_shardmap",
     "price_option_shardmap_mega",
+    "price_book_shardmap",
     "init_multihost",
 ]
 
@@ -278,4 +279,82 @@ def price_option_shardmap_mega(
         K,
         T,
         barrier,
+    )
+
+
+def price_book_shardmap(
+    key: jax.Array,
+    market: MarketParams,
+    strikes,
+    T,
+    option_type: str = "put",
+    american: bool = True,
+    spec: RegressionSpec = RegressionSpec(),
+    sim: SimConfig = SimConfig(),
+    mesh: Optional[Mesh] = None,
+):
+    """A whole strike book on the mesh: paths sharded, strikes vmapped.
+
+    Every rank simulates its own path shard once; the vmapped backward
+    induction threads ``axis_name`` into each strike's regression, so the
+    per-step cross-chip traffic is one batched ``psum`` of the
+    ``n_strikes × ((k,k)+(k,))`` moment stack (the strike axis rides inside
+    the collective — still tiny). Prices/stderrs come back replicated.
+
+    Returns ``(prices, stderrs)``, each ``(n_strikes,)``.
+    """
+    from ..payoff import intrinsic_value
+
+    mesh = make_mesh() if mesh is None else mesh
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    if sim.n_paths % n_dev:
+        raise ValueError(f"n_paths={sim.n_paths} not divisible by mesh size {n_dev}")
+    dtype = sim.jnp_dtype
+    strikes = jnp.atleast_1d(jnp.asarray(strikes, dtype))
+    n_steps = sim.n_steps
+    dt = jnp.asarray(T, dtype) / n_steps
+
+    from jax import shard_map
+
+    from ..engine import backward_induction
+
+    @jax.jit
+    def run(key, S0, r, sigma, q, strikes):
+        def local(key, S0, r, sigma, q, strikes):
+            rank = jax.lax.axis_index(axis)
+            local_key = jax.random.fold_in(key, rank)
+            local_sim = SimConfig(
+                n_paths=sim.n_paths // n_dev,
+                n_steps=n_steps,
+                dtype=sim.dtype,
+                antithetic=sim.antithetic,
+                backend=sim.backend,
+            )
+            paths = simulate_gbm(local_key, MarketParams(S0, r, sigma, q),
+                                 T, local_sim)
+            knocked = jnp.ones(paths.shape, dtype=bool)
+
+            def one(K):
+                payoff = lambda S: intrinsic_value(S, K, option_type)
+                res = backward_induction(
+                    paths, knocked, r, dt, payoff, spec,
+                    american=american, return_surface=False, axis_name=axis,
+                )
+                return res.price, res.stderr
+
+            return jax.vmap(one)(strikes)
+
+        return shard_map(
+            local, mesh=mesh, in_specs=(P(),) * 6, out_specs=(P(), P()),
+            check_vma=False,
+        )(key, S0, r, sigma, q, strikes)
+
+    return run(
+        key,
+        jnp.asarray(market.S0, dtype),
+        jnp.asarray(market.r, dtype),
+        jnp.asarray(market.sigma, dtype),
+        jnp.asarray(market.q, dtype),
+        strikes,
     )

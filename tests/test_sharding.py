@@ -78,3 +78,28 @@ def test_shard_paths_placement(mesh):
     sharded = shard_paths(paths, mesh)
     assert sharded.sharding == path_sharding(mesh)
     np.testing.assert_array_equal(np.asarray(sharded), np.asarray(paths))
+
+
+def test_book_shardmap_matches_single_device():
+    """Distributed book: sharded paths + vmapped strikes, psum'd moments.
+    Each rank folds its own key, so agreement is statistical (5 stderr)."""
+    from amcx.book import price_strike_grid
+    from amcx.parallel.sharding import make_mesh, price_book_shardmap
+    from amcx.paths import simulate_gbm
+
+    m = MarketParams(100.0, 0.03, 0.2)
+    sim = SimConfig(n_paths=32_768, n_steps=20)
+    strikes = jnp.asarray([90.0, 100.0, 110.0])
+    spec = RegressionSpec(degree=4)
+    prices, stderrs = price_book_shardmap(
+        jax.random.key(0), m, strikes, 1.0, "put", True, spec, sim,
+        mesh=make_mesh(),
+    )
+    paths = simulate_gbm(jax.random.key(1), m, 1.0, sim)
+    ref = price_strike_grid(paths, strikes, m.r, 1.0, "put", True, spec)
+    for i in range(3):
+        se = max(float(stderrs[i]), float(ref.stderrs[i]))
+        assert abs(float(prices[i]) - float(ref.prices[i])) < 5 * se
+    # monotone in strike (puts)
+    p = np.asarray(prices)
+    assert (np.diff(p) > 0).all()
