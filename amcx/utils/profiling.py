@@ -20,7 +20,8 @@ from dataclasses import dataclass
 
 import jax
 
-__all__ = ["annotate", "trace", "Throughput", "enable_nan_checks"]
+__all__ = ["annotate", "trace", "Throughput", "enable_nan_checks",
+           "device_op_times"]
 
 
 def annotate(name: str):
@@ -74,3 +75,44 @@ class Throughput:
             "seconds_per_iter": dt,
             "path_steps_per_sec": self.n_paths * self.n_steps / dt,
         }
+
+
+def device_op_times(fn, *args, top: int = 15, tmpdir: str = None):
+    """Per-op device time of one execution of ``fn(*args)``.
+
+    Traces a single (post-warmup) run with ``jax.profiler`` and aggregates
+    event durations from the device plane via ``jax.profiler.ProfileData``
+    — the ground truth for where device time goes (host wall-clock through
+    the TPU tunnel carries ~30 ms of sync noise per call). Returns a list
+    of ``(op_name, milliseconds)`` sorted descending, truncated to ``top``.
+
+    Works on any backend (the device plane is matched by name; on CPU the
+    plane is the host). Typical use::
+
+        rows = device_op_times(jax.jit(price), paths)
+        for name, ms in rows: print(f"{ms:8.3f} ms  {name}")
+    """
+    import glob
+    import tempfile
+
+    from jax.profiler import ProfileData
+
+    out = jax.block_until_ready(fn(*args))  # warmup/compile outside the trace
+    del out
+    d = tmpdir or tempfile.mkdtemp(prefix="amcx_prof_")
+    with trace(d):
+        jax.block_until_ready(fn(*args))
+    files = sorted(glob.glob(f"{d}/**/*.xplane.pb", recursive=True))
+    if not files:
+        raise RuntimeError(f"no xplane.pb produced under {d}")
+    pd = ProfileData.from_file(files[-1])
+    agg = {}
+    for plane in pd.planes:
+        name = plane.name.lower()
+        if "tpu" not in name and "gpu" not in name and "cpu" not in name:
+            continue
+        for line in plane.lines:
+            for ev in line.events:
+                agg[ev.name] = agg.get(ev.name, 0) + ev.duration_ns
+    rows = sorted(agg.items(), key=lambda kv: -kv[1])[:top]
+    return [(n, ns / 1e6) for n, ns in rows]

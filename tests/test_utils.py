@@ -82,3 +82,14 @@ def test_throughput_harness():
 def test_trace_annotation_context():
     with annotate("simulate"):
         _ = _run(0)
+
+
+def test_device_op_times():
+    """Profile parsing works on the CPU plane too."""
+    import jax.numpy as jnp
+
+    from amcx.utils.profiling import device_op_times
+
+    f = jax.jit(lambda x: jnp.sin(x) @ x)
+    rows = device_op_times(f, jnp.ones((256, 256)))
+    assert rows and all(ms >= 0 for _, ms in rows)
