@@ -199,6 +199,7 @@ def price_option_heston(
     product: ProductSpec,
     spec: RegressionSpec = RegressionSpec(),
     sim: SimConfig = SimConfig(),
+    return_surface: bool = False,
 ) -> LSMCResult:
     """American/European vanilla under Heston via the standard LSMC engine.
 
@@ -206,6 +207,10 @@ def price_option_heston(
     with the total-degree cross-term basis (`amcx.models.maxcall.max_call_fit`
     machinery, mode="total") — under stochastic volatility the S-only
     regression is misspecified, since the exercise boundary moves with v.
+
+    ``return_surface=True`` emits the dense continuation surface, which
+    drops straight into `amcx.exposures.compute_ccr_exposures` for CCR
+    profiles under stochastic volatility.
     """
     from .models.maxcall import max_call_fit
 
@@ -220,6 +225,6 @@ def price_option_heston(
     fit_fn = partial(max_call_fit, mode="total")
     return backward_induction(
         X, knocked, hp.r, dt, payoff, spec,
-        american=product.is_american, return_surface=False,
+        american=product.is_american, return_surface=return_surface,
         fit_fn=fit_fn, fit_fn_returns_coeffs=True,
     )

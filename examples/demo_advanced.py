@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Demo: the round-2 desk capabilities beyond the reference notebook.
+
+Walks through the production-serving surface added on top of the core LSMC
+parity: book pricing (strike grids and mixed maturities in one kernel),
+Brownian-bridge quasi-Monte Carlo, general-dynamics Greeks through the
+custom-VJP fused pricer, Heston stochastic volatility with CCR exposures,
+and the zero-HBM fused-path engine.
+
+Run:  python examples/demo_advanced.py
+On a TPU host everything runs on the chip; on CPU the Pallas kernels use
+interpret mode (slow but identical logic) and the hardware-PRNG engines
+fall back where noted.
+"""
+
+import pathlib
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from amcx import (  # noqa: E402
+    HestonParams,
+    MarketParams,
+    ProductSpec,
+    RegressionSpec,
+    SimConfig,
+    bs_price,
+    compute_ccr_exposures,
+    heston_price_cf,
+    price_and_greeks,
+    price_mixed_book,
+    price_option_heston,
+    price_strike_grid,
+    simulate_gbm,
+    simulate_gbm_qmc,
+)
+
+MARKET = MarketParams(95.0, 0.01, 0.2)
+SPEC = RegressionSpec(degree=4)
+
+
+def section(title):
+    print(f"\n=== {title} ===")
+
+
+def main():
+    on_tpu = jax.default_backend() != "cpu"
+    key = jax.random.key(0)
+
+    # ------------------------------------------------------------------
+    section("Book pricing: 8 strikes on one shared path set")
+    sim = SimConfig(n_paths=65_536, n_steps=50)
+    paths = simulate_gbm(key, MARKET, 1.0, sim)
+    strikes = jnp.linspace(85.0, 115.0, 8)
+    engine = "mega" if sim.n_paths % 4096 == 0 else "xla"
+    book = price_strike_grid(paths, strikes, MARKET.r, 1.0, "put", True,
+                             SPEC, engine=engine)
+    for K, p, se in zip(strikes, book.prices, book.stderrs):
+        print(f"  K={float(K):6.1f}  {float(p):8.4f} ± {float(se):.4f}")
+
+    # ------------------------------------------------------------------
+    section("Mixed maturities: same strike, 3 tenors, one kernel")
+    mixed = price_mixed_book(paths, jnp.asarray([100.0] * 3), [10, 25, 50],
+                             MARKET.r, 1.0, "put", True, SPEC, engine=engine)
+    for m_, p in zip([0.2, 0.5, 1.0], mixed.prices):
+        print(f"  T={m_:.1f}y  {float(p):8.4f}")
+
+    # ------------------------------------------------------------------
+    section("Brownian-bridge QMC: European put error at 4096 paths")
+    simq = SimConfig(n_paths=4096, n_steps=64)
+    bs = float(bs_price(95.0, 100.0, 1.0, 0.01, 0.2, option_type="put"))
+    from amcx import lsmc_option_pricing
+
+    prod_e = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="european")
+    for label, kwargs in [("increment order", {}), ("bridge order",
+                                                    dict(brownian_bridge=True))]:
+        pq = simulate_gbm_qmc(0, MARKET, 1.0, simq, **kwargs)
+        price = float(lsmc_option_pricing(pq, prod_e, MARKET.r,
+                                          RegressionSpec(degree=2), False).price)
+        print(f"  Sobol {label:15s}: {price:8.4f}  |err vs BS {bs:.4f}| ="
+              f" {abs(price - bs):.4f}")
+
+    # ------------------------------------------------------------------
+    section("Greeks at Pallas speed through the custom VJP (fused-ad)")
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american")
+    p, g = price_and_greeks(key, MARKET, prod, SPEC,
+                            SimConfig(n_paths=65_536, n_steps=50),
+                            engine="fused-ad")
+    print(f"  price {float(p):.4f}  " +
+          "  ".join(f"{k}={float(v):+.4f}" for k, v in g.items()))
+
+    # ------------------------------------------------------------------
+    section("Heston stochastic volatility: (S, v) cross-basis American put")
+    hp = HestonParams(S0=95.0, r=0.01, q=0.0, v0=0.04, kappa=1.5,
+                      theta=0.04, xi=0.5, rho=-0.7)
+    res = price_option_heston(jax.random.key(1), hp, prod,
+                              RegressionSpec(degree=3),
+                              SimConfig(n_paths=65_536, n_steps=50),
+                              return_surface=True)
+    cf = heston_price_cf(hp, 100.0, 1.0, "put")
+    ccr = compute_ccr_exposures(res.continuation)
+    epe0 = float(np.asarray(ccr.epe)[1])
+    print(f"  American {float(res.price):.4f} ± {float(res.stderr):.4f}  "
+          f"(CF European {cf:.4f});  EPE(t=dt) = {epe0:.4f}")
+
+    # ------------------------------------------------------------------
+    if on_tpu:
+        section("Fused-path engine: price with ZERO path HBM traffic")
+        from amcx.engine import price_option
+
+        r2 = price_option(key, MARKET, prod, SPEC,
+                          SimConfig(n_paths=1 << 20, n_steps=100),
+                          engine="fusedpath")
+        print(f"  1M×100 American put in one self-generating kernel: "
+              f"{float(r2.price):.4f} ± {float(r2.stderr):.4f}")
+    else:
+        section("Fused-path engine (skipped: needs the TPU hardware PRNG)")
+
+
+if __name__ == "__main__":
+    main()

@@ -130,3 +130,19 @@ def test_heston_delta_via_fused_ad():
 
     delta = float(jax.grad(price)(jnp.float32(100.0)))
     assert -1.0 < delta < -0.2, delta
+
+
+def test_heston_ccr_exposures():
+    """The (S,v) engine's continuation surface feeds the CCR analytics."""
+    from amcx.exposures import compute_ccr_exposures
+
+    sim = SimConfig(n_paths=8192, n_steps=20)
+    res = price_option_heston(
+        jax.random.key(2), HP,
+        ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american"),
+        RegressionSpec(degree=2), sim, return_surface=True)
+    assert res.continuation.shape == (21, 8192)
+    ccr = compute_ccr_exposures(res.continuation)
+    epe = np.asarray(ccr.epe)
+    assert np.isfinite(epe[:-1]).all()
+    assert (np.asarray(ccr.pfe95)[:-1] >= epe[:-1] - 1e-6).all()
