@@ -7,6 +7,7 @@ these cannot run under the CPU-forced main suite in ``tests/``.
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -153,3 +154,28 @@ def test_device_sobol_on_hardware():
     # MC stderr at 65k paths is ~0.037; scrambled Sobol should sit well
     # inside it on every seed (typical ~0.002-0.012)
     assert max(errs) < 0.02, errs
+
+
+def test_device_sobol_bridge_on_hardware():
+    """Brownian-bridge mode of the Sobol kernel (in-kernel MXU matmul
+    against B): lowers on the chip, agrees with the host/XLA bridge path on
+    the same scrambled net, and keeps QMC-grade pricing error."""
+    from amcx import MarketParams, ProductSpec, RegressionSpec, SimConfig
+    from amcx import lsmc_option_pricing
+    from amcx.oracle import bs_price
+    from amcx.ops.sobol_pallas import sobol_gbm_paths
+    from amcx.qmc import simulate_gbm_qmc
+
+    m = MarketParams(100.0, 0.05, 0.2)
+    dev = sobol_gbm_paths(5, 100.0, 0.05, 0.2, 0.0, 1.0, 64, 8192,
+                          brownian_bridge=True)
+    host = simulate_gbm_qmc(5, m, 1.0, SimConfig(n_paths=8192, n_steps=64),
+                            brownian_bridge=True)
+    # same point set, Acklam-vs-scipy Φ⁻¹ + f32 MXU noise
+    np.testing.assert_allclose(float(jnp.mean(dev[-1])),
+                               float(jnp.mean(host[-1])), rtol=1e-4)
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="european")
+    p = float(lsmc_option_pricing(dev, prod, 0.05, RegressionSpec(degree=2),
+                                  return_surface=False).price)
+    want = float(bs_price(100.0, 100.0, 1.0, 0.05, 0.2, option_type="put"))
+    assert abs(p - want) < 0.02, (p, want)  # MC stderr here would be ~0.11
