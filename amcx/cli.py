@@ -88,6 +88,16 @@ def _emit(payload, as_json):
 def _gen_paths(args, market, T, sim):
     """Path generation honoring --qmc/--brownian-bridge."""
     if getattr(args, "qmc", False):
+        if sim.antithetic:
+            raise SystemExit(
+                "--qmc is a deterministic stratification; --antithetic "
+                "does not compose with it — drop one of the two"
+            )
+        if jax.default_backend() != "cpu" and sim.n_paths % 512:
+            raise SystemExit(
+                f"--qmc on TPU needs --paths divisible by 512 "
+                f"(got {sim.n_paths}); e.g. use a power of two"
+            )
         from .ops.sobol_pallas import simulate_gbm_qmc_device
 
         return simulate_gbm_qmc_device(
@@ -277,6 +287,11 @@ def cmd_book(args):
     from .paths import simulate_gbm
 
     market, product, spec, sim = _build(args)
+    if product.barrier is not None:
+        raise SystemExit(
+            "amcx book prices vanilla grids; barrier books are not "
+            "supported — drop --barrier or price per option with amcx price"
+        )
     paths = _gen_paths(args, market, product.T, sim)
     strikes = [float(s) for s in args.strikes.split(",")]
     if args.maturity_steps:

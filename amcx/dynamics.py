@@ -98,7 +98,10 @@ def _simulate_heston(key, S0, r, q, v0, kappa, theta, xi, rho, T, sim,
         sv = jnp.sqrt(vp)
         logS = logS + (r - q - 0.5 * vp) * dt + sv * sdt * z_s
         v = v + kappa * (theta - vp) * dt + xi * sv * sdt * z_v
-        return (logS, v), (logS, vp)
+        # emit the floored variance at the SAME time index as the emitted
+        # spot (t+1), so v_full[t] below is v_t, not v_{t-1} — the (S_t, v_t)
+        # pairing the regression state documents
+        return (logS, v), (logS, jnp.maximum(v, 0.0))
 
     init = (jnp.zeros((n,), dtype), jnp.full((n,), v0, dtype))
     _, (logS_path, v_path) = jax.lax.scan(step, init, (Z1, Zv))

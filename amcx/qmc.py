@@ -117,9 +117,3 @@ def simulate_gbm_qmc(seed: int, market: MarketParams, T, sim: SimConfig,
     return S0 * jnp.exp(log_rel)
 
 
-def simulate_gbm_qmc_auto(seed: int, market: MarketParams, T, sim: SimConfig):
-    """Device Sobol kernel on TPU, host scipy fallback elsewhere — see
-    `amcx.ops.sobol_pallas.simulate_gbm_qmc_device`."""
-    from .ops.sobol_pallas import simulate_gbm_qmc_device
-
-    return simulate_gbm_qmc_device(seed, market, T, sim)

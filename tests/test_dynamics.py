@@ -145,4 +145,6 @@ def test_heston_ccr_exposures():
     ccr = compute_ccr_exposures(res.continuation)
     epe = np.asarray(ccr.epe)
     assert np.isfinite(epe[:-1]).all()
-    assert (np.asarray(ccr.pfe95)[:-1] >= epe[:-1] - 1e-6).all()
+    # f32: at t=0 all continuation values coincide, so pfe95 == epe only up
+    # to interpolation rounding at magnitude ~6
+    assert (np.asarray(ccr.pfe95)[:-1] >= epe[:-1] - 1e-4).all()
