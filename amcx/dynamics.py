@@ -203,6 +203,7 @@ def price_option_heston(
     spec: RegressionSpec = RegressionSpec(),
     sim: SimConfig = SimConfig(),
     return_surface: bool = False,
+    engine: str = "xla",
 ) -> LSMCResult:
     """American/European vanilla under Heston via the standard LSMC engine.
 
@@ -214,15 +215,36 @@ def price_option_heston(
     ``return_surface=True`` emits the dense continuation surface, which
     drops straight into `amcx.exposures.compute_ccr_exposures` for CCR
     profiles under stochastic volatility.
+
+    ``engine="fused"`` runs the two fused multi-asset Pallas kernels per
+    step (`amcx.ops.maxcall_pallas` with ``payoff_kind="first"``: the v
+    plane is a regression feature, not a payoff input) — American only,
+    price/cf/τ outputs, n_paths divisible by 4096.
     """
     from .models.maxcall import max_call_fit
 
     if product.has_barrier:
         raise ValueError("Heston barrier pricing is not implemented")
+    phi = 1.0 if product.option_type == "call" else -1.0
     S, v = simulate_heston(key, hp, product.T, sim, return_variance=True)
     X = jnp.stack([S, v], axis=-1)  # (T+1, n, 2) regression state
     n_steps = sim.n_steps
     dt = product.T / n_steps
+    if engine == "fused":
+        if not product.is_american:
+            raise ValueError("engine='fused' Heston prices American only "
+                             "(European needs no induction — use the CF "
+                             "oracle or engine='xla')")
+        if return_surface:
+            raise ValueError("engine='fused' emits no continuation surface")
+        from .models.maxcall import backward_induction_fused_maxcall
+
+        return backward_induction_fused_maxcall(
+            X, product.K, hp.r, dt, spec, basis_mode="total",
+            exercise_from_step=0, payoff_kind="first", phi=phi,
+        )
+    if engine != "xla":
+        raise ValueError(f"engine must be 'xla' or 'fused', got {engine!r}")
     knocked = jnp.ones(S.shape, dtype=bool)
     payoff = lambda st: intrinsic_value(st[..., 0], product.K, product.option_type)
     fit_fn = partial(max_call_fit, mode="total")

@@ -170,6 +170,8 @@ def backward_induction_fused_maxcall(
     basis_mode: str = "sorted",
     exercise_from_step: int = 1,
     interpret=None,
+    payoff_kind: str = "maxcall",
+    phi: float = 1.0,
 ) -> LSMCResult:
     """Multi-asset LSMC on the fused Pallas kernel path (VERDICT r1 #9).
 
@@ -207,15 +209,21 @@ def backward_induction_fused_maxcall(
     )
     mean_t, inv_std_t = maxcall_standardization(paths_tm, basis_mode)
 
-    cf0 = max_call_payoff(paths_tm[n_steps], K_).reshape(rows, LANES)
+    if payoff_kind == "maxcall":
+        cf0 = max_call_payoff(paths_tm[n_steps], K_).reshape(rows, LANES)
+    else:  # "first": vanilla φ·(S−K) on plane 0 (e.g. the Heston (S, v) state)
+        cf0 = jnp.maximum(
+            phi * (paths_tm[n_steps, :, 0] - K_), 0.0
+        ).reshape(rows, LANES)
     tau0 = jnp.full((rows, LANES), float(n_steps), dtype)
 
     moments = partial(ma_step_moments, n_assets=n_assets, basis=spec.basis,
                       degree=spec.degree, mode=mode, sorted_basis=sorted_basis,
-                      itm_weights=itm, interpret=interpret)
+                      itm_weights=itm, interpret=interpret,
+                      payoff_kind=payoff_kind, phi=phi)
     apply_ = partial(ma_step_apply, n_assets=n_assets, basis=spec.basis,
                      degree=spec.degree, mode=mode, sorted_basis=sorted_basis,
-                     interpret=interpret)
+                     interpret=interpret, payoff_kind=payoff_kind, phi=phi)
 
     def step(carry, xs):
         cf, tau = carry

@@ -90,16 +90,24 @@ def _columns(planes, stats_ref, basis, degree, mode, sorted_basis, n_steps_off):
     return out
 
 
-def _payoff_max(planes, K):
-    ex = planes[0]
-    for p in planes[1:]:
-        ex = jnp.maximum(ex, p)
-    return jnp.maximum(ex - K, 0.0)
+def _payoff_for(planes, K, payoff_kind, phi):
+    """Static payoff select: ``maxcall`` = max-of-basket call; ``first`` =
+    vanilla φ·(planes[0] − K) on the first plane only — the (S, v) Heston
+    state prices vanilla American puts/calls while regressing on both
+    planes (extra planes are regression features, not payoff inputs)."""
+    if payoff_kind == "maxcall":
+        ex = planes[0]
+        for p in planes[1:]:
+            ex = jnp.maximum(ex, p)
+        return jnp.maximum(ex - K, 0.0)
+    if payoff_kind == "first":
+        return jnp.maximum(phi * (planes[0] - K), 0.0)
+    raise ValueError(f"unknown payoff_kind {payoff_kind!r}")
 
 
 def _ma_moments_kernel(scal_ref, s_ref, cf_ref, tau_ref, out_ref, acc,
                        *, n_assets, basis, degree, mode, sorted_basis,
-                       itm_weights):
+                       itm_weights, payoff_kind, phi):
     m = len(_multi_index_set(n_assets, degree, mode))
     pairs = _pairs(m)
     P = len(pairs) + m
@@ -121,7 +129,7 @@ def _ma_moments_kernel(scal_ref, s_ref, cf_ref, tau_ref, out_ref, acc,
     cols = _columns(planes, scal_ref, basis, degree, mode, sorted_basis, 3)
 
     if itm_weights:
-        w = (_payoff_max(planes, K) > 0.0).astype(jnp.float32)
+        w = (_payoff_for(planes, K, payoff_kind, phi) > 0.0).astype(jnp.float32)
         cols_w = [c * w for c in cols]
         y = y * w
     else:
@@ -140,7 +148,7 @@ def _ma_moments_kernel(scal_ref, s_ref, cf_ref, tau_ref, out_ref, acc,
 @functools.partial(
     jax.jit,
     static_argnames=("n_assets", "basis", "degree", "mode", "sorted_basis",
-                     "itm_weights", "interpret"),
+                     "itm_weights", "interpret", "payoff_kind", "phi"),
 )
 def ma_step_moments(
     scalars: jnp.ndarray,   # (3 + 2A,) f32: [t, r*dt, K, mean_a..., inv_std_a...]
@@ -155,6 +163,8 @@ def ma_step_moments(
     sorted_basis: bool = True,
     itm_weights: bool = False,
     interpret: bool = False,
+    payoff_kind: str = "maxcall",
+    phi: float = 1.0,
 ) -> jnp.ndarray:
     """Packed cross-term moment vector for one backward step."""
     m = len(_multi_index_set(n_assets, degree, mode))
@@ -167,6 +177,7 @@ def ma_step_moments(
     kernel = functools.partial(
         _ma_moments_kernel, n_assets=n_assets, basis=basis, degree=degree,
         mode=mode, sorted_basis=sorted_basis, itm_weights=itm_weights,
+        payoff_kind=payoff_kind, phi=phi,
     )
     out = pl.pallas_call(
         kernel,
@@ -182,7 +193,7 @@ def ma_step_moments(
 
 def _ma_apply_kernel(scal_ref, coef_ref, s_ref, cf_in_ref, tau_in_ref,
                      cf_out_ref, tau_out_ref, *, n_assets, basis, degree,
-                     mode, sorted_basis):
+                     mode, sorted_basis, payoff_kind, phi):
     t = scal_ref[0]
     K = scal_ref[2]
     allow = scal_ref[3 + 2 * n_assets]  # 1.0 once t >= exercise_from_step
@@ -197,7 +208,7 @@ def _ma_apply_kernel(scal_ref, coef_ref, s_ref, cf_in_ref, tau_in_ref,
         fitted = fitted + cols[i] * coef_ref[i]
     cont = jnp.maximum(fitted, 0.0)  # SURVEY Q2
 
-    ex = _payoff_max(planes, K)
+    ex = _payoff_for(planes, K, payoff_kind, phi)
     mask = (ex > 0.0) & (ex > cont) & (allow > 0.0)
     cf_out_ref[...] = jnp.where(mask, ex, cf)
     tau_out_ref[...] = jnp.where(mask, t, tau)
@@ -206,7 +217,7 @@ def _ma_apply_kernel(scal_ref, coef_ref, s_ref, cf_in_ref, tau_in_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("n_assets", "basis", "degree", "mode", "sorted_basis",
-                     "interpret"),
+                     "interpret", "payoff_kind", "phi"),
 )
 def ma_step_apply(
     scalars: jnp.ndarray,
@@ -221,6 +232,8 @@ def ma_step_apply(
     mode: str = "total",
     sorted_basis: bool = True,
     interpret: bool = False,
+    payoff_kind: str = "maxcall",
+    phi: float = 1.0,
 ):
     """One fused pass: cross-term fitted continuation → exercise select."""
     rows = cf_rows.shape[0]
@@ -231,6 +244,7 @@ def ma_step_apply(
     kernel = functools.partial(
         _ma_apply_kernel, n_assets=n_assets, basis=basis, degree=degree,
         mode=mode, sorted_basis=sorted_basis,
+        payoff_kind=payoff_kind, phi=phi,
     )
     shape = jax.ShapeDtypeStruct(cf_rows.shape, jnp.float32)
     out = pl.pallas_call(

@@ -148,3 +148,22 @@ def test_heston_ccr_exposures():
     # f32: at t=0 all continuation values coincide, so pfe95 == epe only up
     # to interpolation rounding at magnitude ~6
     assert (np.asarray(ccr.pfe95)[:-1] >= epe[:-1] - 1e-4).all()
+
+
+def test_heston_fused_matches_xla():
+    """The fused multi-asset kernels price Heston American (payoff on the S
+    plane, regression on (S, v)) consistently with the XLA engine."""
+    sim = SimConfig(n_paths=16_384, n_steps=20)
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american")
+    spec = RegressionSpec(degree=2)
+    x = price_option_heston(jax.random.key(4), HP, prod, spec, sim)
+    f = price_option_heston(jax.random.key(4), HP, prod, spec, sim,
+                            engine="fused")
+    # same paths, different solve path (pinv vs pinv on kernel moments):
+    # boundary-flip noise bound
+    assert abs(float(f.price) - float(x.price)) < max(2e-2, 0.5 * float(x.stderr))
+    with pytest.raises(ValueError, match="American only"):
+        price_option_heston(
+            jax.random.key(0), HP,
+            ProductSpec(K=100.0, T=1.0, option_type="put", exercise="european"),
+            spec, sim, engine="fused")
