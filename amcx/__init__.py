@@ -34,7 +34,8 @@ from .engine_pallas import lsmc_option_pricing_fused
 from .greeks import price_and_greeks, gamma_fd, fast_greeks
 from .variates import control_variate_price, ControlVariateResult
 from .models.maxcall import price_max_call, max_call_greeks
-from .book import price_strike_grid, price_mixed_book, BookResult
+from .book import (price_strike_grid, price_mixed_book, BookResult,
+                   book_ccr_exposures)
 from .dynamics import (HestonParams, simulate_heston, simulate_local_vol,
                        heston_price_cf, price_option_heston)
 from .qmc import simulate_gbm_qmc, sobol_normals
@@ -87,6 +88,7 @@ __all__ = [
     "max_call_greeks",
     "price_strike_grid",
     "price_mixed_book",
+    "book_ccr_exposures",
     "HestonParams",
     "simulate_heston",
     "simulate_local_vol",

@@ -34,7 +34,8 @@ from .engine import backward_induction
 from .payoff import intrinsic_value
 from .types import RegressionSpec
 
-__all__ = ["BookResult", "price_strike_grid", "price_mixed_book"]
+__all__ = ["BookResult", "price_strike_grid", "price_mixed_book",
+           "book_ccr_exposures"]
 
 
 class BookResult(NamedTuple):
@@ -176,3 +177,50 @@ def price_mixed_book(
         prices[idx] = np.asarray(sub.prices)
         stderrs[idx] = np.asarray(sub.stderrs)
     return BookResult(jnp.asarray(prices), jnp.asarray(stderrs), None, None)
+
+
+@partial(jax.jit, static_argnames=("option_type", "american", "spec"))
+def book_ccr_exposures(
+    paths_tm: jnp.ndarray,
+    strikes: jnp.ndarray,
+    weights: jnp.ndarray,
+    r,
+    T,
+    option_type: str = "put",
+    american: bool = True,
+    spec: RegressionSpec = RegressionSpec(),
+):
+    """Netting-set CCR profile of a vanilla book on shared paths.
+
+    Counterparty exposure nets across positions: the portfolio's per-path
+    value is ``Σ_i w_i · Ĉ_i(t, path)`` (signed weights — short positions
+    offset long ones), and EPE/PFE quantiles are taken of the *netted*
+    value, which is NOT the weighted sum of per-option profiles (quantiles
+    don't add). The continuation surfaces are accumulated one option at a
+    time in a ``lax.scan`` so only one ``(n_steps+1, n_paths)`` surface is
+    ever materialized alongside the accumulator.
+
+    Returns ``(portfolio_ccr: CCRExposures, prices: (n_options,))``.
+    """
+    from .exposures import compute_ccr_exposures
+
+    n_steps = paths_tm.shape[0] - 1
+    dt = T / n_steps
+    knocked = jnp.ones(paths_tm.shape, dtype=bool)
+    strikes = jnp.atleast_1d(jnp.asarray(strikes, paths_tm.dtype))
+    weights = jnp.broadcast_to(
+        jnp.asarray(weights, paths_tm.dtype), strikes.shape
+    )
+
+    def body(acc, kw):
+        K, w = kw
+        payoff = lambda S: intrinsic_value(S, K, option_type)
+        res = backward_induction(
+            paths_tm, knocked, r, dt, payoff, spec,
+            american=american, return_surface=True,
+        )
+        return acc + w * res.continuation, res.price
+
+    acc0 = jnp.zeros(paths_tm.shape, paths_tm.dtype)
+    netted, prices = jax.lax.scan(body, acc0, (strikes, weights))
+    return compute_ccr_exposures(netted), prices

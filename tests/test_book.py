@@ -128,3 +128,40 @@ def test_mixed_book_validates(paths):
     with pytest.raises(ValueError, match="1[.][.]20"):
         price_mixed_book(paths, jnp.asarray([100.0]), [25], M.r, 1.0,
                          engine="mega")
+
+
+def test_book_ccr_netting(paths):
+    """Netting-set CCR: a long+short pair nets to a tighter profile than
+    either leg alone; single-option case reduces to compute_ccr_exposures."""
+    from amcx.book import book_ccr_exposures
+    from amcx.engine import lsmc_option_pricing
+
+    strikes = jnp.asarray([95.0, 105.0])
+    # long the 95 put, short the 105 put
+    ccr_net, prices = book_ccr_exposures(
+        paths, strikes, jnp.asarray([1.0, -1.0]), M.r, 1.0, "put", True, SPEC)
+    ccr_long, _ = book_ccr_exposures(
+        paths, strikes, jnp.asarray([1.0, 1.0]), M.r, 1.0, "put", True, SPEC)
+    # netting reduces expected exposure vs the gross (long-only) book
+    epe_net = np.asarray(ccr_net.epe)[1:-1]
+    epe_long = np.asarray(ccr_long.epe)[1:-1]
+    assert (epe_net <= epe_long + 1e-6).all()
+    # prices agree with the single-option engine
+    res = lsmc_option_pricing(
+        paths, ProductSpec(K=95.0, T=1.0, option_type="put",
+                           exercise="american"), M.r, SPEC,
+        return_surface=False)
+    np.testing.assert_allclose(float(prices[0]), float(res.price), rtol=1e-5)
+
+    # single option with weight 1 == compute_ccr_exposures of its surface
+    from amcx.exposures import compute_ccr_exposures
+
+    one, _ = book_ccr_exposures(paths, jnp.asarray([100.0]),
+                                jnp.asarray([1.0]), M.r, 1.0, "put", True, SPEC)
+    full = lsmc_option_pricing(
+        paths, ProductSpec(K=100.0, T=1.0, option_type="put",
+                           exercise="american"), M.r, SPEC,
+        return_surface=True)
+    want = compute_ccr_exposures(full.continuation)
+    np.testing.assert_allclose(np.asarray(one.epe)[:-1],
+                               np.asarray(want.epe)[:-1], rtol=1e-5)
