@@ -36,6 +36,8 @@ from .variates import control_variate_price, ControlVariateResult
 from .models.maxcall import price_max_call, max_call_greeks
 from .book import (price_strike_grid, price_mixed_book, BookResult,
                    book_ccr_exposures)
+from .models.asian import (price_asian_option, geometric_asian_price,
+                           running_average)
 from .dynamics import (HestonParams, simulate_heston, simulate_local_vol,
                        heston_price_cf, price_option_heston)
 from .qmc import simulate_gbm_qmc, sobol_normals
@@ -89,6 +91,9 @@ __all__ = [
     "price_strike_grid",
     "price_mixed_book",
     "book_ccr_exposures",
+    "price_asian_option",
+    "geometric_asian_price",
+    "running_average",
     "HestonParams",
     "simulate_heston",
     "simulate_local_vol",

@@ -359,6 +359,39 @@ def cmd_heston(args):
     return payload
 
 
+def cmd_asian(args):
+    """Average (Asian) option on the (S, A) augmented state."""
+    from .models.asian import geometric_asian_price, price_asian_option
+    from .types import MarketParams, RegressionSpec, SimConfig
+
+    market = MarketParams(args.s0, args.r, args.sigma, args.q)
+    spec = RegressionSpec(basis=args.basis, degree=args.degree)
+    sim = SimConfig(n_paths=args.paths, n_steps=args.steps,
+                    antithetic=args.antithetic)
+    res = price_asian_option(jax.random.key(args.seed), market, args.k,
+                             args.t, args.option_type, args.exercise,
+                             args.averaging, args.strike_type, spec, sim)
+    payload = {
+        "price": round(float(res.price), 4),
+        "stderr": round(float(res.stderr), 4),
+    }
+    if args.averaging == "geometric" and args.strike_type == "fixed" \
+            and args.exercise == "european":
+        payload["oracle"] = round(
+            geometric_asian_price(args.s0, args.k, args.t, args.r, args.sigma,
+                                  args.steps, q=args.q,
+                                  option_type=args.option_type), 4)
+    if not args.json:
+        line = (f"{args.averaging.title()} Asian {args.strike_type}-strike "
+                f"{args.exercise} {args.option_type}: "
+                f"{payload['price']:.4f} ± {payload['stderr']:.4f}")
+        if "oracle" in payload:
+            line += f"  (exact: {payload['oracle']:.4f})"
+        print(line)
+    _emit(payload, args.json)
+    return payload
+
+
 def cmd_preset(args):
     from .presets import get_preset
 
@@ -492,6 +525,29 @@ def build_parser():
     pk.add_argument("--book-engine", choices=["xla", "mega"], default="xla")
     pk.add_argument("--json", action="store_true")
     pk.set_defaults(fn=cmd_book)
+
+    pa = sub.add_parser("asian", help="average (Asian) option")
+    pa.add_argument("--s0", type=float, default=100.0)
+    pa.add_argument("--k", type=float, default=100.0)
+    pa.add_argument("--t", type=float, default=1.0)
+    pa.add_argument("--r", type=float, default=0.05)
+    pa.add_argument("--q", type=float, default=0.0)
+    pa.add_argument("--sigma", type=float, default=0.2)
+    pa.add_argument("--option-type", choices=["put", "call"], default="call")
+    pa.add_argument("--exercise", choices=["european", "american"],
+                    default="european")
+    pa.add_argument("--averaging", choices=["arithmetic", "geometric"],
+                    default="arithmetic")
+    pa.add_argument("--strike-type", choices=["fixed", "floating"],
+                    default="fixed")
+    pa.add_argument("--basis", default="chebyshev")
+    pa.add_argument("--degree", type=int, default=3)
+    pa.add_argument("--paths", type=int, default=100_000)
+    pa.add_argument("--steps", type=int, default=50)
+    pa.add_argument("--antithetic", action="store_true")
+    pa.add_argument("--seed", type=int, default=42)
+    pa.add_argument("--json", action="store_true")
+    pa.set_defaults(fn=cmd_asian)
 
     ph = sub.add_parser("heston", help="vanilla option under Heston dynamics")
     ph.add_argument("--s0", type=float, default=100.0)

@@ -1,0 +1,152 @@
+"""Asian (average) options: path-dependent pricing via state augmentation.
+
+Beyond-reference exotic family (the reference prices path-independent
+payoffs only; its LSMC machinery never sees path history). Asian options
+depend on the running average A_t of the spot over the observation grid —
+but (S_t, A_t) is jointly Markov, so the SAME backward-induction engine
+prices Bermudan/American Asians by regressing the continuation value on the
+augmented 2-D state with the total-degree cross-term basis (exactly the
+(S, v) Heston pattern, `amcx.dynamics`).
+
+Conventions:
+- observations at grid steps 1..n_steps (t_i = i·dt), the standard discrete
+  fixing schedule; A_t = running average of S_{t_1}..S_t (A at step 0 is
+  defined as S_0 — it multiplies a zero observation count and is only a
+  regression feature there).
+- ``averaging``: "arithmetic" (desk standard, no closed form) or
+  "geometric" (exactly lognormal — the validation anchor).
+- ``strike_type``: "fixed" (payoff φ·(A−K)) or "floating"
+  (φ·(S−A): average-strike option).
+- American exercise uses the average-so-far (the natural early-exercise
+  convention for the augmented state).
+
+Validation (tests/test_asian.py): the discrete geometric fixed-strike
+European has the exact closed form :func:`geometric_asian_price` (the
+geometric mean of correlated lognormals is lognormal with
+μ_G = ln S0 + (r−q−σ²/2)·t̄ and σ_G² = (σ²/n²)·ΣΣ min(t_i, t_j)); the MC
+path must hit it within stderr. Arithmetic ≥ geometric pointwise (AM-GM),
+American ≥ European, floating/fixed parity sanity.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..engine import LSMCResult, backward_induction
+from ..paths import simulate_gbm
+from ..types import MarketParams, ProductSpec, RegressionSpec, SimConfig
+
+__all__ = ["running_average", "geometric_asian_price", "price_asian_option"]
+
+
+def running_average(paths_tm: jnp.ndarray, averaging: str = "arithmetic"):
+    """Running average over observations at steps 1..t, time-major.
+
+    ``A[0]`` is set to ``S_0`` (zero observations yet; regression feature
+    only). Geometric averaging runs in log space.
+    """
+    obs = paths_tm[1:]
+    counts = jnp.arange(1, obs.shape[0] + 1, dtype=paths_tm.dtype)[:, None]
+    if averaging == "arithmetic":
+        avg = jnp.cumsum(obs, axis=0) / counts
+    elif averaging == "geometric":
+        avg = jnp.exp(jnp.cumsum(jnp.log(obs), axis=0) / counts)
+    else:
+        raise ValueError(f"averaging must be arithmetic|geometric, got {averaging!r}")
+    return jnp.concatenate([paths_tm[:1], avg], axis=0)
+
+
+def geometric_asian_price(S0, K, T, r, sigma, n_obs: int, q=0.0,
+                          option_type: str = "call") -> float:
+    """EXACT price of the discrete geometric-average fixed-strike European.
+
+    G = (Π_{i=1..n} S_{t_i})^{1/n} with t_i = i·T/n is lognormal:
+    ``ln G ~ N(ln S0 + (r−q−σ²/2)·t̄, (σ²/n²)·ΣΣ min(t_i, t_j))``.
+    Host-side f64 (validation oracle, not a hot path).
+    """
+    dt = T / n_obs
+    t = dt * np.arange(1, n_obs + 1)
+    t_bar = t.mean()
+    cov_sum = np.minimum.outer(t, t).sum()
+    mu = np.log(S0) + (r - q - 0.5 * sigma**2) * t_bar
+    var = sigma**2 * cov_sum / n_obs**2
+    sd = np.sqrt(var)
+    from scipy.stats import norm
+
+    d1 = (mu + var - np.log(K)) / sd
+    d2 = d1 - sd
+    fwd = np.exp(mu + 0.5 * var)
+    call = np.exp(-r * T) * (fwd * norm.cdf(d1) - K * norm.cdf(d2))
+    if option_type == "call":
+        return float(call)
+    return float(call - np.exp(-r * T) * (fwd - K))  # parity on G
+
+
+@partial(jax.jit, static_argnames=("spec", "sim", "option_type", "exercise",
+                                   "averaging", "strike_type"))
+def _price_asian_impl(key, S0, r, sigma, q, K, T, spec, sim, option_type,
+                      exercise, averaging, strike_type):
+    from .maxcall import max_call_fit
+
+    market = MarketParams(S0, r, sigma, q)
+    paths = simulate_gbm(key, market, T, sim)
+    A = running_average(paths, averaging)
+    X = jnp.stack([paths, A], axis=-1)  # (T+1, n, 2) Markov state
+    phi = 1.0 if option_type == "call" else -1.0
+
+    def payoff(st):
+        S, A_ = st[..., 0], st[..., 1]
+        if strike_type == "fixed":
+            return jnp.maximum(phi * (A_ - K), 0.0)
+        return jnp.maximum(phi * (S - A_), 0.0)  # floating strike
+
+    dt = T / sim.n_steps
+    knocked = jnp.ones(paths.shape, dtype=bool)
+    fit_fn = partial(max_call_fit, mode="total")
+    return backward_induction(
+        X, knocked, r, dt, payoff, spec,
+        american=exercise == "american", return_surface=False,
+        fit_fn=fit_fn, fit_fn_returns_coeffs=True,
+        # the t=0 "average" is the S_0 placeholder (no fixings yet):
+        # exercising at inception is undefined for an average option
+        exercise_from_step=1,
+    )
+
+
+def price_asian_option(
+    key,
+    market: MarketParams,
+    K,
+    T,
+    option_type: str = "call",
+    exercise: str = "european",
+    averaging: str = "arithmetic",
+    strike_type: str = "fixed",
+    spec: RegressionSpec = RegressionSpec(degree=3),
+    sim: SimConfig = SimConfig(),
+) -> LSMCResult:
+    """Asian option on the (S, A) augmented state through the LSMC engine.
+
+    Observation dates are the simulation grid steps 1..n_steps. American
+    (average-so-far) exercise starts at step 1.
+    """
+    if averaging not in ("arithmetic", "geometric"):
+        raise ValueError(f"unknown averaging {averaging!r}")
+    if strike_type not in ("fixed", "floating"):
+        raise ValueError(f"unknown strike_type {strike_type!r}")
+    dtype = sim.jnp_dtype
+    return _price_asian_impl(
+        key,
+        jnp.asarray(market.S0, dtype),
+        jnp.asarray(market.r, dtype),
+        jnp.asarray(market.sigma, dtype),
+        jnp.asarray(market.q, dtype),
+        jnp.asarray(K, dtype),
+        jnp.asarray(T, dtype),
+        spec, sim, option_type, exercise, averaging, strike_type,
+    )

@@ -1,0 +1,90 @@
+"""Asian options: running-average state, geometric oracle, LSMC pricing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from amcx.models.asian import (
+    geometric_asian_price,
+    price_asian_option,
+    running_average,
+)
+from amcx.oracle import bs_price
+from amcx.types import MarketParams, RegressionSpec, SimConfig
+
+M = MarketParams(100.0, 0.05, 0.2)
+SPEC = RegressionSpec(degree=3)
+
+
+def test_running_average():
+    p = jnp.asarray([[100.0, 100.0], [110.0, 90.0], [120.0, 90.0]])
+    a = np.asarray(running_average(p))
+    np.testing.assert_allclose(a[0], [100.0, 100.0])
+    np.testing.assert_allclose(a[1], [110.0, 90.0])
+    np.testing.assert_allclose(a[2], [115.0, 90.0])
+    g = np.asarray(running_average(p, "geometric"))
+    np.testing.assert_allclose(g[2, 0], np.sqrt(110.0 * 120.0), rtol=1e-6)
+
+
+def test_geometric_oracle_limits():
+    """n_obs=1 degenerates to a vanilla European (average == S_T)."""
+    got = geometric_asian_price(100.0, 100.0, 1.0, 0.05, 0.2, 1)
+    want = float(bs_price(100.0, 100.0, 1.0, 0.05, 0.2, option_type="call"))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # averaging reduces effective vol → Asian < vanilla, decreasing in n
+    p8 = geometric_asian_price(100.0, 100.0, 1.0, 0.05, 0.2, 8)
+    p64 = geometric_asian_price(100.0, 100.0, 1.0, 0.05, 0.2, 64)
+    assert p64 < p8 < want
+
+
+def test_geometric_mc_matches_oracle():
+    """European geometric fixed-strike via the engine vs the exact price."""
+    sim = SimConfig(n_paths=131_072, n_steps=32, antithetic=True)
+    res = price_asian_option(jax.random.key(0), M, 100.0, 1.0, "call",
+                             "european", "geometric", "fixed", SPEC, sim)
+    want = geometric_asian_price(100.0, 100.0, 1.0, 0.05, 0.2, 32)
+    assert abs(float(res.price) - want) < 4 * float(res.stderr) + 5e-3, (
+        float(res.price), want, float(res.stderr))
+
+
+def test_arithmetic_geq_geometric():
+    """AM-GM: the arithmetic-average call dominates the geometric on the
+    same paths."""
+    sim = SimConfig(n_paths=32_768, n_steps=32)
+    key = jax.random.key(1)
+    ar = price_asian_option(key, M, 100.0, 1.0, "call", "european",
+                            "arithmetic", "fixed", SPEC, sim)
+    ge = price_asian_option(key, M, 100.0, 1.0, "call", "european",
+                            "geometric", "fixed", SPEC, sim)
+    assert float(ar.price) >= float(ge.price)
+
+
+def test_american_geq_european_asian():
+    sim = SimConfig(n_paths=32_768, n_steps=32)
+    key = jax.random.key(2)
+    am = price_asian_option(key, M, 100.0, 1.0, "put", "american",
+                            "arithmetic", "fixed", SPEC, sim)
+    eu = price_asian_option(key, M, 100.0, 1.0, "put", "european",
+                            "arithmetic", "fixed", SPEC, sim)
+    assert float(am.price) >= float(eu.price) - 1e-3
+    # r>0 fixed-strike average put: early exercise carries real value
+    assert float(am.price) - float(eu.price) > 0.01
+
+
+def test_floating_strike_runs():
+    sim = SimConfig(n_paths=16_384, n_steps=16)
+    res = price_asian_option(jax.random.key(3), M, 100.0, 1.0, "call",
+                             "european", "arithmetic", "floating", SPEC, sim)
+    # floating-strike call pays max(S_T − A_T, 0) ≥ 0, well below vanilla
+    assert 0.0 < float(res.price) < float(
+        bs_price(100.0, 100.0, 1.0, 0.05, 0.2, option_type="call"))
+
+
+def test_validation():
+    with pytest.raises(ValueError, match="averaging"):
+        price_asian_option(jax.random.key(0), M, 100.0, 1.0,
+                           averaging="harmonic")
+    with pytest.raises(ValueError, match="strike_type"):
+        price_asian_option(jax.random.key(0), M, 100.0, 1.0,
+                           strike_type="mid")
