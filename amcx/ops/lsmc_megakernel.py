@@ -360,8 +360,8 @@ def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, macc, *rest
 
 
 def _book_kernel(scal_ref, ks_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, macc,
-                 *, n_steps, n_rows, chunk_rows, basis, degree, american,
-                 n_strikes, mat_steps=None):
+                 *rest, n_steps, n_rows, chunk_rows, basis, degree, american,
+                 n_strikes, mat_steps=None, ring_axis=None, ring_size=1):
     """Strike-batched mega-kernel: one backward induction over a whole book.
 
     All strikes share the S column read (the step's only HBM traffic), the
@@ -375,7 +375,15 @@ def _book_kernel(scal_ref, ks_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, mac
     held at 0 above its maturity, payoff-initialized exactly at t == m_s,
     and stepped normally below — so shorter-dated options are discounted
     from their own maturity, not the grid's.
+
+    Collective mode (``ring_axis``): the whole packed moment stack — the
+    shared Gram head AND every strike's rhs — all-reduces over the same
+    parity-double-buffered RDMA ring as the single-option kernel, so the
+    strike axis rides inside one collective and every chip solves the same
+    global fits.
     """
+    if ring_axis is not None:
+        comm, send_sem, recv_sem = rest
     k = degree + 1
     layout, _ = _moment_layout(basis, degree)
     n_g = (2 * degree + 1) if layout == "identity" else len(_pairs(k))
@@ -432,7 +440,40 @@ def _book_kernel(scal_ref, ks_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, mac
             return 0
 
         jax.lax.fori_loop(0, n_chunks, pass1, 0)
-        packed = jnp.sum(macc[...], axis=1)
+        if ring_axis is None:
+            packed = jnp.sum(macc[...], axis=1)
+        else:
+            # same slot-per-hop / parity-double-buffered ring as
+            # _mega_kernel (see the deadlock note there), over the full
+            # moment stack (shared head + per-strike rhs in one payload)
+            m_ = macc[...]
+            m128 = m_[:, 0:128]
+            for lb in range(1, LANES // 128):
+                m128 = m128 + m_[:, lb * 128:(lb + 1) * 128]
+            my = jax.lax.axis_index(ring_axis)
+            right = jax.lax.rem(my + 1, ring_size)
+            par = jax.lax.rem(t, 2)
+
+            for pb in range(2):  # static parity branches
+                @pl.when(par == pb)
+                def _ring(pb=pb):
+                    comm[pb, 0] = m128
+                    acc = m128
+                    for h in range(ring_size - 1):  # static unroll
+                        rdma = pltpu.make_async_remote_copy(
+                            src_ref=comm.at[pb, h],
+                            dst_ref=comm.at[pb, h + 1],
+                            send_sem=send_sem.at[pb, h],
+                            recv_sem=recv_sem.at[pb, h],
+                            device_id=right,
+                            device_id_type=pltpu.DeviceIdType.LOGICAL,
+                        )
+                        rdma.start()
+                        rdma.wait()
+                        acc = acc + comm[pb, h + 1]
+                    macc[:, 0:128] = acc
+
+            packed = jnp.sum(macc[:, 0:128], axis=1)
 
         # ---- one factorization, n_strikes back-solves ----
         g_raw = _g_raw_fn(packed, k, layout, basis)
@@ -488,7 +529,8 @@ def _book_kernel(scal_ref, ks_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, mac
 
 
 def _run_book(scalars, strikes, stats, paths_blocks, n_steps, n_rows, basis,
-              degree, american, interpret, mat_steps=None):
+              degree, american, interpret, mat_steps=None, ring_axis=None,
+              ring_size=1):
     n_strikes = strikes.shape[0]
     k = degree + 1
     layout, _ = _moment_layout(basis, degree)
@@ -504,7 +546,21 @@ def _run_book(scalars, strikes, stats, paths_blocks, n_steps, n_rows, basis,
         american=american,
         n_strikes=n_strikes,
         mat_steps=mat_steps,
+        ring_axis=ring_axis,
+        ring_size=ring_size,
     )
+    scratch_shapes = [
+        pltpu.VMEM((n_strikes, n_rows, LANES), jnp.float32),  # V per strike
+        pltpu.VMEM((P, LANES), jnp.float32),
+    ]
+    compiler_kwargs = dict(vmem_limit_bytes=100 * 1024 * 1024)
+    if ring_axis is not None:
+        scratch_shapes += [
+            pltpu.VMEM((2, ring_size, P, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, ring_size)),
+            pltpu.SemaphoreType.DMA((2, ring_size)),
+        ]
+        compiler_kwargs["collective_id"] = 0
     out_shape = jax.ShapeDtypeStruct((n_strikes, 1), jnp.float32)
     out_spec = pl.BlockSpec((n_strikes, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
     out, out_sq = pl.pallas_call(
@@ -522,13 +578,8 @@ def _run_book(scalars, strikes, stats, paths_blocks, n_steps, n_rows, basis,
             ),
         ],
         out_specs=(out_spec, out_spec),
-        scratch_shapes=[
-            pltpu.VMEM((n_strikes, n_rows, LANES), jnp.float32),  # V per strike
-            pltpu.VMEM((P, LANES), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(**compiler_kwargs),
         interpret=interpret,
     )(scalars, strikes, stats, paths_blocks)
     return jnp.concatenate([out[:, 0], out_sq[:, 0]])
@@ -537,7 +588,7 @@ def _run_book(scalars, strikes, stats, paths_blocks, n_steps, n_rows, basis,
 _run_book_jit = jax.jit(
     _run_book,
     static_argnames=("n_steps", "n_rows", "basis", "degree", "american",
-                     "interpret", "mat_steps"),
+                     "interpret", "mat_steps", "ring_axis", "ring_size"),
 )
 
 
@@ -555,6 +606,8 @@ def lsmc_book_megakernel(
     inv_std_t: Optional[jnp.ndarray] = None,
     interpret=None,
     maturity_steps=None,
+    axis_name: Optional[str] = None,
+    axis_size: int = 1,
 ):
     """Price a vanilla strike grid in ONE kernel on shared paths.
 
@@ -575,6 +628,13 @@ def lsmc_book_megakernel(
     ints in 1..n_steps) for mixed-maturity books on the shared grid —
     option s is payoff-initialized at its own maturity step and priced by
     backward induction only below it.
+
+    **Collective mode** (``axis_name`` inside ``shard_map``): ``paths_tm``
+    is the local path shard; the full packed moment stack (shared Gram head
+    + every strike's rhs) all-reduces mid-scan over the in-kernel RDMA ring
+    exactly like `lsmc_price_megakernel`'s collective mode, so the flagship
+    book kernel spans the mesh. Standardization stats and the final
+    price/stderr reductions use ``psum``s. Returns the global book.
 
     Returns ``(prices, stderrs)``, each ``(n_strikes,)``.
     """
@@ -612,12 +672,20 @@ def lsmc_book_megakernel(
         )
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if axis_name is not None and interpret is True:
+        # the TPU interpreter simulates the remote DMAs on CPU meshes
+        interpret = pltpu.InterpretParams()
     n_rows = n_paths // LANES
     path_axes = 1 if paths_tm.ndim == 2 else (1, 2)
+    n_glob = n_paths * (axis_size if axis_name is not None else 1)
     if mean_t is None:
-        mean_t = jnp.mean(paths_tm, axis=path_axes)
+        def gsum(x):
+            s = jnp.sum(x, axis=path_axes)
+            return jax.lax.psum(s, axis_name) if axis_name is not None else s
+
+        mean_t = gsum(paths_tm) / n_glob
         mean_b = mean_t.reshape((-1,) + (1,) * (paths_tm.ndim - 1))
-        var = jnp.mean(jnp.square(paths_tm - mean_b), axis=path_axes)
+        var = gsum(jnp.square(paths_tm - mean_b)) / n_glob
         inv_std_t = 1.0 / jnp.maximum(jnp.sqrt(var), 1e-6)
     scalars = jnp.stack(
         [
@@ -631,12 +699,16 @@ def lsmc_book_megakernel(
     )
     blocks = (paths_tm if paths_tm.ndim == 3
               else paths_tm.reshape(n_steps + 1, n_rows, LANES))
-    sums = _run_book_jit(scalars, strikes, stats, blocks, n_steps, n_rows,
-                         basis, degree, american, interpret,
-                         mat_steps=maturity_steps)
-    price = sums[:n_strikes] / n_paths
-    var = jnp.maximum(sums[n_strikes:] / n_paths - price * price, 0.0)
-    stderr = jnp.sqrt(var / n_paths)
+    run = _run_book if axis_name is not None else _run_book_jit
+    sums = run(scalars, strikes, stats, blocks, n_steps, n_rows,
+               basis, degree, american, interpret,
+               mat_steps=maturity_steps, ring_axis=axis_name,
+               ring_size=axis_size)
+    if axis_name is not None:
+        sums = jax.lax.psum(sums, axis_name)
+    price = sums[:n_strikes] / n_glob
+    var = jnp.maximum(sums[n_strikes:] / n_glob - price * price, 0.0)
+    stderr = jnp.sqrt(var / n_glob)
     return price, stderr
 
 

@@ -50,6 +50,7 @@ __all__ = [
     "price_option_shardmap",
     "price_option_shardmap_mega",
     "price_book_shardmap",
+    "price_book_shardmap_mega",
     "init_multihost",
 ]
 
@@ -344,6 +345,71 @@ def price_book_shardmap(
                 return res.price, res.stderr
 
             return jax.vmap(one)(strikes)
+
+        return shard_map(
+            local, mesh=mesh, in_specs=(P(),) * 6, out_specs=(P(), P()),
+            check_vma=False,
+        )(key, S0, r, sigma, q, strikes)
+
+    return run(
+        key,
+        jnp.asarray(market.S0, dtype),
+        jnp.asarray(market.r, dtype),
+        jnp.asarray(market.sigma, dtype),
+        jnp.asarray(market.q, dtype),
+        strikes,
+    )
+
+
+def price_book_shardmap_mega(
+    key: jax.Array,
+    market: MarketParams,
+    strikes,
+    T,
+    option_type: str = "put",
+    american: bool = True,
+    spec: RegressionSpec = RegressionSpec(),
+    sim: SimConfig = SimConfig(),
+    mesh: Optional[Mesh] = None,
+):
+    """The strike-batched book kernel on a mesh: every rank simulates its
+    path shard and runs `lsmc_book_megakernel` in collective mode — the
+    whole moment stack (shared Gram head + per-strike rhs) all-reduces
+    mid-scan over the in-kernel RDMA ring, so one kernel per chip prices
+    the global book. Returns replicated ``(prices, stderrs)``."""
+    mesh = make_mesh() if mesh is None else mesh
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    if sim.n_paths % n_dev:
+        raise ValueError(f"n_paths={sim.n_paths} not divisible by mesh size {n_dev}")
+    dtype = sim.jnp_dtype
+    strikes = jnp.atleast_1d(jnp.asarray(strikes, dtype))
+    phi = 1.0 if option_type == "call" else -1.0
+    n_steps = sim.n_steps
+
+    from jax import shard_map
+
+    from ..ops.lsmc_megakernel import lsmc_book_megakernel
+
+    @jax.jit
+    def run(key, S0, r, sigma, q, strikes):
+        def local(key, S0, r, sigma, q, strikes):
+            rank = jax.lax.axis_index(axis)
+            local_key = jax.random.fold_in(key, rank)
+            local_sim = SimConfig(
+                n_paths=sim.n_paths // n_dev,
+                n_steps=n_steps,
+                dtype=sim.dtype,
+                antithetic=sim.antithetic,
+                backend=sim.backend,
+            )
+            paths = simulate_gbm(local_key, MarketParams(S0, r, sigma, q),
+                                 T, local_sim)
+            return lsmc_book_megakernel(
+                paths, strikes, r, T / n_steps, phi,
+                basis=spec.basis, degree=spec.degree, rcond=spec.rcond,
+                american=american, axis_name=axis, axis_size=n_dev,
+            )
 
         return shard_map(
             local, mesh=mesh, in_specs=(P(),) * 6, out_specs=(P(), P()),

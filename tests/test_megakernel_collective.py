@@ -110,3 +110,71 @@ def test_collective_mega_eight_dev():
     """Full 8-device ring width (7 hops/step)."""
     out = _run_case(8, 4, 2, timeout=150)
     assert "OK" in out
+
+
+_BOOK_CASE = r"""
+import sys
+sys.setswitchinterval(5e-5)
+sys.path.insert(0, {repo!r})
+import os
+os.environ['JAX_PLATFORMS'] = 'cpu'
+os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count={n_dev}'
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import jax.numpy as jnp
+import numpy as np
+from amcx import MarketParams, SimConfig, RegressionSpec
+from amcx.parallel.sharding import make_mesh, price_book_shardmap_mega
+from amcx.book import price_strike_grid
+from amcx.paths import simulate_gbm
+
+N, steps = {n_dev}, {steps}
+M = MarketParams(100.0, 0.03, 0.2)
+mesh = make_mesh(jax.devices()[:N])
+strikes = jnp.asarray([90.0, 100.0, 110.0])
+spec = RegressionSpec(degree=2)
+sim = SimConfig(n_paths=4096 * N, n_steps=steps)
+prices, stderrs = price_book_shardmap_mega(
+    jax.random.key(0), M, strikes, 1.0, 'put', True, spec, sim, mesh)
+# per-rank folded keys: statistical agreement with a single-device book
+ref_paths = simulate_gbm(jax.random.key(9), M, 1.0, sim)
+ref = price_strike_grid(ref_paths, strikes, M.r, 1.0, 'put', True, spec)
+for i in range(3):
+    se = max(float(stderrs[i]), float(ref.stderrs[i]))
+    gap = abs(float(prices[i]) - float(ref.prices[i]))
+    assert gap < 6 * se, (i, gap, se)
+p = np.asarray(prices)
+assert (np.diff(p) > 0).all()
+print(f'OK book={{[round(float(x), 4) for x in prices]}}')
+"""
+
+
+def _run_book_case(n_dev, steps, timeout=120, attempts=3):
+    code = _BOOK_CASE.format(repo=_REPO, n_dev=n_dev, steps=steps)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    for _ in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-u", "-c", code], env=env,
+                capture_output=True, text=True, timeout=timeout,
+            )
+        except subprocess.TimeoutExpired:
+            continue
+        if proc.returncode == 0 and "OK" in proc.stdout:
+            return proc.stdout
+        pytest.fail(
+            f"collective book case ({n_dev},{steps}) failed:\n"
+            f"{proc.stdout[-800:]}\n{proc.stderr[-1500:]}"
+        )
+    pytest.skip(
+        f"interpret-machinery livelock on every attempt "
+        f"({n_dev} dev × {steps} steps, 1-core host) — simulator limitation"
+    )
+
+
+def test_collective_book_two_dev():
+    """Strike-batched book kernel over a 2-device ring: the whole moment
+    stack (Gram head + 3 strikes × k rhs) rides one collective per step."""
+    out = _run_book_case(2, 6)
+    assert "OK" in out
