@@ -194,11 +194,14 @@ def book_ccr_exposures(
 
     Counterparty exposure nets across positions: the portfolio's per-path
     value is ``Σ_i w_i · Ĉ_i(t, path)`` (signed weights — short positions
-    offset long ones), and EPE/PFE quantiles are taken of the *netted*
-    value, which is NOT the weighted sum of per-option profiles (quantiles
-    don't add). The continuation surfaces are accumulated one option at a
-    time in a ``lax.scan`` so only one ``(n_steps+1, n_paths)`` surface is
-    ever materialized alongside the accumulator.
+    offset long ones), the per-path EXPOSURE is its positive part
+    ``max(Σ w_i Ĉ_i, 0)`` (a counterparty owes nothing where the netted
+    value is negative), and EPE/PFE quantiles are taken of that — which is
+    NOT the weighted sum of per-option profiles (neither quantiles nor the
+    positive-part operator distribute over positions). The continuation
+    surfaces are accumulated one option at a time in a ``lax.scan`` so only
+    one ``(n_steps+1, n_paths)`` surface is ever materialized alongside the
+    accumulator.
 
     Returns ``(portfolio_ccr: CCRExposures, prices: (n_options,))``.
     """
@@ -223,4 +226,5 @@ def book_ccr_exposures(
 
     acc0 = jnp.zeros(paths_tm.shape, paths_tm.dtype)
     netted, prices = jax.lax.scan(body, acc0, (strikes, weights))
-    return compute_ccr_exposures(netted), prices
+    exposure = jnp.maximum(netted, 0.0)  # positive part: owed-to-us only
+    return compute_ccr_exposures(exposure), prices

@@ -135,6 +135,16 @@ def price_asian_option(
     Observation dates are the simulation grid steps 1..n_steps. American
     (average-so-far) exercise starts at step 1.
     """
+    option_type = option_type.strip().lower()
+    exercise = exercise.strip().lower()
+    averaging = averaging.strip().lower()
+    strike_type = strike_type.strip().lower()
+    if option_type not in ("put", "call"):
+        raise ValueError(f"option_type must be put|call, got {option_type!r}")
+    if exercise not in ("european", "american"):
+        raise ValueError(
+            f"exercise must be european|american, got {exercise!r}"
+        )
     if averaging not in ("arithmetic", "geometric"):
         raise ValueError(f"unknown averaging {averaging!r}")
     if strike_type not in ("fixed", "floating"):

@@ -183,6 +183,55 @@ def _solve_equilibrated_ridge(packed, k, rcond, layout="pairs", basis=None):
     return _solve_factored(L, d, G, b_raw, k)
 
 
+def _ring_allreduce_moments(macc, comm, send_sem, recv_sem, t, ring_axis,
+                            ring_size):
+    """Mid-scan all-reduce of the packed moment accumulators over the ICI
+    ring — the only cross-chip bytes of the backward induction (SURVEY §5's
+    "psum tiny moments, solve replicated" plan, executed as in-kernel RDMA).
+    Lane-reduces ``macc`` to (P, 128), forwards the received partial around
+    the ring accumulating locally, stashes the global (P, 128) back into
+    ``macc[:, 0:128]`` (dead at this point) and returns the (P,) global
+    packed moments.
+
+    Slot safety without barriers: one comm slot per hop (no reuse within a
+    step), and the step axis is parity-double-buffered. The ring's
+    recv-dependency chain means a device can only start step s+2's first
+    send once every device has passed step s+1's first hop, so same-parity
+    slots (s and s+2) are never live at once. Counting barriers with
+    neighbor-only signals are NOT safe here: a fast neighbor's step-s+1
+    credits get consumed as step-s credits until some wait starves
+    (observed deadlock at 8 devices × ≥7 steps).
+    """
+    m = macc[...]
+    m128 = m[:, 0:128]
+    for lb in range(1, LANES // 128):
+        m128 = m128 + m[:, lb * 128:(lb + 1) * 128]
+    my = jax.lax.axis_index(ring_axis)
+    right = jax.lax.rem(my + 1, ring_size)
+    par = jax.lax.rem(t, 2)
+
+    for pb in range(2):  # static parity branches
+        @pl.when(par == pb)
+        def _ring(pb=pb):
+            comm[pb, 0] = m128
+            acc = m128
+            for h in range(ring_size - 1):  # static unroll
+                rdma = pltpu.make_async_remote_copy(
+                    src_ref=comm.at[pb, h],
+                    dst_ref=comm.at[pb, h + 1],
+                    send_sem=send_sem.at[pb, h],
+                    recv_sem=recv_sem.at[pb, h],
+                    device_id=right,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                )
+                rdma.start()
+                rdma.wait()
+                acc = acc + comm[pb, h + 1]
+            macc[:, 0:128] = acc
+
+    return jnp.sum(macc[:, 0:128], axis=1)
+
+
 def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, macc, *rest,
                  n_steps, n_rows, chunk_rows, basis, degree, american, barrier,
                  itm_weights, ring_axis=None, ring_size=1):
@@ -271,53 +320,9 @@ def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, macc, *rest
         if ring_axis is None:
             packed = jnp.sum(macc[...], axis=1)  # (P,)
         else:
-            # ---- mid-scan moment all-reduce over the ICI ring ----
-            # Lane-reduce the accumulators to (P, 128), then forward the
-            # received partial around the ring, accumulating locally — the
-            # only cross-chip bytes of the whole backward induction
-            # (SURVEY §5's "psum tiny moments, solve replicated" plan,
-            # executed as in-kernel RDMA so the flagship single-kernel
-            # engine spans the mesh).
-            #
-            # Slot safety without barriers: one comm slot per hop (no reuse
-            # within a step), and the step axis is parity-double-buffered.
-            # The ring's recv-dependency chain means a device can only start
-            # step s+2's first send once every device has passed step s+1's
-            # first hop, so same-parity slots (s and s+2) are never live at
-            # once. Counting barriers with neighbor-only signals are NOT
-            # safe here: a fast neighbor's step-s+1 credits get consumed as
-            # step-s credits until some wait starves (observed deadlock at
-            # 8 devices × ≥7 steps).
-            m = macc[...]
-            m128 = m[:, 0:128]
-            for lb in range(1, LANES // 128):
-                m128 = m128 + m[:, lb * 128:(lb + 1) * 128]
-            my = jax.lax.axis_index(ring_axis)
-            right = jax.lax.rem(my + 1, ring_size)
-            par = jax.lax.rem(t, 2)
-
-            for pb in range(2):  # static parity branches
-                @pl.when(par == pb)
-                def _ring(pb=pb):
-                    comm[pb, 0] = m128
-                    acc = m128
-                    for h in range(ring_size - 1):  # static unroll
-                        rdma = pltpu.make_async_remote_copy(
-                            src_ref=comm.at[pb, h],
-                            dst_ref=comm.at[pb, h + 1],
-                            send_sem=send_sem.at[pb, h],
-                            recv_sem=recv_sem.at[pb, h],
-                            device_id=right,
-                            device_id_type=pltpu.DeviceIdType.LOGICAL,
-                        )
-                        rdma.start()
-                        rdma.wait()
-                        acc = acc + comm[pb, h + 1]
-                    # stash the reduced moments where both branches can
-                    # hand them to the solve (macc is dead at this point)
-                    macc[:, 0:128] = acc
-
-            packed = jnp.sum(macc[:, 0:128], axis=1)  # (P,) global moments
+            packed = _ring_allreduce_moments(
+                macc, comm, send_sem, recv_sem, t, ring_axis, ring_size
+            )
 
         # ---- in-kernel solve (replicated: identical on every chip) ----
         coeffs = _solve_equilibrated_ridge(packed, k, rcond, layout, basis)
@@ -443,37 +448,10 @@ def _book_kernel(scal_ref, ks_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, mac
         if ring_axis is None:
             packed = jnp.sum(macc[...], axis=1)
         else:
-            # same slot-per-hop / parity-double-buffered ring as
-            # _mega_kernel (see the deadlock note there), over the full
-            # moment stack (shared head + per-strike rhs in one payload)
-            m_ = macc[...]
-            m128 = m_[:, 0:128]
-            for lb in range(1, LANES // 128):
-                m128 = m128 + m_[:, lb * 128:(lb + 1) * 128]
-            my = jax.lax.axis_index(ring_axis)
-            right = jax.lax.rem(my + 1, ring_size)
-            par = jax.lax.rem(t, 2)
-
-            for pb in range(2):  # static parity branches
-                @pl.when(par == pb)
-                def _ring(pb=pb):
-                    comm[pb, 0] = m128
-                    acc = m128
-                    for h in range(ring_size - 1):  # static unroll
-                        rdma = pltpu.make_async_remote_copy(
-                            src_ref=comm.at[pb, h],
-                            dst_ref=comm.at[pb, h + 1],
-                            send_sem=send_sem.at[pb, h],
-                            recv_sem=recv_sem.at[pb, h],
-                            device_id=right,
-                            device_id_type=pltpu.DeviceIdType.LOGICAL,
-                        )
-                        rdma.start()
-                        rdma.wait()
-                        acc = acc + comm[pb, h + 1]
-                    macc[:, 0:128] = acc
-
-            packed = jnp.sum(macc[:, 0:128], axis=1)
+            # full moment stack (shared head + per-strike rhs) in one payload
+            packed = _ring_allreduce_moments(
+                macc, comm, send_sem, recv_sem, t, ring_axis, ring_size
+            )
 
         # ---- one factorization, n_strikes back-solves ----
         g_raw = _g_raw_fn(packed, k, layout, basis)

@@ -377,6 +377,12 @@ def price_book_shardmap_mega(
     whole moment stack (shared Gram head + per-strike rhs) all-reduces
     mid-scan over the in-kernel RDMA ring, so one kernel per chip prices
     the global book. Returns replicated ``(prices, stderrs)``."""
+    if spec.regress_on == "itm":
+        raise ValueError(
+            "the mega book shares the Gram across strikes, which requires "
+            "fit-on-all-paths regression — use price_book_shardmap for "
+            "itm-weighted fits"
+        )
     mesh = make_mesh() if mesh is None else mesh
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size

@@ -165,3 +165,16 @@ def test_book_ccr_netting(paths):
     want = compute_ccr_exposures(full.continuation)
     np.testing.assert_allclose(np.asarray(one.epe)[:-1],
                                np.asarray(want.epe)[:-1], rtol=1e-5)
+
+
+def test_book_ccr_exposure_nonnegative(paths):
+    """A net-short book has zero (not negative) counterparty exposure: the
+    per-path exposure is the positive part of the netted value."""
+    from amcx.book import book_ccr_exposures
+
+    ccr, _ = book_ccr_exposures(paths, jnp.asarray([100.0]),
+                                jnp.asarray([-1.0]), M.r, 1.0, "put", True,
+                                SPEC)
+    epe = np.asarray(ccr.epe)[:-1]
+    assert (epe >= 0.0).all()
+    np.testing.assert_allclose(epe, 0.0, atol=1e-6)

@@ -65,11 +65,12 @@ print(f'OK gap={{gap:.2e}} price={{float(pc):.4f}}')
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run_case(n_dev, steps, deg, timeout=90, attempts=3):
-    code = _CASE.format(repo=_REPO, n_dev=n_dev, steps=steps, deg=deg)
+def _run_code(code, label, n_dev, steps, timeout=90, attempts=3):
+    """Shared harness: run a collective case in a subprocess; retry on the
+    interpret-machinery livelock, fail loudly on real errors, skip when
+    every attempt livelocks."""
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
-    last = None
     for _ in range(attempts):
         try:
             proc = subprocess.run(
@@ -77,19 +78,23 @@ def _run_case(n_dev, steps, deg, timeout=90, attempts=3):
                 capture_output=True, text=True, timeout=timeout,
             )
         except subprocess.TimeoutExpired:
-            last = "timeout"
             continue
         if proc.returncode == 0 and "OK" in proc.stdout:
             return proc.stdout
         # a real numeric failure must fail the test, not retry
         pytest.fail(
-            f"collective mega case ({n_dev},{steps},{deg}) failed:\n"
+            f"collective {label} case ({n_dev},{steps}) failed:\n"
             f"{proc.stdout[-800:]}\n{proc.stderr[-1500:]}"
         )
     pytest.skip(
         f"interpret-machinery livelock on every attempt "
         f"({n_dev} dev × {steps} steps, 1-core host) — simulator limitation"
     )
+
+
+def _run_case(n_dev, steps, deg, timeout=90, attempts=3):
+    code = _CASE.format(repo=_REPO, n_dev=n_dev, steps=steps, deg=deg)
+    return _run_code(code, f"mega deg={deg}", n_dev, steps, timeout, attempts)
 
 
 def test_collective_mega_two_dev_deep():
@@ -151,26 +156,7 @@ print(f'OK book={{[round(float(x), 4) for x in prices]}}')
 
 def _run_book_case(n_dev, steps, timeout=120, attempts=3):
     code = _BOOK_CASE.format(repo=_REPO, n_dev=n_dev, steps=steps)
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
-    for _ in range(attempts):
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-u", "-c", code], env=env,
-                capture_output=True, text=True, timeout=timeout,
-            )
-        except subprocess.TimeoutExpired:
-            continue
-        if proc.returncode == 0 and "OK" in proc.stdout:
-            return proc.stdout
-        pytest.fail(
-            f"collective book case ({n_dev},{steps}) failed:\n"
-            f"{proc.stdout[-800:]}\n{proc.stderr[-1500:]}"
-        )
-    pytest.skip(
-        f"interpret-machinery livelock on every attempt "
-        f"({n_dev} dev × {steps} steps, 1-core host) — simulator limitation"
-    )
+    return _run_code(code, "book", n_dev, steps, timeout, attempts)
 
 
 def test_collective_book_two_dev():
