@@ -35,7 +35,7 @@ from .greeks import price_and_greeks, gamma_fd, fast_greeks
 from .variates import control_variate_price, ControlVariateResult
 from .models.maxcall import price_max_call, max_call_greeks
 from .book import (price_strike_grid, price_mixed_book, BookResult,
-                   book_ccr_exposures)
+                   book_ccr_exposures, book_greeks)
 from .models.asian import (price_asian_option, geometric_asian_price,
                            running_average)
 from .dynamics import (HestonParams, simulate_heston, simulate_local_vol,
@@ -91,6 +91,7 @@ __all__ = [
     "price_strike_grid",
     "price_mixed_book",
     "book_ccr_exposures",
+    "book_greeks",
     "price_asian_option",
     "geometric_asian_price",
     "running_average",

@@ -35,7 +35,7 @@ from .payoff import intrinsic_value
 from .types import RegressionSpec
 
 __all__ = ["BookResult", "price_strike_grid", "price_mixed_book",
-           "book_ccr_exposures"]
+           "book_ccr_exposures", "book_greeks"]
 
 
 class BookResult(NamedTuple):
@@ -228,3 +228,43 @@ def book_ccr_exposures(
     netted, prices = jax.lax.scan(body, acc0, (strikes, weights))
     exposure = jnp.maximum(netted, 0.0)  # positive part: owed-to-us only
     return compute_ccr_exposures(exposure), prices
+
+
+def book_greeks(
+    book: BookResult,
+    market,
+    strikes,
+    T,
+    n_steps: int,
+    option_type: str = "put",
+):
+    """Per-option pathwise Greeks for a priced book — the delta/vega/rho
+    ladder desks quote alongside the price grid.
+
+    Applies the closed-form fixed-boundary estimator
+    (:func:`amcx.greeks.fast_greeks`) to each option's ``(cashflows,
+    exercise_times)`` rows, so the whole ladder costs one cheap reduction
+    per option on the already-finished book run — no re-pricing, no
+    autodiff. Requires the ``engine="xla"`` book (the mega book returns no
+    cashflow/τ outputs).
+
+    Returns a dict of ``(n_options,)`` arrays keyed like ``fast_greeks``.
+    """
+    from .engine import LSMCResult
+    from .greeks import fast_greeks
+    from .types import ProductSpec
+
+    if book.cashflows is None:
+        raise ValueError(
+            "book_greeks needs per-option cashflow/τ outputs — price the "
+            "book with engine='xla'"
+        )
+    strikes = jnp.atleast_1d(jnp.asarray(strikes))
+    rows = []
+    for i in range(strikes.shape[0]):
+        res_i = LSMCResult(book.prices[i], book.stderrs[i],
+                           book.cashflows[i], book.exercise_times[i], None)
+        prod_i = ProductSpec(K=float(strikes[i]), T=float(T),
+                             option_type=option_type, exercise="american")
+        rows.append(fast_greeks(res_i, market, prod_i, n_steps))
+    return {k: jnp.stack([r[k] for r in rows]) for k in rows[0]}

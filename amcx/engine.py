@@ -87,6 +87,7 @@ def backward_induction(
     return_coeffs: bool = False,
     exercise_from_step: int = 0,
     fit_fn_returns_coeffs: bool = False,
+    exercise_steps=None,
 ) -> LSMCResult:
     """Generic LSMC backward induction.
 
@@ -122,6 +123,12 @@ def backward_induction(
         permitted. 0 reproduces the reference (its backward loop includes
         t=0, SURVEY Q3); Bermudan benchmarks (max-call) use 1 so the first
         exercise date is T/n, not inception.
+      exercise_steps: optional explicit Bermudan exercise schedule — an
+        iterable of step indices (1..n_steps-1) at which early exercise is
+        allowed, e.g. quarterly dates on a daily simulation grid. Composes
+        with ``exercise_from_step``; maturity always pays intrinsic. The
+        regression still runs every step (Q6: the continuation surface
+        feeds exposures), only the exercise select is gated.
     """
     n_steps = paths_tm.shape[0] - 1
     n_paths = paths_tm.shape[1]
@@ -149,7 +156,7 @@ def backward_induction(
 
     def step(carry, xs):
         cashflows, tau = carry
-        S_t, knocked_t, t = xs
+        S_t, knocked_t, t, allowed_t = xs
         # Regression target: discount each cashflow from its stored exercise
         # time back to t (Q5, `american_monte_carlo.py:128`).
         y = cashflows * jnp.exp(-r * dt * (tau - t))
@@ -170,6 +177,8 @@ def backward_induction(
             exercise = knocked_t & (ex > 0) & (ex > cont)
             if exercise_from_step > 0:
                 exercise = exercise & (t >= exercise_from_step)
+            if exercise_steps is not None:
+                exercise = exercise & allowed_t
             cashflows = jnp.where(exercise, ex, cashflows)
             tau = jnp.where(exercise, t, tau)
         if surface_stats:
@@ -192,10 +201,19 @@ def backward_induction(
         return (cashflows, tau), ys
 
     ts = jnp.arange(n_steps, dtype=dtype)
+    if exercise_steps is not None:
+        sched = set(int(i) for i in exercise_steps)
+        if not all(0 <= i <= n_steps - 1 for i in sched):
+            raise ValueError(
+                f"exercise_steps must lie in 0..{n_steps - 1}, got {sorted(sched)}"
+            )
+        allowed = jnp.asarray([i in sched for i in range(n_steps)], bool)
+    else:
+        allowed = jnp.ones((n_steps,), bool)  # traced but unused xs leaf
     (cashflows, tau), (conts, stats, coefs) = lax.scan(
         step,
         (cf0, tau0),
-        (paths_tm[:n_steps], knocked_tm[:n_steps], ts),
+        (paths_tm[:n_steps], knocked_tm[:n_steps], ts, allowed),
         reverse=True,
     )
 
@@ -246,6 +264,7 @@ def lsmc_option_pricing(
     axis_name: Optional[str] = None,
     surface_stats: bool = False,
     return_coeffs: bool = False,
+    exercise_steps=None,
 ) -> LSMCResult:
     """Price a (possibly barrier) put/call from pre-simulated paths.
 
@@ -254,6 +273,11 @@ def lsmc_option_pricing(
     knock matrix, runs backward induction, returns the discounted mean and
     the continuation surface. ``dt = T / n_steps`` is derived from the path
     grid.
+
+    ``exercise_steps``: optional Bermudan schedule — a tuple of step
+    indices where early exercise is allowed (e.g. ``tuple(range(0, 252,
+    21))`` for monthly dates on a daily grid). None = American (every
+    step, reference behaviour).
     """
     n_steps = paths_tm.shape[0] - 1
     dt = product.T / n_steps
@@ -267,6 +291,7 @@ def lsmc_option_pricing(
         spec,
         american=product.is_american,
         return_surface=return_surface,
+        exercise_steps=exercise_steps,
         axis_name=axis_name,
         surface_stats=surface_stats,
         return_coeffs=return_coeffs,

@@ -178,3 +178,33 @@ def test_book_ccr_exposure_nonnegative(paths):
     epe = np.asarray(ccr.epe)[:-1]
     assert (epe >= 0.0).all()
     np.testing.assert_allclose(epe, 0.0, atol=1e-6)
+
+
+def test_book_greeks_ladder(paths):
+    """The delta ladder from the finished book matches per-option
+    fast_greeks, is monotone in strike, and needs no re-pricing."""
+    from amcx.book import book_greeks
+    from amcx.greeks import fast_greeks
+
+    strikes = jnp.asarray([90.0, 100.0, 110.0])
+    book = price_strike_grid(paths, strikes, M.r, 1.0, "put", True, SPEC)
+    g = book_greeks(book, M, strikes, 1.0, 20, "put")
+    assert g["delta"].shape == (3,)
+    d = np.asarray(g["delta"])
+    # put deltas: negative, decreasing (more negative) in strike
+    assert (d < 0).all() and (np.diff(d) < 0).all(), d
+    # row 1 must equal single-option fast_greeks on the same outputs
+    from amcx import ProductSpec
+    from amcx.engine import LSMCResult
+
+    res1 = LSMCResult(book.prices[1], book.stderrs[1], book.cashflows[1],
+                      book.exercise_times[1], None)
+    want = fast_greeks(res1, M,
+                       ProductSpec(K=100.0, T=1.0, option_type="put",
+                                   exercise="american"), 20)
+    np.testing.assert_allclose(float(g["vega"][1]), float(want["vega"]))
+
+    mega = price_strike_grid(paths, strikes, M.r, 1.0, "put", True, SPEC,
+                             engine="mega")
+    with pytest.raises(ValueError, match="cashflow"):
+        book_greeks(mega, M, strikes, 1.0, 20, "put")

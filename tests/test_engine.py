@@ -187,3 +187,40 @@ def test_price_option_engine_selection():
         price_option(key, m, prod, spec, sim, engine="warp")
     with pytest.raises(ValueError, match="price-only"):
         price_option(key, m, prod, spec, sim, engine="mega", return_surface=True)
+
+
+def test_bermudan_exercise_schedule():
+    """Sparse exercise dates interpolate between European and American:
+    the fewer the dates, the lower the price (monotone in the schedule),
+    and the Bermudan collapses to European with an empty-interior schedule."""
+    import jax
+
+    from amcx import MarketParams, simulate_gbm
+
+    m = MarketParams(100.0, 0.05, 0.2)
+    paths = simulate_gbm(jax.random.key(0), m, 1.0,
+                         SimConfig(n_paths=32_768, n_steps=48))
+    prod_am = ProductSpec(K=100.0, T=1.0, option_type="put",
+                          exercise="american")
+    prod_eu = ProductSpec(K=100.0, T=1.0, option_type="put",
+                          exercise="european")
+    spec = RegressionSpec(degree=4)
+    am = lsmc_option_pricing(paths, prod_am, m.r, spec, return_surface=False)
+    eu = lsmc_option_pricing(paths, prod_eu, m.r, spec, return_surface=False)
+    quarterly = lsmc_option_pricing(
+        paths, prod_am, m.r, spec, return_surface=False,
+        exercise_steps=tuple(range(12, 48, 12)))
+    monthly = lsmc_option_pricing(
+        paths, prod_am, m.r, spec, return_surface=False,
+        exercise_steps=tuple(range(4, 48, 4)))
+    tol = 2 * float(eu.stderr)
+    p = [float(eu.price), float(quarterly.price), float(monthly.price),
+         float(am.price)]
+    assert p[0] - tol <= p[1] <= p[3] + 1e-6, p
+    assert p[1] <= p[2] + tol and p[2] <= p[3] + tol, p
+    # quarterly already captures most of the premium at 48 steps
+    assert p[1] > p[0] + 0.05, p
+
+    with pytest.raises(ValueError, match="exercise_steps"):
+        lsmc_option_pricing(paths, prod_am, m.r, spec, return_surface=False,
+                            exercise_steps=(60,))
