@@ -234,7 +234,7 @@ def _ring_allreduce_moments(macc, comm, send_sem, recv_sem, t, ring_axis,
 
 def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, macc, *rest,
                  n_steps, n_rows, chunk_rows, basis, degree, american, barrier,
-                 itm_weights, ring_axis=None, ring_size=1):
+                 itm_weights, ring_axis=None, ring_size=1, schedule=False):
     if ring_axis is not None:
         comm, send_sem, recv_sem = rest
     k = degree + 1
@@ -273,6 +273,9 @@ def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, macc, *rest
     def _step():
         mean = stats_ref[t]
         inv_std = stats_ref[n_steps + 1 + t]
+        # Bermudan schedule: per-step allow flag appended after the
+        # standardization stats (1.0 = exercise date)
+        allow = stats_ref[2 * (n_steps + 1) + t] if schedule else None
 
         # ---- pass 1: Gram/moment accumulation over VMEM-resident data ----
         macc[...] = jnp.zeros_like(macc)
@@ -343,6 +346,8 @@ def _mega_kernel(scal_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, macc, *rest
                 # ex > cont ⟹ ex > 0 (cont is clamped ≥ 0), so the ITM
                 # clause of the reference's rule is implied
                 mask = ex > cont
+                if schedule:
+                    mask = mask & (allow > 0.0)
                 if barrier:
                     mask = mask & kn  # Q4: exercise only once knocked
                 V[sl, :] = jnp.where(mask, ex, y)
@@ -691,7 +696,8 @@ def lsmc_book_megakernel(
 
 
 def _run(scalars, stats, paths_blocks, n_steps, n_rows, basis, degree, american,
-         barrier, itm_weights, interpret, ring_axis=None, ring_size=1):
+         barrier, itm_weights, interpret, ring_axis=None, ring_size=1,
+         schedule=False):
     kernel = functools.partial(
         _mega_kernel,
         n_steps=n_steps,
@@ -704,6 +710,7 @@ def _run(scalars, stats, paths_blocks, n_steps, n_rows, basis, degree, american,
         itm_weights=itm_weights,
         ring_axis=ring_axis,
         ring_size=ring_size,
+        schedule=schedule,
     )
     _, P = _moment_layout(basis, degree)
     scratch_shapes = [
@@ -748,7 +755,7 @@ _run_jit = jax.jit(
     _run,
     static_argnames=("n_steps", "n_rows", "basis", "degree", "american",
                      "barrier", "itm_weights", "interpret", "ring_axis",
-                     "ring_size"),
+                     "ring_size", "schedule"),
 )
 
 
@@ -771,6 +778,7 @@ def lsmc_price_megakernel(
     return_stats: bool = False,
     axis_name: Optional[str] = None,
     axis_size: int = 1,
+    exercise_steps=None,
 ):
     """Price a vanilla or down-and-in put/call with the single-kernel
     backward induction.
@@ -855,15 +863,25 @@ def lsmc_price_megakernel(
             jnp.asarray(rcond, jnp.float32),
         ]
     )
-    stats = jnp.concatenate(
-        [mean_t.astype(jnp.float32), inv_std_t.astype(jnp.float32)]
-    )
+    stats_parts = [mean_t.astype(jnp.float32), inv_std_t.astype(jnp.float32)]
+    if exercise_steps is not None:
+        sched = set(int(i) for i in exercise_steps)
+        if not all(0 <= i <= n_steps - 1 for i in sched):
+            raise ValueError(
+                f"exercise_steps must lie in 0..{n_steps - 1}, got {sorted(sched)}"
+            )
+        stats_parts.append(jnp.asarray(
+            [1.0 if i in sched else 0.0 for i in range(n_steps + 1)],
+            jnp.float32,
+        ))
+    stats = jnp.concatenate(stats_parts)
     blocks = (paths_tm if paths_tm.ndim == 3
               else paths_tm.reshape(n_steps + 1, n_rows, LANES))
     run = _run if axis_name is not None else _run_jit
     sums = run(scalars, stats, blocks, n_steps, n_rows, basis, degree,
                american, barrier is not None, itm_weights, interpret,
-               ring_axis=axis_name, ring_size=axis_size)
+               ring_axis=axis_name, ring_size=axis_size,
+               schedule=exercise_steps is not None)
     if axis_name is not None:
         sums = jax.lax.psum(sums, axis_name)
     price = sums[0] / n_glob

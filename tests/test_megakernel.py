@@ -106,3 +106,30 @@ def test_barrier_bounded_by_vanilla_mega(paths):
     di = lsmc_price_megakernel(paths, 100.0, M.r, 1.0 / 20, -1.0, degree=4, barrier=80.0)
     vanilla = lsmc_price_megakernel(paths, 100.0, M.r, 1.0 / 20, -1.0, degree=4)
     assert 0.0 <= float(di) <= float(vanilla) + 1e-6
+
+
+def test_megakernel_bermudan_schedule():
+    """The mega kernel's per-step exercise gate matches the XLA engine's
+    Bermudan schedule semantics."""
+    import jax.numpy as jnp
+
+    from amcx import MarketParams, ProductSpec, RegressionSpec, SimConfig
+    from amcx import lsmc_option_pricing, simulate_gbm
+    from amcx.ops.lsmc_megakernel import lsmc_price_megakernel
+
+    m = MarketParams(100.0, 0.05, 0.2)
+    paths = simulate_gbm(jax.random.key(3), m, 1.0,
+                         SimConfig(n_paths=32_768, n_steps=24))
+    sched = tuple(range(6, 24, 6))
+    xla = lsmc_option_pricing(
+        paths, ProductSpec(K=100.0, T=1.0, option_type="put",
+                           exercise="american"),
+        m.r, RegressionSpec(degree=4), return_surface=False,
+        exercise_steps=sched)
+    mega = float(lsmc_price_megakernel(paths, 100.0, m.r, 1.0 / 24, -1.0,
+                                       degree=4, exercise_steps=sched))
+    assert abs(mega - float(xla.price)) < max(5e-3, 0.5 * float(xla.stderr))
+    # the schedule must bite: quarterly < full American on the same paths
+    am = float(lsmc_price_megakernel(paths, 100.0, m.r, 1.0 / 24, -1.0,
+                                     degree=4))
+    assert mega < am - 1e-3
