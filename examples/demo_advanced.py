@@ -73,7 +73,7 @@ def main():
     section("Brownian-bridge QMC: European put error at 4096 paths")
     simq = SimConfig(n_paths=4096, n_steps=64)
     bs = float(bs_price(95.0, 100.0, 1.0, 0.01, 0.2, option_type="put"))
-    from amcx import lsmc_option_pricing
+    from amcx import lsmc_option_pricing  # noqa: F811
 
     prod_e = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="european")
     for label, kwargs in [("increment order", {}), ("bridge order",
@@ -106,6 +106,32 @@ def main():
     epe0 = float(np.asarray(ccr.epe)[1])
     print(f"  American {float(res.price):.4f} ± {float(res.stderr):.4f}  "
           f"(CF European {cf:.4f});  EPE(t=dt) = {epe0:.4f}")
+
+    # ------------------------------------------------------------------
+    section("Asian options: (S, A) state augmentation, exact geometric oracle")
+    from amcx import geometric_asian_price, price_asian_option
+
+    simA = SimConfig(n_paths=65_536, n_steps=32)
+    ge = price_asian_option(jax.random.key(6), MARKET, 100.0, 1.0, "call",
+                            "european", "geometric", "fixed",
+                            RegressionSpec(degree=3), simA)
+    exact = geometric_asian_price(95.0, 100.0, 1.0, 0.01, 0.2, 32)
+    am_a = price_asian_option(jax.random.key(6), MARKET, 100.0, 1.0, "put",
+                              "american", "arithmetic", "fixed",
+                              RegressionSpec(degree=3), simA)
+    print(f"  geometric European {float(ge.price):.4f} (exact {exact:.4f});"
+          f"  American arithmetic average-put {float(am_a.price):.4f}")
+
+    # ------------------------------------------------------------------
+    section("Bermudan schedules: quarterly dates on the simulation grid")
+    from amcx import lsmc_option_pricing
+
+    q = lsmc_option_pricing(paths, prod, MARKET.r, SPEC,
+                            return_surface=False,
+                            exercise_steps=tuple(range(12, 50, 12)))
+    a = lsmc_option_pricing(paths, prod, MARKET.r, SPEC,
+                            return_surface=False)
+    print(f"  quarterly {float(q.price):.4f}  <  American {float(a.price):.4f}")
 
     # ------------------------------------------------------------------
     if on_tpu:
