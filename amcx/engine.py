@@ -299,16 +299,20 @@ def lsmc_option_pricing(
 
 
 @partial(jax.jit, static_argnames=("spec", "sim", "option_type", "exercise",
-                                   "barrier_type", "return_surface"))
+                                   "barrier_type", "return_surface",
+                                   "exercise_steps"))
 def _price_option_impl(key, S0, r, sigma, q, K, T, barrier, spec, sim, option_type,
-                       exercise, barrier_type, return_surface):
+                       exercise, barrier_type, return_surface,
+                       exercise_steps=None):
     from .paths import simulate_gbm
 
     market = MarketParams(S0, r, sigma, q)
     paths = simulate_gbm(key, market, T, sim)
     product = ProductSpec(K=K, T=T, barrier=barrier, option_type=option_type,
                           exercise=exercise, barrier_type=barrier_type)
-    return lsmc_option_pricing(paths, product, r, spec, return_surface=return_surface)
+    return lsmc_option_pricing(paths, product, r, spec,
+                               return_surface=return_surface,
+                               exercise_steps=exercise_steps)
 
 
 def price_option(
@@ -319,6 +323,7 @@ def price_option(
     sim: SimConfig = SimConfig(),
     return_surface: bool = False,
     engine: str = "xla",
+    exercise_steps=None,
 ) -> LSMCResult:
     """One-shot jitted simulate→price pipeline (the reference's
     `generate_asset_paths` + `lsmc_option_pricing` composition at
@@ -330,7 +335,17 @@ def price_option(
     (single kernel that also *generates* the paths backward in-kernel via
     the Brownian-bridge recursion — zero path HBM traffic/storage;
     vanilla GBM only, price/stderr only, TPU for real statistics).
+
+    ``exercise_steps``: optional Bermudan schedule (tuple of step indices);
+    supported by the "xla" and "mega" engines.
     """
+    if exercise_steps is not None:
+        exercise_steps = tuple(int(i) for i in exercise_steps)
+        if engine not in ("xla", "mega"):
+            raise ValueError(
+                "exercise_steps is supported by the 'xla' and 'mega' "
+                f"engines, not {engine!r}"
+            )
     if engine == "fusedpath":
         if return_surface:
             raise ValueError("engine='fusedpath' is price-only")
@@ -394,7 +409,7 @@ def price_option(
             barrier_type=product.barrier_type,
             itm_weights=spec.regress_on == "itm",
             mean_t=mean_t, inv_std_t=inv_std_t,
-            return_stats=True,
+            return_stats=True, exercise_steps=exercise_steps,
         )
         return LSMCResult(price, stderr, None, None, None)
     if engine != "xla":
@@ -418,4 +433,5 @@ def price_option(
         product.exercise,
         product.barrier_type,
         return_surface,
+        exercise_steps=exercise_steps,
     )
