@@ -54,13 +54,17 @@ def price_strike_grid(
     american: bool = True,
     spec: RegressionSpec = RegressionSpec(),
     engine: str = "xla",
+    return_cf_tau: bool = False,
 ) -> BookResult:
     """Price a strike grid of vanilla puts/calls on shared paths.
 
     ``engine="xla"``: one compiled program, the backward induction vmapped
     over strikes (per-strike regressions and exercise boundaries, full
     cashflow/τ outputs). ``engine="mega"``: the strike-batched single
-    Pallas kernel — fit-on-all-paths regression only, prices/stderrs only.
+    Pallas kernel — fit-on-all-paths regression only; pass
+    ``return_cf_tau=True`` to also emit the per-strike (cashflow, τ)
+    planes (feeds :func:`book_greeks` at book-kernel speed; triples the
+    kernel's per-strike VMEM state).
     """
     if engine == "mega":
         if spec.regress_on == "itm":
@@ -72,12 +76,14 @@ def price_strike_grid(
 
         n_steps = paths_tm.shape[0] - 1
         phi = 1.0 if option_type == "call" else -1.0
-        prices, stderrs = lsmc_book_megakernel(
+        out = lsmc_book_megakernel(
             paths_tm, strikes, r, T / n_steps, phi,
             basis=spec.basis, degree=spec.degree, rcond=spec.rcond,
-            american=american,
+            american=american, return_cf_tau=return_cf_tau,
         )
-        return BookResult(prices, stderrs, None, None)
+        if return_cf_tau:
+            return BookResult(*out)
+        return BookResult(out[0], out[1], None, None)
     if engine != "xla":
         raise ValueError(f"unknown book engine {engine!r} (use 'xla' or 'mega')")
     return _price_strike_grid_xla(paths_tm, strikes, r, T, option_type,
@@ -121,6 +127,7 @@ def price_mixed_book(
     american: bool = True,
     spec: RegressionSpec = RegressionSpec(),
     engine: str = "xla",
+    return_cf_tau: bool = False,
 ) -> BookResult:
     """Price a mixed-maturity vanilla book on one shared path grid.
 
@@ -128,10 +135,12 @@ def price_mixed_book(
     grid (1..n_steps); its maturity in years is ``maturity_steps[i]·T/n_steps``.
 
     ``engine="mega"`` runs the whole book in ONE strike-batched Pallas
-    kernel with per-option maturity masking (prices/stderrs only);
-    ``engine="xla"`` groups options into maturity buckets and prices each
-    bucket with the vmapped induction on a sliced grid (exact per-bucket
-    reference; one compile per distinct maturity).
+    kernel with per-option maturity masking (``return_cf_tau=True`` also
+    emits per-option cashflow/τ planes, with τ initialized at each
+    option's OWN maturity step); ``engine="xla"`` groups options into
+    maturity buckets and prices each bucket with the vmapped induction on
+    a sliced grid (exact per-bucket reference; one compile per distinct
+    maturity; prices/stderrs only).
     """
     import numpy as np
 
@@ -151,12 +160,15 @@ def price_mixed_book(
         from .ops.lsmc_megakernel import lsmc_book_megakernel
 
         phi = 1.0 if option_type == "call" else -1.0
-        prices, stderrs = lsmc_book_megakernel(
+        out = lsmc_book_megakernel(
             paths_tm, strikes, r, T / n_steps, phi,
             basis=spec.basis, degree=spec.degree, rcond=spec.rcond,
             american=american, maturity_steps=tuple(mats),
+            return_cf_tau=return_cf_tau,
         )
-        return BookResult(prices, stderrs, None, None)
+        if return_cf_tau:
+            return BookResult(*out)
+        return BookResult(out[0], out[1], None, None)
     if engine != "xla":
         raise ValueError(f"unknown book engine {engine!r} (use 'xla' or 'mega')")
 
@@ -245,8 +257,8 @@ def book_greeks(
     (:func:`amcx.greeks.fast_greeks`) to each option's ``(cashflows,
     exercise_times)`` rows, so the whole ladder costs one cheap reduction
     per option on the already-finished book run — no re-pricing, no
-    autodiff. Requires the ``engine="xla"`` book (the mega book returns no
-    cashflow/τ outputs).
+    autodiff. Works with the ``engine="xla"`` book and with the mega book
+    priced with ``return_cf_tau=True``.
 
     Returns a dict of ``(n_options,)`` arrays keyed like ``fast_greeks``.
     """
@@ -257,7 +269,7 @@ def book_greeks(
     if book.cashflows is None:
         raise ValueError(
             "book_greeks needs per-option cashflow/τ outputs — price the "
-            "book with engine='xla'"
+            "book with engine='xla', or engine='mega' + return_cf_tau=True"
         )
     strikes = jnp.atleast_1d(jnp.asarray(strikes))
     rows = []

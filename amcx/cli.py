@@ -109,13 +109,16 @@ def _gen_paths(args, market, T, sim):
 
 
 def cmd_price(args):
-    from .engine import lsmc_option_pricing
+    from .engine import lsmc_option_pricing, q0_call_advisory
     from .engine_pallas import lsmc_option_pricing_fused
     from .exposures import compute_ccr_exposures
     from .oracle import oracle_price
     from .paths import simulate_gbm
 
     market, product, spec, sim = _build(args)
+    advisory = q0_call_advisory(market, product, spec)
+    if advisory is not None:
+        print(f"ADVISORY: {advisory}", file=sys.stderr)
     if args.engine == "fusedpath":
         if args.plot:
             raise SystemExit("--engine fusedpath is price-only (no --plot)")
@@ -138,7 +141,9 @@ def cmd_price(args):
             paths, product.K, market.r, product.T / sim.n_steps, phi,
             basis=spec.basis, degree=spec.degree,
             american=product.is_american, barrier=product.barrier,
-            barrier_type=product.barrier_type, return_stats=True,
+            barrier_type=product.barrier_type,
+            itm_weights=spec.regress_on == "itm",
+            antithetic=sim.antithetic, return_stats=True,
         )
         from .engine import LSMCResult
 

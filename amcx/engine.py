@@ -43,7 +43,8 @@ from .payoff import barrier_gate, payoff_fn_for
 from .regress import fit_continuation
 from .types import MarketParams, ProductSpec, RegressionSpec, SimConfig
 
-__all__ = ["LSMCResult", "backward_induction", "lsmc_option_pricing", "price_option"]
+__all__ = ["LSMCResult", "backward_induction", "lsmc_option_pricing",
+           "price_option", "q0_call_advisory"]
 
 
 class LSMCResult(NamedTuple):
@@ -88,6 +89,7 @@ def backward_induction(
     exercise_from_step: int = 0,
     fit_fn_returns_coeffs: bool = False,
     exercise_steps=None,
+    antithetic: bool = False,
 ) -> LSMCResult:
     """Generic LSMC backward induction.
 
@@ -129,6 +131,15 @@ def backward_induction(
         with ``exercise_from_step``; maturity always pays intrinsic. The
         regression still runs every step (Q6: the continuation surface
         feeds exposures), only the exercise select is gated.
+      antithetic: the paths were generated with antithetic variates (path i
+        mirrors path i + n_paths/2, the layout every amcx generator uses).
+        Folds each pair's discounted cashflows BEFORE the variance
+        reduction, so the reported stderr is that of the n/2 independent
+        pair means — the honest MC error of an antithetic estimator (a
+        pathwise variance ignores the pairing and overstates it). Under
+        ``axis_name`` the pairing is within each shard (how the shard_map
+        pipelines simulate), so the fold stays local and the psum
+        aggregates pair statistics.
     """
     n_steps = paths_tm.shape[0] - 1
     n_paths = paths_tm.shape[1]
@@ -218,17 +229,28 @@ def backward_induction(
     )
 
     discounted = cashflows * jnp.exp(-r * dt * tau)
+    if antithetic:
+        # Fold antithetic pairs (path i with its mirror i + n/2) before the
+        # variance reduction: the n/2 pair means ARE the independent draws,
+        # so their spread is the honest stderr (VERDICT r2 weak #1). The
+        # fold preserves the price (mean of pair means == overall mean).
+        half = n_paths // 2
+        stat = 0.5 * (discounted[:half] + discounted[half:])
+        n_stat = float(half)
+    else:
+        stat = discounted
+        n_stat = float(n_paths)
     if axis_name is None:
-        price = jnp.mean(discounted)
-        var = jnp.mean(jnp.square(discounted - price))
-        n_total = float(n_paths)
+        price = jnp.mean(stat)
+        var = jnp.mean(jnp.square(stat - price))
+        n_total = n_stat
     else:
         # psum-based global mean/variance across the sharded path axis
         # (BASELINE north star: "psum-based reduction for the final
         # discounted-payoff mean").
-        n_total = lax.psum(jnp.asarray(float(n_paths), dtype), axis_name)
-        price = lax.psum(jnp.sum(discounted), axis_name) / n_total
-        var = lax.psum(jnp.sum(jnp.square(discounted - price)), axis_name) / n_total
+        n_total = lax.psum(jnp.asarray(n_stat, dtype), axis_name)
+        price = lax.psum(jnp.sum(stat), axis_name) / n_total
+        var = lax.psum(jnp.sum(jnp.square(stat - price)), axis_name) / n_total
     stderr = jnp.sqrt(var) / jnp.sqrt(n_total)
 
     surface = None
@@ -265,6 +287,7 @@ def lsmc_option_pricing(
     surface_stats: bool = False,
     return_coeffs: bool = False,
     exercise_steps=None,
+    antithetic: bool = False,
 ) -> LSMCResult:
     """Price a (possibly barrier) put/call from pre-simulated paths.
 
@@ -295,15 +318,16 @@ def lsmc_option_pricing(
         axis_name=axis_name,
         surface_stats=surface_stats,
         return_coeffs=return_coeffs,
+        antithetic=antithetic,
     )
 
 
 @partial(jax.jit, static_argnames=("spec", "sim", "option_type", "exercise",
                                    "barrier_type", "return_surface",
-                                   "exercise_steps"))
+                                   "exercise_steps", "return_coeffs"))
 def _price_option_impl(key, S0, r, sigma, q, K, T, barrier, spec, sim, option_type,
                        exercise, barrier_type, return_surface,
-                       exercise_steps=None):
+                       exercise_steps=None, return_coeffs=False):
     from .paths import simulate_gbm
 
     market = MarketParams(S0, r, sigma, q)
@@ -312,7 +336,33 @@ def _price_option_impl(key, S0, r, sigma, q, K, T, barrier, spec, sim, option_ty
                           exercise=exercise, barrier_type=barrier_type)
     return lsmc_option_pricing(paths, product, r, spec,
                                return_surface=return_surface,
-                               exercise_steps=exercise_steps)
+                               exercise_steps=exercise_steps,
+                               return_coeffs=return_coeffs,
+                               antithetic=sim.antithetic)
+
+
+def q0_call_advisory(market: MarketParams, product: ProductSpec,
+                     spec: RegressionSpec) -> Optional[str]:
+    """Recommended-practice advisory for no-dividend American calls.
+
+    With q = 0 an American call is never optimally exercised early, but the
+    reference-parity estimator (``regress_on="all"``, SURVEY Q1) lets
+    regression noise trigger spurious early exercise deep ITM — a documented
+    −0.2-at-1M-paths bias (docs/PARITY.md item 5). Returns a warning string
+    when that configuration is requested (``None`` otherwise); callers warn
+    but keep the parity default (VERDICT r2 next-step #9).
+    """
+    if (product.option_type == "call" and product.is_american
+            and float(market.q) == 0.0 and spec.regress_on == "all"
+            and not product.has_barrier):
+        return (
+            "American call with q=0 and regress_on='all': early exercise is "
+            "never optimal, but all-paths regression noise can trigger it "
+            "deep ITM (documented ~-0.2 bias at 1M paths, docs/PARITY.md "
+            "item 5). Recommended: RegressionSpec(regress_on='itm', "
+            "degree>=6), or price the European equivalent."
+        )
+    return None
 
 
 def price_option(
@@ -324,30 +374,39 @@ def price_option(
     return_surface: bool = False,
     engine: str = "xla",
     exercise_steps=None,
+    return_cf_tau: bool = False,
+    return_coeffs: bool = False,
 ) -> LSMCResult:
     """One-shot jitted simulate→price pipeline (the reference's
     `generate_asset_paths` + `lsmc_option_pricing` composition at
     `american_monte_carlo.py:465-471`).
 
     ``engine``: ``"xla"`` (reference engine), ``"fused"`` (two Pallas
-    kernels/step), ``"mega"`` (single-kernel; price-only — no surface/τ
-    outputs, itm weights per ``spec.regress_on``), or ``"fusedpath"``
-    (single kernel that also *generates* the paths backward in-kernel via
-    the Brownian-bridge recursion — zero path HBM traffic/storage;
-    vanilla GBM only, price/stderr only, TPU for real statistics).
+    kernels/step), ``"mega"`` (single-kernel backward induction), or
+    ``"fusedpath"`` (single kernel that also *generates* the paths backward
+    in-kernel via the Brownian-bridge recursion — zero path HBM
+    traffic/storage; vanilla GBM only, price/stderr only, TPU for real
+    statistics).
 
     ``exercise_steps``: optional Bermudan schedule (tuple of step indices);
-    supported by the "xla" and "mega" engines.
+    supported by all four engines.
+
+    ``return_cf_tau``: fill ``cashflows``/``exercise_times`` in the result
+    for the "mega" engine (the "xla"/"fused" engines always return them) —
+    feeds `amcx.greeks.fast_greeks` and the exposure helpers at
+    flagship-kernel speed. ``return_coeffs``: fill ``coeffs`` (per-step
+    regression coefficients; "xla" and "mega") — feeds
+    `amcx.dual.dual_upper_bound` and `amcx.exposures.exposures_from_coeffs`.
     """
+    import warnings
+
+    advisory = q0_call_advisory(market, product, spec)
+    if advisory is not None:
+        warnings.warn(advisory, stacklevel=2)
     if exercise_steps is not None:
         exercise_steps = tuple(int(i) for i in exercise_steps)
-        if engine not in ("xla", "mega"):
-            raise ValueError(
-                "exercise_steps is supported by the 'xla' and 'mega' "
-                f"engines, not {engine!r}"
-            )
     if engine == "fusedpath":
-        if return_surface:
+        if return_surface or return_cf_tau or return_coeffs:
             raise ValueError("engine='fusedpath' is price-only")
         if product.has_barrier:
             raise ValueError(
@@ -365,18 +424,29 @@ def price_option(
             american=product.is_american,
             itm_weights=spec.regress_on == "itm",
             antithetic=sim.antithetic, return_stats=True,
+            exercise_steps=exercise_steps,
         )
         return LSMCResult(price, stderr, None, None, None)
     if engine == "fused":
+        if return_coeffs:
+            raise ValueError(
+                "engine='fused' does not export coeffs; use 'xla' or 'mega'"
+            )
         from .engine_pallas import lsmc_option_pricing_fused
         from .paths import simulate_gbm
 
         paths = simulate_gbm(key, market, product.T, sim)
         return lsmc_option_pricing_fused(paths, product, market.r, spec,
-                                         return_surface=return_surface)
+                                         return_surface=return_surface,
+                                         exercise_steps=exercise_steps,
+                                         antithetic=sim.antithetic)
     if engine == "mega":
         if return_surface:
-            raise ValueError("engine='mega' is price-only; use 'fused' for surfaces")
+            raise ValueError(
+                "engine='mega' is price-only for dense surfaces; use "
+                "'fused', or return_coeffs=True + "
+                "amcx.exposures.exposures_from_coeffs"
+            )
         from .ops.lsmc_megakernel import lsmc_price_megakernel
         from .paths import gbm_standardization, simulate_gbm
 
@@ -402,7 +472,7 @@ def price_option(
         else:
             paths = simulate_gbm(key, market, product.T, sim)
         phi = 1.0 if product.option_type == "call" else -1.0
-        price, stderr = lsmc_price_megakernel(
+        out = lsmc_price_megakernel(
             paths, product.K, market.r, product.T / n_steps, phi,
             basis=spec.basis, degree=spec.degree, rcond=spec.rcond,
             american=product.is_american, barrier=product.barrier,
@@ -410,7 +480,13 @@ def price_option(
             itm_weights=spec.regress_on == "itm",
             mean_t=mean_t, inv_std_t=inv_std_t,
             return_stats=True, exercise_steps=exercise_steps,
+            return_cf_tau=return_cf_tau, return_coeffs=return_coeffs,
+            antithetic=sim.antithetic,
         )
+        if return_cf_tau or return_coeffs:
+            return LSMCResult(out.price, out.stderr, out.cashflows,
+                              out.exercise_times, None, coeffs=out.coeffs)
+        price, stderr = out
         return LSMCResult(price, stderr, None, None, None)
     if engine != "xla":
         raise ValueError(
@@ -434,4 +510,5 @@ def price_option(
         product.barrier_type,
         return_surface,
         exercise_steps=exercise_steps,
+        return_coeffs=return_coeffs,
     )

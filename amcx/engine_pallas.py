@@ -34,16 +34,31 @@ from .types import ProductSpec, RegressionSpec
 __all__ = ["precompute_standardization", "backward_induction_fused", "lsmc_option_pricing_fused"]
 
 
-def precompute_standardization(paths_tm, weights_tm, spec: RegressionSpec, eps=1e-6):
+def precompute_standardization(paths_tm, weights_tm, spec: RegressionSpec,
+                               eps=1e-6, axis_name=None):
     """Per-step (weighted) mean and 1/(factor·std) over the path axis, for
-    every time step at once — one vectorized pass over the path array."""
+    every time step at once — one vectorized pass over the path array.
+
+    Under ``axis_name`` (inside ``shard_map``) the statistics are GLOBAL
+    (psum'd): every rank must standardize in the same frame, or the psum'd
+    regression moments mix incompatible bases (found by the hardened
+    multichip dryrun gate, round 3 — the per-shard frames put a ~1e-2 error
+    on the 8-way fused price).
+    """
+    def gsum(x):
+        s = jnp.sum(x, axis=1)
+        return lax.psum(s, axis_name) if axis_name is not None else s
+
+    n = paths_tm.shape[1]
+    n_glob = (lax.psum(jnp.asarray(float(n), paths_tm.dtype), axis_name)
+              if axis_name is not None else float(n))
     if weights_tm is None:
-        mean = jnp.mean(paths_tm, axis=1)
-        var = jnp.mean(jnp.square(paths_tm - mean[:, None]), axis=1)
+        mean = gsum(paths_tm) / n_glob
+        var = gsum(jnp.square(paths_tm - mean[:, None])) / n_glob
     else:
-        wsum = jnp.maximum(jnp.sum(weights_tm, axis=1), eps)
-        mean = jnp.sum(weights_tm * paths_tm, axis=1) / wsum
-        var = jnp.sum(weights_tm * jnp.square(paths_tm - mean[:, None]), axis=1) / wsum
+        wsum = jnp.maximum(gsum(weights_tm), eps)
+        mean = gsum(weights_tm * paths_tm) / wsum
+        var = gsum(weights_tm * jnp.square(paths_tm - mean[:, None])) / wsum
     std = jnp.maximum(jnp.sqrt(var), eps)
     factor = spec.scaling_factor if spec.scaling else 1.0
     if not (spec.scaling or spec.internal_standardize):
@@ -64,8 +79,18 @@ def backward_induction_fused(
     return_surface: bool = False,
     axis_name: Optional[str] = None,
     interpret: Optional[bool] = None,
+    exercise_steps=None,
+    antithetic: bool = False,
 ) -> LSMCResult:
-    """Fused-kernel LSMC for single-asset put/call (φ=+1 call, −1 put)."""
+    """Fused-kernel LSMC for single-asset put/call (φ=+1 call, −1 put).
+
+    ``exercise_steps``: optional Bermudan schedule (step indices where early
+    exercise is allowed); the regression still runs every step (Q6 — the
+    surface feeds exposures), the (cf, τ) select is gated per step with a
+    ``where`` outside the kernel. ``antithetic``: paths pair i with
+    i + n_paths/2; folds pairs before the variance reduction so the
+    reported stderr is honest (see `amcx.engine.backward_induction`).
+    """
     n_steps = paths_tm.shape[0] - 1
     n_paths = paths_tm.shape[1]
     if n_paths % (TILE_ROWS * LANES):
@@ -89,7 +114,8 @@ def backward_induction_fused(
     if spec.regress_on == "itm":
         w = (intrinsic_value(paths_tm, K, "call" if phi > 0 else "put") > 0).astype(dtype)
         weights_tm = w if knocked_tm is None else w * knocked_tm
-    mean_t, inv_std_t = precompute_standardization(paths_tm, weights_tm, spec)
+    mean_t, inv_std_t = precompute_standardization(paths_tm, weights_tm, spec,
+                                                   axis_name=axis_name)
 
     def rows_of(a):
         return a.reshape(a.shape[0], rows, LANES) if a is not None else None
@@ -121,6 +147,7 @@ def backward_induction_fused(
 
     def step(carry, xs):
         cf, tau = carry
+        xs, allowed_t = (xs[:-1], xs[-1]) if exercise_steps is not None else (xs, None)
         if knocked_r is not None:
             S_t, kn_t, t, mean, inv_std = xs
         else:
@@ -135,9 +162,16 @@ def backward_induction_fused(
         if american:
             out = apply_(scalars, coeffs, S_t, cf, tau, kn_t)
             if return_surface:
-                cf, tau, cont = out
+                cf_new, tau_new, cont = out
             else:
-                cf, tau = out
+                cf_new, tau_new = out
+            if exercise_steps is not None:
+                # Bermudan gate: keep the carry on non-exercise dates (the
+                # kernel's select is undone by a scalar-predicated where —
+                # XLA fuses it into the copy-out, no extra sweep).
+                cf_new = jnp.where(allowed_t, cf_new, cf)
+                tau_new = jnp.where(allowed_t, tau_new, tau)
+            cf, tau = cf_new, tau_new
         elif return_surface:
             # European: regression only feeds the exposure surface (SURVEY
             # Q6); evaluate fitted values without the exercise select.
@@ -151,17 +185,34 @@ def backward_induction_fused(
         if knocked_r is not None
         else (paths_r[:n_steps], ts, mean_t[:n_steps], inv_std_t[:n_steps])
     )
+    if exercise_steps is not None:
+        sched = set(int(i) for i in exercise_steps)
+        if not all(0 <= i <= n_steps - 1 for i in sched):
+            raise ValueError(
+                f"exercise_steps must lie in 0..{n_steps - 1}, got {sorted(sched)}"
+            )
+        xs = xs + (jnp.asarray([i in sched for i in range(n_steps)], bool),)
     (cf, tau), conts = lax.scan(step, (cf0, tau0), xs, reverse=True)
 
     discounted = (cf * jnp.exp(-rdt * tau)).reshape(-1)
-    if axis_name is None:
-        price = jnp.mean(discounted)
-        var = jnp.mean(jnp.square(discounted - price))
-        n_total = float(n_paths)
+    if antithetic:
+        # honest antithetic stderr: fold pair (i, i + n/2) before Σ/Σ²
+        # (see amcx.engine.backward_induction; pairing holds in both the
+        # XLA and the Pallas path layouts).
+        half = n_paths // 2
+        stat = 0.5 * (discounted[:half] + discounted[half:])
+        n_stat = float(half)
     else:
-        n_total = lax.psum(jnp.asarray(float(n_paths), dtype), axis_name)
-        price = lax.psum(jnp.sum(discounted), axis_name) / n_total
-        var = lax.psum(jnp.sum(jnp.square(discounted - price)), axis_name) / n_total
+        stat = discounted
+        n_stat = float(n_paths)
+    if axis_name is None:
+        price = jnp.mean(stat)
+        var = jnp.mean(jnp.square(stat - price))
+        n_total = n_stat
+    else:
+        n_total = lax.psum(jnp.asarray(n_stat, dtype), axis_name)
+        price = lax.psum(jnp.sum(stat), axis_name) / n_total
+        var = lax.psum(jnp.sum(jnp.square(stat - price)), axis_name) / n_total
     stderr = jnp.sqrt(var) / jnp.sqrt(n_total)
 
     surface = None
@@ -179,6 +230,8 @@ def lsmc_option_pricing_fused(
     spec: RegressionSpec = RegressionSpec(),
     return_surface: bool = False,
     axis_name: Optional[str] = None,
+    exercise_steps=None,
+    antithetic: bool = False,
 ) -> LSMCResult:
     """`amcx.engine.lsmc_option_pricing` signature, fused-kernel execution."""
     n_steps = paths_tm.shape[0] - 1
@@ -196,4 +249,6 @@ def lsmc_option_pricing_fused(
         american=product.is_american,
         return_surface=return_surface,
         axis_name=axis_name,
+        exercise_steps=exercise_steps,
+        antithetic=antithetic,
     )

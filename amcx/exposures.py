@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["CCRExposures", "compute_ccr_exposures", "distributed_percentiles"]
+__all__ = ["CCRExposures", "compute_ccr_exposures", "distributed_percentiles",
+           "exposures_from_coeffs"]
 
 
 class CCRExposures(NamedTuple):
@@ -63,6 +64,73 @@ def compute_ccr_exposures(surface_tm: jnp.ndarray) -> CCRExposures:
         return jnp.where(n_valid > 0, out, jnp.nan)
 
     return CCRExposures(pfe5=pct(5.0), pfe95=pct(95.0), epe=epe)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("basis", "degree"))
+def exposures_from_coeffs(
+    paths_tm: jnp.ndarray,
+    coeffs: jnp.ndarray,
+    mean_t: jnp.ndarray,
+    inv_std_t: jnp.ndarray,
+    basis: str = "chebyshev",
+    degree: int = 4,
+) -> CCRExposures:
+    """CCR profile at mega-kernel speed: EPE/PFE from the kernel's exported
+    per-step regression coefficients, WITHOUT materializing the
+    ``(n_steps+1, n_paths)`` surface.
+
+    The continuation surface is a deterministic function of (paths, coeffs,
+    standardization stats): ``Ĉ_t = max(Σ_a c_{t,a} B_a((S_t − μ_t)/σ_t), 0)``
+    — exactly what the in-kernel pass 2 evaluates. Reconstructing it one
+    step at a time inside a ``lax.scan`` and reducing immediately keeps
+    memory at one path-column; the numbers match the fused/XLA engines'
+    ``surface_stats`` output (`amcx.engine.backward_induction`) to f32
+    noise, because both clamp the same fitted polynomial (Q2).
+
+    This is the flagship-speed path for the reference's signature
+    continuation-surface → CCR pipeline
+    (`/root/reference/american_monte_carlo.py:164-167,400-414`): price with
+    ``price_option(engine="mega", return_coeffs=True)``, then call this with
+    the same paths and stats.
+
+    Args:
+      paths_tm: ``(n_steps+1, n_paths)`` or blocked ``(n_steps+1, rows,
+        512)`` spot paths (the same array the kernel priced; barrier runs
+        pass the UN-encoded spots).
+      coeffs: ``(n_steps+1, degree+1)`` per-step coefficients
+        (``LSMCResult.coeffs`` from the mega engine; maturity row unused).
+      mean_t / inv_std_t: the standardization stats the kernel used.
+    """
+    from .basis import design_matrix
+
+    n_steps = paths_tm.shape[0] - 1
+    if paths_tm.ndim == 3:
+        paths_tm = paths_tm.reshape(n_steps + 1, -1)
+    dtype = paths_tm.dtype
+
+    def step(_, xs):
+        S_t, coef_t, mu, isd = xs
+        xhat = (S_t - mu) * isd
+        A = design_matrix(xhat, basis, degree)  # (n_paths, k)
+        cont = jnp.maximum(A @ coef_t, 0.0)  # Q2 clamp, as in-kernel
+        qs = jnp.percentile(cont, jnp.asarray([5.0, 95.0]))
+        return 0, (jnp.mean(cont), qs[0], qs[1])
+
+    _, (epe, p5, p95) = lax.scan(
+        step, 0,
+        (paths_tm[:n_steps], coeffs[:n_steps].astype(dtype),
+         mean_t[:n_steps].astype(dtype), inv_std_t[:n_steps].astype(dtype)),
+    )
+    zero = jnp.zeros((1,), dtype)
+    # maturity row recorded as zeros, matching the engines' surface export
+    return CCRExposures(
+        pfe5=jnp.concatenate([p5, zero]),
+        pfe95=jnp.concatenate([p95, zero]),
+        epe=jnp.concatenate([epe, zero]),
+    )
 
 
 def distributed_percentiles(

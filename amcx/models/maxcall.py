@@ -211,10 +211,23 @@ def backward_induction_fused_maxcall(
 
     if payoff_kind == "maxcall":
         cf0 = max_call_payoff(paths_tm[n_steps], K_).reshape(rows, LANES)
-    else:  # "first": vanilla φ·(S−K) on plane 0 (e.g. the Heston (S, v) state)
+    elif payoff_kind == "first":
+        # vanilla φ·(S−K) on plane 0 (e.g. the Heston (S, v) state)
         cf0 = jnp.maximum(
             phi * (paths_tm[n_steps, :, 0] - K_), 0.0
         ).reshape(rows, LANES)
+    elif payoff_kind == "second":
+        # fixed-strike Asian on the (S, A) state: plane 1 is the average
+        cf0 = jnp.maximum(
+            phi * (paths_tm[n_steps, :, 1] - K_), 0.0
+        ).reshape(rows, LANES)
+    elif payoff_kind == "spread":
+        # floating-strike Asian: φ·(S − A)
+        cf0 = jnp.maximum(
+            phi * (paths_tm[n_steps, :, 0] - paths_tm[n_steps, :, 1]), 0.0
+        ).reshape(rows, LANES)
+    else:
+        raise ValueError(f"unknown payoff_kind {payoff_kind!r}")
     tau0 = jnp.full((rows, LANES), float(n_steps), dtype)
 
     moments = partial(ma_step_moments, n_assets=n_assets, basis=spec.basis,

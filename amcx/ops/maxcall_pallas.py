@@ -94,7 +94,10 @@ def _payoff_for(planes, K, payoff_kind, phi):
     """Static payoff select: ``maxcall`` = max-of-basket call; ``first`` =
     vanilla φ·(planes[0] − K) on the first plane only — the (S, v) Heston
     state prices vanilla American puts/calls while regressing on both
-    planes (extra planes are regression features, not payoff inputs)."""
+    planes (extra planes are regression features, not payoff inputs);
+    ``second`` = φ·(planes[1] − K) — fixed-strike Asian on the (S, A)
+    state where plane 1 carries the running average; ``spread`` =
+    φ·(planes[0] − planes[1]) — floating-strike (average-strike) Asian."""
     if payoff_kind == "maxcall":
         ex = planes[0]
         for p in planes[1:]:
@@ -102,6 +105,10 @@ def _payoff_for(planes, K, payoff_kind, phi):
         return jnp.maximum(ex - K, 0.0)
     if payoff_kind == "first":
         return jnp.maximum(phi * (planes[0] - K), 0.0)
+    if payoff_kind == "second":
+        return jnp.maximum(phi * (planes[1] - K), 0.0)
+    if payoff_kind == "spread":
+        return jnp.maximum(phi * (planes[0] - planes[1]), 0.0)
     raise ValueError(f"unknown payoff_kind {payoff_kind!r}")
 
 

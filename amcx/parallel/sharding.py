@@ -49,6 +49,7 @@ __all__ = [
     "price_option_sharded",
     "price_option_shardmap",
     "price_option_shardmap_mega",
+    "price_option_shardmap_fusedpath",
     "price_book_shardmap",
     "price_book_shardmap_mega",
     "init_multihost",
@@ -281,6 +282,65 @@ def price_option_shardmap_mega(
         T,
         barrier,
     )
+
+
+def price_option_shardmap_fusedpath(
+    key: jax.Array,
+    market: MarketParams,
+    product: ProductSpec,
+    spec: RegressionSpec = RegressionSpec(),
+    sim: SimConfig = SimConfig(),
+    mesh: Optional[Mesh] = None,
+):
+    """Zero-HBM pricing across the mesh: every rank regenerates its path
+    shard backward IN-KERNEL (Brownian bridge + hardware PRNG,
+    `amcx.ops.lsmc_fusedpath`) and the packed regression moments all-reduce
+    over the in-kernel RDMA ring — the only bytes that move anywhere, HBM
+    or ICI, are the (P,128) moment hops. The distributed engine with no
+    path storage at all (SURVEY §5 "psum tiny moments, solve replicated",
+    taken to its limit).
+
+    Each rank's PRNG stream is seeded with ``fold_in(key, rank)`` so the
+    union of shards is a valid global sample. Returns ``(price, stderr)``
+    (replicated scalars).
+    """
+    if product.has_barrier:
+        raise ValueError("fusedpath generates paths backward; no barriers")
+    mesh = make_mesh() if mesh is None else mesh
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    if sim.n_paths % n_dev:
+        raise ValueError(f"n_paths={sim.n_paths} not divisible by mesh size {n_dev}")
+    phi = 1.0 if product.option_type == "call" else -1.0
+    n_steps = sim.n_steps
+    n_local = sim.n_paths // n_dev
+
+    from jax import shard_map
+
+    from ..ops.gbm_pallas import _key_to_seed
+    from ..ops.lsmc_fusedpath import lsmc_price_fusedpath
+
+    @jax.jit
+    def run(key):
+        def local(key):
+            rank = jax.lax.axis_index(axis)
+            seed = _key_to_seed(jax.random.fold_in(key, rank))
+            return lsmc_price_fusedpath(
+                seed, market.S0, product.K, market.r, market.sigma,
+                product.T / n_steps, n_steps, n_local, phi, q=market.q,
+                basis=spec.basis, degree=spec.degree, rcond=spec.rcond,
+                american=product.is_american,
+                itm_weights=spec.regress_on == "itm",
+                antithetic=sim.antithetic, return_stats=True,
+                axis_name=axis, axis_size=n_dev,
+            )
+
+        return shard_map(
+            local, mesh=mesh, in_specs=(P(),), out_specs=(P(), P()),
+            check_vma=False,
+        )(key)
+
+    return run(key)
 
 
 def price_book_shardmap(

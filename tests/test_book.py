@@ -50,18 +50,42 @@ def test_monotone_in_strike(paths):
 
 def test_mega_book_matches_xla(paths):
     """The strike-batched mega-kernel shares Gram/Cholesky across strikes;
-    prices must agree with the vmapped XLA induction to the characterized
-    engine gap (boundary-flip MC noise dominates at 32k paths)."""
+    prices must agree with the vmapped XLA induction to the round-3
+    characterized floor (time-T-units carry + pairs layout: rms ~1e-3,
+    docs/PARITY.md accuracy section; the old 8e-3 bound pre-dated the
+    carry fix and would hide a regression of the fixed components)."""
     strikes = jnp.asarray([85.0, 95.0, 100.0, 115.0])
     xla = price_strike_grid(paths, strikes, M.r, 1.0, option_type="put",
                             american=True, spec=SPEC)
     mega = price_strike_grid(paths, strikes, M.r, 1.0, option_type="put",
                              american=True, spec=SPEC, engine="mega")
     np.testing.assert_allclose(np.asarray(mega.prices), np.asarray(xla.prices),
-                               atol=8e-3)
+                               atol=3e-3)
     np.testing.assert_allclose(np.asarray(mega.stderrs), np.asarray(xla.stderrs),
                                rtol=0.03)
     assert mega.cashflows is None and mega.exercise_times is None
+
+
+def test_mega_book_cf_tau(paths):
+    """return_cf_tau=True: per-strike (cf, τ) planes reproduce each
+    strike's own price exactly and feed book_greeks at kernel speed."""
+    from amcx.book import book_greeks
+
+    strikes = jnp.asarray([90.0, 100.0, 110.0])
+    mega = price_strike_grid(paths, strikes, M.r, 1.0, option_type="put",
+                             american=True, spec=SPEC, engine="mega",
+                             return_cf_tau=True)
+    dt = 1.0 / 20
+    for i in range(3):
+        d = mega.cashflows[i] * jnp.exp(-M.r * dt * mega.exercise_times[i])
+        np.testing.assert_allclose(float(jnp.mean(d)), float(mega.prices[i]),
+                                   atol=2e-5)
+    xla = price_strike_grid(paths, strikes, M.r, 1.0, option_type="put",
+                            american=True, spec=SPEC)
+    gm = book_greeks(mega, M, strikes, 1.0, 20)
+    gx = book_greeks(xla, M, strikes, 1.0, 20)
+    np.testing.assert_allclose(np.asarray(gm["delta"]), np.asarray(gx["delta"]),
+                               atol=1e-2)
 
 
 def test_mega_book_european_exact(paths):

@@ -133,3 +133,116 @@ def test_megakernel_bermudan_schedule():
     am = float(lsmc_price_megakernel(paths, 100.0, m.r, 1.0 / 24, -1.0,
                                      degree=4))
     assert mega < am - 1e-3
+
+
+def test_mega_cf_tau_self_consistent_and_matches_xla(paths):
+    """return_cf_tau=True: the (cashflows, τ) planes must reproduce the
+    kernel's own price (mean of cf·e^{-r·dt·τ}) exactly, and match the XLA
+    engine's carry on (nearly) every path — unblocking fast_greeks, CCR and
+    dual bounds at flagship speed (VERDICT r2 next-step #1)."""
+    import jax.numpy as jnp
+
+    from amcx.ops.lsmc_megakernel import lsmc_price_megakernel
+
+    ref = lsmc_option_pricing(
+        paths, ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american"),
+        M.r, RegressionSpec(degree=4), return_surface=False,
+    )
+    out = lsmc_price_megakernel(paths, 100.0, M.r, 1.0 / 20, -1.0, degree=4,
+                                return_cf_tau=True)
+    d = out.cashflows * jnp.exp(-M.r * (1.0 / 20) * out.exercise_times)
+    np.testing.assert_allclose(float(jnp.mean(d)), float(out.price), atol=2e-5)
+    # solver noise near the boundary may flip a few exercise decisions
+    flip = float(jnp.mean((out.cashflows != ref.cashflows).astype(jnp.float32)))
+    assert flip < 1e-3, flip
+    assert abs(float(out.price) - float(ref.price)) < 2.5e-3
+
+
+def test_mega_coeffs_match_xla(paths):
+    """return_coeffs=True: per-step solved coefficients must match the XLA
+    engine's export (equilibrated ridge-Cholesky vs eigh pinv — f32-level
+    agreement away from the degenerate t=0 row)."""
+    from amcx.ops.lsmc_megakernel import lsmc_price_megakernel
+
+    ref = lsmc_option_pricing(
+        paths, ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american"),
+        M.r, RegressionSpec(degree=4), return_surface=False, return_coeffs=True,
+    )
+    out = lsmc_price_megakernel(paths, 100.0, M.r, 1.0 / 20, -1.0, degree=4,
+                                return_coeffs=True)
+    n_steps = paths.shape[0] - 1
+    assert out.coeffs.shape == (n_steps + 1, 5)
+    # rows 1..n_steps-1 (t=0 is rank-1/degenerate, maturity row is zeros)
+    got = np.asarray(out.coeffs)[1:n_steps]
+    want = np.asarray(ref.coeffs)[1:n_steps]
+    np.testing.assert_allclose(got, want, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(out.coeffs)[n_steps], 0.0)
+
+
+def test_mega_exposures_from_coeffs(paths):
+    """The coeff-reconstructed CCR profile matches the XLA engine's
+    surface-based profile (the reference's continuation→CCR pipeline,
+    american_monte_carlo.py:164-167,400-414, at mega-kernel speed)."""
+    from amcx.engine_pallas import precompute_standardization
+    from amcx.exposures import compute_ccr_exposures, exposures_from_coeffs
+    from amcx.ops.lsmc_megakernel import lsmc_price_megakernel
+
+    spec = RegressionSpec(degree=4)
+    mean_t, inv_std_t = precompute_standardization(paths, None, spec)
+    out = lsmc_price_megakernel(paths, 100.0, M.r, 1.0 / 20, -1.0, degree=4,
+                                mean_t=mean_t, inv_std_t=inv_std_t,
+                                return_coeffs=True)
+    em = exposures_from_coeffs(paths, out.coeffs, mean_t, inv_std_t, degree=4)
+    ref = lsmc_option_pricing(
+        paths, ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american"),
+        M.r, spec, return_surface=True,
+    )
+    eref = compute_ccr_exposures(ref.continuation)
+    np.testing.assert_allclose(np.asarray(em.epe), np.asarray(eref.epe), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(em.pfe95), np.asarray(eref.pfe95), atol=2e-2)
+
+
+def test_price_option_mega_feeds_fast_greeks():
+    """price_option(engine='mega', return_cf_tau=True) → fast_greeks agrees
+    with the XLA engine's fixed-boundary pathwise Greeks."""
+    from amcx import price_option
+    from amcx.greeks import fast_greeks
+
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american")
+    spec = RegressionSpec(degree=4)
+    sim = SimConfig(n_paths=16384, n_steps=10)
+    key = jax.random.key(11)
+    rm = price_option(key, M, prod, spec, sim, engine="mega",
+                      return_cf_tau=True, return_coeffs=True)
+    rx = price_option(key, M, prod, spec, sim, engine="xla")
+    gm = fast_greeks(rm, M, prod, 10)
+    gx = fast_greeks(rx, M, prod, 10)
+    for k in ("delta", "vega", "rho"):
+        assert abs(float(gm[k]) - float(gx[k])) < 5e-3, k
+    assert rm.coeffs is not None
+
+
+def test_bermudan_schedule_four_engine_parity():
+    """xla / fused / mega agree on a quarterly Bermudan schedule within the
+    cross-engine gate; fusedpath accepts the schedule and runs (its CPU
+    statistics are stubbed — hardware parity lives in tests_tpu)."""
+    from amcx import price_option
+
+    m = MarketParams(100.0, 0.05, 0.2)
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american")
+    spec = RegressionSpec(degree=4)
+    sim = SimConfig(n_paths=16384, n_steps=20)
+    sched = tuple(range(4, 20, 4))
+    key = jax.random.key(7)
+    px = price_option(key, m, prod, spec, sim, engine="xla", exercise_steps=sched)
+    pf = price_option(key, m, prod, spec, sim, engine="fused", exercise_steps=sched)
+    pm = price_option(key, m, prod, spec, sim, engine="mega", exercise_steps=sched)
+    pp = price_option(key, m, prod, spec, sim, engine="fusedpath",
+                      exercise_steps=sched)
+    assert abs(float(px.price) - float(pf.price)) < 2.5e-3
+    assert abs(float(px.price) - float(pm.price)) < 2.5e-3
+    assert np.isfinite(float(pp.price))
+    # and the schedule binds: the Bermudan price sits strictly below the
+    # American price (fewer exercise rights)
+    pa = price_option(key, m, prod, spec, sim, engine="xla")
+    assert float(px.price) < float(pa.price)
