@@ -14,7 +14,8 @@ from .paths import simulate_gbm, simulate_gbm_multi, to_path_major
 from .payoff import intrinsic_value, barrier_knocked, max_call_payoff
 from .basis import design_matrix, multi_asset_design_matrix
 from .regress import regression_fitted_values, fit_continuation
-from .engine import LSMCResult, backward_induction, lsmc_option_pricing, price_option
+from .engine import (LSMCResult, backward_induction, lsmc_option_pricing,
+                     price_option, q0_call_advisory)
 from .oracle import (
     bs_price,
     bs_greeks,
@@ -28,7 +29,8 @@ from .oracle import (
 )
 from .boundary import exercise_boundary
 from .dual import dual_upper_bound, dual_upper_bound_max_call, DualResult
-from .exposures import compute_ccr_exposures, CCRExposures
+from .exposures import (compute_ccr_exposures, CCRExposures,
+                        exposures_from_coeffs)
 from .analytics import compute_differences, oracle_grid_values
 from .engine_pallas import lsmc_option_pricing_fused
 from .greeks import price_and_greeks, gamma_fd, fast_greeks
@@ -77,6 +79,8 @@ __all__ = [
     "dual_upper_bound_max_call",
     "DualResult",
     "compute_ccr_exposures",
+    "exposures_from_coeffs",
+    "q0_call_advisory",
     "CCRExposures",
     "compute_differences",
     "oracle_grid_values",

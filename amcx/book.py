@@ -1,8 +1,10 @@
 """Batched pricing: a whole strike/maturity book in one compiled program.
 
 Production-serving extension (no reference equivalent): price many options
-on one shared simulated path set with a single ``jit`` — ``vmap`` over the
-strike axis of the full backward induction. Path simulation (the expensive
+on one shared simulated path set with a single ``jit`` — a ``lax.scan``
+over the strike axis of the full backward induction (scan, not vmap: on
+TPU, batched regression reductions lower to MXU dots whose noise costs
+deep-ITM policy value — round-3 gap study). Path simulation (the expensive
 HBM-writing part) is amortized across the book; each strike runs its own
 exercise recursion, so American early-exercise boundaries are per-strike
 exact. Greeks for the whole book come from :func:`amcx.greeks.fast_greeks`
@@ -14,7 +16,7 @@ applied per row.
 option's induction to its own maturity inside the one kernel, the XLA
 engine prices maturity buckets on sliced grids.
 
-Two engines: ``engine="xla"`` (default) vmaps the full backward induction —
+Two engines: ``engine="xla"`` (default) scans the full backward induction —
 per-strike regressions, full cashflow/τ outputs; ``engine="mega"`` runs the
 whole book in ONE strike-batched Pallas kernel
 (:func:`amcx.ops.lsmc_megakernel.lsmc_book_megakernel`) that shares the
@@ -58,7 +60,7 @@ def price_strike_grid(
 ) -> BookResult:
     """Price a strike grid of vanilla puts/calls on shared paths.
 
-    ``engine="xla"``: one compiled program, the backward induction vmapped
+    ``engine="xla"``: one compiled program, the backward induction scanned
     over strikes (per-strike regressions and exercise boundaries, full
     cashflow/τ outputs). ``engine="mega"``: the strike-batched single
     Pallas kernel — fit-on-all-paths regression only; pass
@@ -105,15 +107,23 @@ def _price_strike_grid_xla(
     knocked = jnp.ones(paths_tm.shape, dtype=bool)
     strikes = jnp.atleast_1d(jnp.asarray(strikes, paths_tm.dtype))
 
-    def one(K):
+    def one(_, K):
         payoff = lambda S: intrinsic_value(S, K, option_type)
         res = backward_induction(
             paths_tm, knocked, r, dt, payoff, spec,
             american=american, return_surface=False,
         )
-        return res.price, res.stderr, res.cashflows, res.exercise_times
+        return 0, (res.price, res.stderr, res.cashflows, res.exercise_times)
 
-    prices, stderrs, cfs, taus = jax.vmap(one)(strikes)
+    # lax.scan (NOT vmap) over strikes: on TPU, vmapping the regression
+    # turns its fused Gram/rhs reductions into batched MXU dots whose f32
+    # noise — amplified by the Gram's conditioning — perturbed per-step
+    # coefficients by ~0.2 and cost 0.066 of deep-ITM policy value
+    # (round-3 gap study; bitwise reproduced across fit implementations).
+    # Scanning keeps every strike on the accurate single-option program;
+    # this is the accuracy-reference book (the mega book kernel is the
+    # fast path).
+    _, (prices, stderrs, cfs, taus) = jax.lax.scan(one, 0, strikes)
     return BookResult(prices, stderrs, cfs, taus)
 
 
@@ -138,7 +148,7 @@ def price_mixed_book(
     kernel with per-option maturity masking (``return_cf_tau=True`` also
     emits per-option cashflow/τ planes, with τ initialized at each
     option's OWN maturity step); ``engine="xla"`` groups options into
-    maturity buckets and prices each bucket with the vmapped induction on
+    maturity buckets and prices each bucket with the scanned induction on
     a sliced grid (exact per-bucket reference; one compile per distinct
     maturity; prices/stderrs only).
     """

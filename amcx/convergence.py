@@ -103,7 +103,12 @@ def _prices_masked_over_paths(key, S0, r, sigma, q, K, T, barrier, spec,
         disc = res.cashflows * jnp.exp(-market.r * dt * res.exercise_times)
         return jnp.sum(disc * mask) / jnp.sum(mask)
 
-    return jax.vmap(price_one)(masks)
+    # scan, not vmap: batched regression reductions lower to MXU dots on
+    # TPU whose conditioning-amplified noise perturbs the fit (round-3 gap
+    # study, amcx.book._price_strike_grid_xla) — still ONE compile + one
+    # sync for the whole column.
+    _, prices = jax.lax.scan(lambda c, m: (c, price_one(m)), 0, masks)
+    return prices
 
 
 def _sweep_paths_batched(key, market, product, spec, path_range, n_steps):

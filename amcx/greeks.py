@@ -180,7 +180,22 @@ def price_and_greeks(
     VJP (:func:`fused_price_diff`) and autodiffs only the XLA path
     generator — the general-dynamics route: same estimator as "xla", Pallas
     pricing speed, works for barriers and any differentiable simulator.
+    ``engine="mega"`` prices with the single-kernel flagship engine
+    (``return_cf_tau=True``) and applies the same closed-form estimator to
+    its exported (cashflow, τ) planes — Greeks at mega-kernel speed
+    (vanilla GBM products only, like "fused").
     """
+    if engine == "mega":
+        if product.has_barrier:
+            raise ValueError(
+                "engine='mega' Greeks cover vanilla products; barrier "
+                "products need the autodiff estimator (engine='xla')"
+            )
+        from .engine import price_option
+
+        res = price_option(key, market, product, spec, sim, engine="mega",
+                           return_cf_tau=True)
+        return res.price, fast_greeks(res, market, product, sim.n_steps)
     if engine == "fused-ad":
         dtype = sim.jnp_dtype
         barrier = (None if product.barrier is None
@@ -221,7 +236,9 @@ def price_and_greeks(
             product.exercise,
         )
     if engine != "xla":
-        raise ValueError(f"engine must be 'xla', 'fused' or 'fused-ad', got {engine!r}")
+        raise ValueError(
+            f"engine must be 'xla', 'fused', 'fused-ad' or 'mega', got {engine!r}"
+        )
     sim = _xla_sim(sim)
     dtype = sim.jnp_dtype
     barrier = None if product.barrier is None else jnp.asarray(product.barrier, dtype)

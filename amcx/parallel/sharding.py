@@ -354,13 +354,12 @@ def price_book_shardmap(
     sim: SimConfig = SimConfig(),
     mesh: Optional[Mesh] = None,
 ):
-    """A whole strike book on the mesh: paths sharded, strikes vmapped.
+    """A whole strike book on the mesh: paths sharded, strikes scanned.
 
-    Every rank simulates its own path shard once; the vmapped backward
+    Every rank simulates its own path shard once; the scanned backward
     induction threads ``axis_name`` into each strike's regression, so the
-    per-step cross-chip traffic is one batched ``psum`` of the
-    ``n_strikes × ((k,k)+(k,))`` moment stack (the strike axis rides inside
-    the collective — still tiny). Prices/stderrs come back replicated.
+    cross-chip traffic is one tiny ``psum`` of the ``(k,k)+(k,)`` moment
+    stack per strike per step. Prices/stderrs come back replicated.
 
     Returns ``(prices, stderrs)``, each ``(n_strikes,)``.
     """
@@ -396,15 +395,19 @@ def price_book_shardmap(
                                  T, local_sim)
             knocked = jnp.ones(paths.shape, dtype=bool)
 
-            def one(K):
+            def one(_, K):
                 payoff = lambda S: intrinsic_value(S, K, option_type)
                 res = backward_induction(
                     paths, knocked, r, dt, payoff, spec,
                     american=american, return_surface=False, axis_name=axis,
                 )
-                return res.price, res.stderr
+                return 0, (res.price, res.stderr)
 
-            return jax.vmap(one)(strikes)
+            # scan, not vmap: batched regression reductions lower to MXU
+            # dots on TPU whose noise costs real deep-ITM policy value
+            # (see amcx.book._price_strike_grid_xla)
+            _, out = jax.lax.scan(one, 0, strikes)
+            return out
 
         return shard_map(
             local, mesh=mesh, in_specs=(P(),) * 6, out_specs=(P(), P()),

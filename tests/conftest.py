@@ -19,6 +19,16 @@ import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the hermetic suite is dominated by CPU XLA
+# compiles of scan-of-Pallas-interpret programs that are identical from run
+# to run (keyed by HLO hash, so code changes invalidate exactly the affected
+# programs). Cuts repeat runs from ~15 min to a few minutes on this 1-core
+# host (suite-budget task, VERDICT r2 weak #3).
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 
 @pytest.fixture(scope="session")
 def eight_devices():

