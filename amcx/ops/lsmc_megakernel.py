@@ -988,7 +988,11 @@ class MegaOutputs(NamedTuple):
     contract as `amcx.engine.LSMCResult` (undiscounted exercise values, τ
     init n_steps — SURVEY Q5/Q7), so `amcx.greeks.fast_greeks`,
     `amcx.dual.dual_upper_bound` (with ``coeffs``) and the exposure helpers
-    consume them directly at flagship-kernel speed. ``coeffs`` is
+    consume them directly at flagship-kernel speed. Path order follows the
+    layout the kernel priced: for 2-D inputs it matches the input path
+    axis; for pre-blocked pallas-pathgen inputs it is that generator's
+    block order (a fixed permutation — irrelevant to every consumer above,
+    which reduce over paths). ``coeffs`` is
     ``(n_steps+1, degree+1)`` per-step solved regression coefficients
     (zeros at the maturity row), matching the XLA engine's
     ``return_coeffs=True`` export.
