@@ -30,7 +30,7 @@ from .oracle import (
 from .boundary import exercise_boundary
 from .dual import dual_upper_bound, dual_upper_bound_max_call, DualResult
 from .exposures import (compute_ccr_exposures, CCRExposures,
-                        exposures_from_coeffs)
+                        exposures_from_coeffs, cva_from_epe)
 from .analytics import compute_differences, oracle_grid_values
 from .engine_pallas import lsmc_option_pricing_fused
 from .greeks import price_and_greeks, gamma_fd, fast_greeks
@@ -80,6 +80,7 @@ __all__ = [
     "DualResult",
     "compute_ccr_exposures",
     "exposures_from_coeffs",
+    "cva_from_epe",
     "q0_call_advisory",
     "CCRExposures",
     "compute_differences",

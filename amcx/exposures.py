@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["CCRExposures", "compute_ccr_exposures", "distributed_percentiles",
-           "exposures_from_coeffs"]
+           "exposures_from_coeffs", "cva_from_epe"]
 
 
 class CCRExposures(NamedTuple):
@@ -64,6 +64,46 @@ def compute_ccr_exposures(surface_tm: jnp.ndarray) -> CCRExposures:
         return jnp.where(n_valid > 0, out, jnp.nan)
 
     return CCRExposures(pfe5=pct(5.0), pfe95=pct(95.0), epe=epe)
+
+
+def cva_from_epe(
+    epe: jnp.ndarray,
+    T,
+    r,
+    hazard,
+    recovery: float = 0.4,
+) -> jnp.ndarray:
+    """Unilateral CVA from a per-step EPE profile.
+
+    The standard discretization of ``CVA = (1−R)·∫ DF(t)·EPE(t) dPD(t)``
+    on the exposure grid: per interval [t_{i-1}, t_i],
+    ``ΔPD_i = e^{−∫λ} − e^{−∫λ}`` from the (flat or per-step) hazard rate,
+    the exposure is taken at the interval end, and discounting uses the flat
+    short rate ``r`` (the same rate the pricing measure used).
+
+    Args:
+      epe: ``(n_steps+1,)`` expected positive exposure per step
+        (`CCRExposures.epe` — from any engine's surface, the streaming
+        surface_stats mode, or `exposures_from_coeffs` at mega speed).
+        Non-finite entries (all-masked steps) are treated as zero exposure.
+      T: horizon in years (the grid spans [0, T] uniformly).
+      hazard: counterparty hazard rate λ — scalar, or ``(n_steps,)``
+        per-interval rates.
+      recovery: recovery rate R (loss given default = 1−R).
+
+    Returns the scalar CVA (same monetary units as the exposures).
+    """
+    epe = jnp.nan_to_num(jnp.asarray(epe), nan=0.0, posinf=0.0, neginf=0.0)
+    n_steps = epe.shape[0] - 1
+    dtype = epe.dtype
+    dt = jnp.asarray(T, dtype) / n_steps
+    t = jnp.arange(n_steps + 1, dtype=dtype) * dt
+    lam = jnp.broadcast_to(jnp.asarray(hazard, dtype), (n_steps,))
+    cum_haz = jnp.concatenate([jnp.zeros((1,), dtype), jnp.cumsum(lam * dt)])
+    surv = jnp.exp(-cum_haz)
+    dpd = surv[:-1] - surv[1:]          # default prob per interval
+    df = jnp.exp(-jnp.asarray(r, dtype) * t[1:])
+    return (1.0 - recovery) * jnp.sum(df * epe[1:] * dpd)
 
 
 from functools import partial as _partial

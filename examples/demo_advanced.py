@@ -146,6 +146,33 @@ def main():
     else:
         section("Fused-path engine (skipped: needs the TPU hardware PRNG)")
 
+    # ------------------------------------------------------------------
+    section("Flagship analytics: Greeks, boundary, CCR and CVA "
+            "off ONE mega-kernel pricing")
+    from amcx import cva_from_epe, exercise_boundary, fast_greeks, price_option
+    from amcx.exposures import exposures_from_coeffs
+    from amcx.paths import gbm_standardization
+
+    simM = SimConfig(n_paths=1 << 20 if on_tpu else 1 << 16, n_steps=50,
+                     backend="pallas" if on_tpu else "xla")
+    resM = price_option(key, MARKET, prod, SPEC, simM, engine="mega",
+                        return_cf_tau=True, return_coeffs=True)
+    g = fast_greeks(resM, MARKET, prod, simM.n_steps)
+    mt, ist = gbm_standardization(MARKET, 1.0, simM.n_steps)
+    pathsM = simulate_gbm(key, MARKET, 1.0, simM)
+    ccrM = exposures_from_coeffs(pathsM, resM.coeffs, mt, ist,
+                                 degree=SPEC.degree)
+    cva = float(cva_from_epe(ccrM.epe, 1.0, MARKET.r, hazard=0.02,
+                             recovery=0.4))
+    bnd = exercise_boundary(resM.coeffs[:simM.n_steps], mt[:simM.n_steps],
+                            ist[:simM.n_steps], 100.0, "put", SPEC,
+                            s_lo=40.0, s_hi=100.0)
+    b_mid = float(np.asarray(bnd)[simM.n_steps // 2])
+    print(f"  price {float(resM.price):.4f}  delta {float(g['delta']):+.4f}  "
+          f"vega {float(g['vega']):.2f}")
+    print(f"  EPE(T/2) {float(np.asarray(ccrM.epe)[simM.n_steps // 2]):.4f}  "
+          f"CVA(λ=2%, R=40%) {cva:.4f}  boundary S*(T/2) ≈ {b_mid:.2f}")
+
 
 if __name__ == "__main__":
     main()

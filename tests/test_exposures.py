@@ -46,3 +46,50 @@ def test_nan_masking():
     assert np.isnan(np.asarray(got.epe)[2])
     assert np.isnan(np.asarray(got.pfe5)[2])
     assert np.isnan(np.asarray(got.pfe95)[2])
+
+
+def test_cva_from_epe_flat_hazard_closed_form():
+    """Constant EPE + flat hazard has a closed-form CVA:
+    (1-R)·E·Σ df_i·(e^{-λt_{i-1}} − e^{-λt_i}) — validate against an
+    independent mpmath-free numpy evaluation, plus sanity limits."""
+    import numpy as np
+
+    from amcx.exposures import cva_from_epe
+
+    n, T, r, lam, R, E = 50, 2.0, 0.03, 0.02, 0.4, 7.5
+    epe = np.full(n + 1, E, dtype=np.float32)
+    got = float(cva_from_epe(epe, T, r, lam, R))
+    t = np.linspace(0, T, n + 1)
+    dpd = np.exp(-lam * t[:-1]) - np.exp(-lam * t[1:])
+    want = (1 - R) * np.sum(np.exp(-r * t[1:]) * E * dpd)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # limits: zero hazard -> zero CVA; recovery=1 -> zero CVA
+    assert float(cva_from_epe(epe, T, r, 0.0, R)) == 0.0
+    assert abs(float(cva_from_epe(epe, T, r, lam, 1.0))) < 1e-12
+    # monotone in hazard
+    assert float(cva_from_epe(epe, T, r, 0.05, R)) > got
+
+
+def test_cva_composes_with_engine_exposures():
+    """End-to-end: price -> exposures (mega-speed coeff route) -> CVA."""
+    import jax
+    import numpy as np
+
+    from amcx import (MarketParams, ProductSpec, RegressionSpec, SimConfig,
+                      cva_from_epe, price_option)
+    from amcx.exposures import exposures_from_coeffs
+    from amcx.paths import gbm_standardization, simulate_gbm
+
+    m = MarketParams(100.0, 0.03, 0.2)
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american")
+    sim = SimConfig(n_paths=8192, n_steps=10)
+    key = jax.random.key(2)
+    res = price_option(key, m, prod, RegressionSpec(degree=4), sim,
+                       engine="mega", return_coeffs=True)
+    paths = simulate_gbm(key, m, 1.0, sim)
+    mt, ist = gbm_standardization(m, 1.0, 10)
+    e = exposures_from_coeffs(paths, res.coeffs, mt, ist, degree=4)
+    cva = float(cva_from_epe(e.epe, 1.0, m.r, hazard=0.02))
+    # EPE ~ price scale; CVA ~ LGD * EPE * PD(1y) ~ 0.6 * 6 * 0.02 ~ 0.07
+    assert 0.0 < cva < float(res.price)
+    assert np.isfinite(cva)
