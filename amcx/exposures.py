@@ -13,6 +13,8 @@ Runs as one vectorized device computation over the whole
 
 from __future__ import annotations
 
+from functools import partial
+
 from typing import NamedTuple
 
 import jax
@@ -106,10 +108,7 @@ def cva_from_epe(
     return (1.0 - recovery) * jnp.sum(df * epe[1:] * dpd)
 
 
-from functools import partial as _partial
-
-
-@_partial(jax.jit, static_argnames=("basis", "degree"))
+@partial(jax.jit, static_argnames=("basis", "degree"))
 def exposures_from_coeffs(
     paths_tm: jnp.ndarray,
     coeffs: jnp.ndarray,

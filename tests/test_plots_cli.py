@@ -136,3 +136,22 @@ def test_cli_plot_writes_figure(tmp_path, capsys):
           "--exercise", "european", "--plot", str(out), "--plot-paths", "5",
           "--oracle-grid-paths", "64", "--json"])
     assert out.exists() and out.stat().st_size > 10_000
+
+
+def test_cli_q0_call_advisory(capsys):
+    """The CLI prints the recommended-practice advisory for q=0 American
+    calls priced with the parity default (VERDICT r2 #9)."""
+    import sys
+
+    from amcx.cli import main as cli_main
+
+    argv = ["amcx", "price", "--option-type", "call", "--exercise", "american",
+            "--paths", "2048", "--steps", "5", "--json"]
+    old = sys.argv
+    try:
+        sys.argv = argv
+        cli_main()
+    finally:
+        sys.argv = old
+    err = capsys.readouterr().err
+    assert "ADVISORY" in err and "q=0" in err
