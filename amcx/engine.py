@@ -213,12 +213,9 @@ def backward_induction(
 
     ts = jnp.arange(n_steps, dtype=dtype)
     if exercise_steps is not None:
-        sched = set(int(i) for i in exercise_steps)
-        if not all(0 <= i <= n_steps - 1 for i in sched):
-            raise ValueError(
-                f"exercise_steps must lie in 0..{n_steps - 1}, got {sorted(sched)}"
-            )
-        allowed = jnp.asarray([i in sched for i in range(n_steps)], bool)
+        from .payoff import exercise_allow_row
+
+        allowed = exercise_allow_row(exercise_steps, n_steps)[:n_steps]
     else:
         allowed = jnp.ones((n_steps,), bool)  # traced but unused xs leaf
     (cashflows, tau), (conts, stats, coefs) = lax.scan(

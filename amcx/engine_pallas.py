@@ -186,12 +186,9 @@ def backward_induction_fused(
         else (paths_r[:n_steps], ts, mean_t[:n_steps], inv_std_t[:n_steps])
     )
     if exercise_steps is not None:
-        sched = set(int(i) for i in exercise_steps)
-        if not all(0 <= i <= n_steps - 1 for i in sched):
-            raise ValueError(
-                f"exercise_steps must lie in 0..{n_steps - 1}, got {sorted(sched)}"
-            )
-        xs = xs + (jnp.asarray([i in sched for i in range(n_steps)], bool),)
+        from .payoff import exercise_allow_row
+
+        xs = xs + (exercise_allow_row(exercise_steps, n_steps)[:n_steps],)
     (cf, tau), conts = lax.scan(step, (cf0, tau0), xs, reverse=True)
 
     discounted = (cf * jnp.exp(-rdt * tau)).reshape(-1)

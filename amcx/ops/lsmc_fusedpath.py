@@ -346,15 +346,10 @@ def lsmc_price_fusedpath(
     stats_parts = [mean_t.astype(jnp.float32), inv_std_t.astype(jnp.float32),
                    jnp.exp(-rdt_f * rem), jnp.exp(rdt_f * rem)]
     if exercise_steps is not None:
-        sched = set(int(i) for i in exercise_steps)
-        if not all(0 <= i <= n_steps - 1 for i in sched):
-            raise ValueError(
-                f"exercise_steps must lie in 0..{n_steps - 1}, got {sorted(sched)}"
-            )
-        stats_parts.append(jnp.asarray(
-            [1.0 if i in sched else 0.0 for i in range(n_steps + 1)],
-            jnp.float32,
-        ))
+        from ..payoff import exercise_allow_row
+
+        stats_parts.append(exercise_allow_row(exercise_steps, n_steps,
+                                              jnp.float32))
     stats = jnp.concatenate(stats_parts)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape((1,))
     sums = _run_fusedpath(seed_arr, scalars, stats, n_steps, n_rows, basis,

@@ -9,25 +9,32 @@ single kernel:
   backward. Pallas auto-pipelines each step's spot column S_t
   (``(n_paths/512, 512)`` block, 4 MB at 1M paths) from HBM into VMEM —
   after which **that 4 MB read is the only HBM traffic of the step**.
-- the value carry V stays resident in VMEM scratch for the entire scan.
-  V is the *discounted-to-current-step* cashflow: ``V_t = e^{-r·dt}·V_{t+1}``
-  then ``V_t ← max-compare exercise`` — algebraically identical to the
-  reference's ``cf·exp(-r·dt·(τ−t))`` bookkeeping
-  (`american_monte_carlo.py:128,196`) but needs no τ array.
+- the value carry V stays resident in VMEM scratch for the entire scan, in
+  **time-T units**: ``Ṽ = value·e^{+r·dt·(n_steps−τ)}``, written only when
+  a path exercises; one precomputed scalar multiply (``c_t``) discounts to
+  the current step — algebraically identical to the reference's
+  ``cf·exp(-r·dt·(τ−t))`` bookkeeping (`american_monte_carlo.py:128,196`)
+  with no per-path exp and no per-step rounding compounding into the carry
+  (the round-3 accuracy fix; see the carry note in `_mega_kernel`).
 - per step, two VMEM sweeps (chunked ``fori`` over row blocks): Gram/moment
-  accumulation, then fitted-continuation + exercise select. Between them a
-  fully in-kernel, unrolled k×k solve: column-equilibrated Cholesky with an
-  rcond-scaled ridge (the eigh pseudo-inverse of the XLA engines is not
-  expressible in Mosaic; on the equilibrated PSD Gram the ridge-Cholesky
-  solution matches to f32 noise — exact-degenerate designs like the all-
-  equal t=0 column are handled by the ridge).
-- the final price ``mean(V_0)`` is reduced in-kernel; the kernel's outputs
-  are one scalar pair (price numerator, count) plus optionally V itself.
+  accumulation (explicit pair products), then fitted-continuation +
+  exercise select. Between them a fully in-kernel, unrolled k×k solve:
+  column-equilibrated ridge-Cholesky used as a PRECONDITIONER, with
+  iterative refinement against the un-ridged system (the eigh
+  pseudo-inverse of the XLA engines is not expressible in Mosaic; the
+  refined solution matches it to f32 noise, exact-degenerate t=0 designs
+  included).
+- the final price ``mean(c_0·V)`` is reduced in-kernel; outputs are the
+  Σ/ΣV² scalar pair (honest stderr, antithetic pairs folded when asked)
+  plus optional per-path (cashflow, τ) planes and per-step coefficient
+  rows — the flagship-speed analytics feeds (Greeks / CCR / dual bounds).
 
 Down-and-in barriers ride along with ZERO extra HBM traffic: the knock
 state is encoded in the sign bit of the spot column (``S_enc = knocked ? S :
-−S``, prepared in one elementwise pass), decoded in-register. Surface /
-itm-weighted runs use the two-kernel engine.
+−S``, prepared in one elementwise pass), decoded in-register. Dense
+continuation SURFACES still come from the two-kernel engine; summary
+exposures come from the exported coefficients
+(`amcx.exposures.exposures_from_coeffs`).
 """
 
 from __future__ import annotations
@@ -1119,15 +1126,10 @@ def lsmc_price_megakernel(
     stats_parts = [mean_t.astype(jnp.float32), inv_std_t.astype(jnp.float32),
                    jnp.exp(-rdt_f * rem), jnp.exp(rdt_f * rem)]
     if exercise_steps is not None:
-        sched = set(int(i) for i in exercise_steps)
-        if not all(0 <= i <= n_steps - 1 for i in sched):
-            raise ValueError(
-                f"exercise_steps must lie in 0..{n_steps - 1}, got {sorted(sched)}"
-            )
-        stats_parts.append(jnp.asarray(
-            [1.0 if i in sched else 0.0 for i in range(n_steps + 1)],
-            jnp.float32,
-        ))
+        from ..payoff import exercise_allow_row
+
+        stats_parts.append(exercise_allow_row(exercise_steps, n_steps,
+                                              jnp.float32))
     stats = jnp.concatenate(stats_parts)
     blocks = (paths_tm if paths_tm.ndim == 3
               else paths_tm.reshape(n_steps + 1, n_rows, LANES))

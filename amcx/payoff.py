@@ -19,6 +19,7 @@ from jax import lax
 from .types import ProductSpec
 
 __all__ = [
+    "exercise_allow_row",
     "intrinsic_value",
     "barrier_knocked",
     "barrier_gate",
@@ -78,3 +79,23 @@ def payoff_fn_for(product: ProductSpec):
         return intrinsic_value(S, product.K, opt)
 
     return payoff
+
+def exercise_allow_row(exercise_steps, n_steps: int, dtype=None):
+    """Validate a Bermudan schedule and build the per-step allow row.
+
+    ``exercise_steps``: iterable of step indices in 0..n_steps-1 where early
+    exercise is permitted. Returns a length-``n_steps + 1`` array (the
+    maturity slot is unused by every consumer but keeps the row aligned with
+    the per-step stats tables); bool when ``dtype`` is None.
+    Shared by the XLA engine, the fused engine, and the mega/fused-path
+    kernels so the validation/row semantics cannot drift.
+    """
+    sched = set(int(i) for i in exercise_steps)
+    if not all(0 <= i <= n_steps - 1 for i in sched):
+        raise ValueError(
+            f"exercise_steps must lie in 0..{n_steps - 1}, got {sorted(sched)}"
+        )
+    row = [i in sched for i in range(n_steps + 1)]
+    if dtype is None:
+        return jnp.asarray(row, bool)
+    return jnp.asarray([1.0 if a else 0.0 for a in row], dtype)
