@@ -40,6 +40,24 @@ __all__ = ["BookResult", "price_strike_grid", "price_mixed_book",
            "book_ccr_exposures", "book_greeks"]
 
 
+def _phi_vector(option_type, n_options, dtype=jnp.float32):
+    """+1/−1 payoff-sign vector from a single type name or a per-option
+    sequence (mixed put/call books)."""
+    if isinstance(option_type, str):
+        types = [option_type] * n_options
+    else:
+        types = list(option_type)
+        if len(types) != n_options:
+            raise ValueError(
+                f"{len(types)} option types for {n_options} options"
+            )
+    types = [t.strip().lower() for t in types]
+    if any(t not in ("put", "call") for t in types):
+        raise ValueError(f"option types must be put|call, got {types}")
+    return (jnp.asarray([1.0 if t == "call" else -1.0 for t in types], dtype),
+            tuple(types))
+
+
 class BookResult(NamedTuple):
     prices: jnp.ndarray   # (n_strikes,)
     stderrs: jnp.ndarray  # (n_strikes,)
@@ -60,6 +78,11 @@ def price_strike_grid(
 ) -> BookResult:
     """Price a strike grid of vanilla puts/calls on shared paths.
 
+    ``option_type`` is a single name or a per-option sequence — MIXED
+    put/call books run through one program on either engine (the mega
+    kernel takes a per-option payoff-sign vector; the shared Gram never
+    depends on the payoff).
+
     ``engine="xla"``: one compiled program, the backward induction scanned
     over strikes (per-strike regressions and exercise boundaries, full
     cashflow/τ outputs). ``engine="mega"``: the strike-batched single
@@ -68,6 +91,8 @@ def price_strike_grid(
     planes (feeds :func:`book_greeks` at book-kernel speed; triples the
     kernel's per-strike VMEM state).
     """
+    n_options = jnp.atleast_1d(jnp.asarray(strikes)).shape[0]
+    phis, types = _phi_vector(option_type, n_options)
     if engine == "mega":
         if spec.regress_on == "itm":
             raise ValueError(
@@ -77,9 +102,8 @@ def price_strike_grid(
         from .ops.lsmc_megakernel import lsmc_book_megakernel
 
         n_steps = paths_tm.shape[0] - 1
-        phi = 1.0 if option_type == "call" else -1.0
         out = lsmc_book_megakernel(
-            paths_tm, strikes, r, T / n_steps, phi,
+            paths_tm, strikes, r, T / n_steps, phis,
             basis=spec.basis, degree=spec.degree, rcond=spec.rcond,
             american=american, return_cf_tau=return_cf_tau,
         )
@@ -88,17 +112,17 @@ def price_strike_grid(
         return BookResult(out[0], out[1], None, None)
     if engine != "xla":
         raise ValueError(f"unknown book engine {engine!r} (use 'xla' or 'mega')")
-    return _price_strike_grid_xla(paths_tm, strikes, r, T, option_type,
+    return _price_strike_grid_xla(paths_tm, strikes, phis, r, T,
                                   american, spec)
 
 
-@partial(jax.jit, static_argnames=("option_type", "american", "spec"))
+@partial(jax.jit, static_argnames=("american", "spec"))
 def _price_strike_grid_xla(
     paths_tm: jnp.ndarray,
     strikes: jnp.ndarray,
+    phis: jnp.ndarray,
     r,
     T,
-    option_type: str = "put",
     american: bool = True,
     spec: RegressionSpec = RegressionSpec(),
 ) -> BookResult:
@@ -106,9 +130,11 @@ def _price_strike_grid_xla(
     dt = T / n_steps
     knocked = jnp.ones(paths_tm.shape, dtype=bool)
     strikes = jnp.atleast_1d(jnp.asarray(strikes, paths_tm.dtype))
+    phis = jnp.asarray(phis, paths_tm.dtype)
 
-    def one(_, K):
-        payoff = lambda S: intrinsic_value(S, K, option_type)
+    def one(_, Kphi):
+        K, phi = Kphi
+        payoff = lambda S: jnp.maximum(phi * (S - K), 0.0)
         res = backward_induction(
             paths_tm, knocked, r, dt, payoff, spec,
             american=american, return_surface=False,
@@ -123,7 +149,7 @@ def _price_strike_grid_xla(
     # Scanning keeps every strike on the accurate single-option program;
     # this is the accuracy-reference book (the mega book kernel is the
     # fast path).
-    _, (prices, stderrs, cfs, taus) = jax.lax.scan(one, 0, strikes)
+    _, (prices, stderrs, cfs, taus) = jax.lax.scan(one, 0, (strikes, phis))
     return BookResult(prices, stderrs, cfs, taus)
 
 
@@ -169,9 +195,9 @@ def price_mixed_book(
             )
         from .ops.lsmc_megakernel import lsmc_book_megakernel
 
-        phi = 1.0 if option_type == "call" else -1.0
+        phis, _ = _phi_vector(option_type, len(mats))
         out = lsmc_book_megakernel(
-            paths_tm, strikes, r, T / n_steps, phi,
+            paths_tm, strikes, r, T / n_steps, phis,
             basis=spec.basis, degree=spec.degree, rcond=spec.rcond,
             american=american, maturity_steps=tuple(mats),
             return_cf_tau=return_cf_tau,
@@ -190,11 +216,13 @@ def price_mixed_book(
     n_opts = len(mats)
     prices = np.zeros(n_opts, np.float32)
     stderrs = np.zeros(n_opts, np.float32)
+    _, types_all = _phi_vector(option_type, len(mats))
     for m in sorted(set(mats)):
         idx = [i for i, mi in enumerate(mats) if mi == m]
         sub = price_strike_grid(
             paths_tm[: m + 1], strikes[jnp.asarray(idx)], r, m * dt,
-            option_type=option_type, american=american, spec=spec,
+            option_type=[types_all[i] for i in idx], american=american,
+            spec=spec,
         )
         prices[idx] = np.asarray(sub.prices)
         stderrs[idx] = np.asarray(sub.stderrs)
@@ -282,11 +310,12 @@ def book_greeks(
             "book with engine='xla', or engine='mega' + return_cf_tau=True"
         )
     strikes = jnp.atleast_1d(jnp.asarray(strikes))
+    _, types = _phi_vector(option_type, strikes.shape[0])
     rows = []
     for i in range(strikes.shape[0]):
         res_i = LSMCResult(book.prices[i], book.stderrs[i],
                            book.cashflows[i], book.exercise_times[i], None)
         prod_i = ProductSpec(K=float(strikes[i]), T=float(T),
-                             option_type=option_type, exercise="american")
+                             option_type=types[i], exercise="american")
         rows.append(fast_greeks(res_i, market, prod_i, n_steps))
     return {k: jnp.stack([r[k] for r in rows]) for k in rows[0]}

@@ -467,9 +467,9 @@ def _mega_kernel(scal_ref, stats_ref, s_ref, *refs,
             out_sq_ref[...] = jnp.sum(v * v).reshape(1, 1)
 
 
-def _book_kernel(scal_ref, ks_ref, stats_ref, s_ref, *refs, n_steps, n_rows,
-                 chunk_rows, basis, degree, american, n_strikes,
-                 mat_steps=None, ring_axis=None, ring_size=1,
+def _book_kernel(scal_ref, ks_ref, phis_ref, stats_ref, s_ref, *refs,
+                 n_steps, n_rows, chunk_rows, basis, degree, american,
+                 n_strikes, mat_steps=None, ring_axis=None, ring_size=1,
                  emit_cf_tau=False, antithetic=False):
     """Strike-batched mega-kernel: one backward induction over a whole book.
 
@@ -506,7 +506,6 @@ def _book_kernel(scal_ref, ks_ref, stats_ref, s_ref, *refs, n_steps, n_rows,
     i = pl.program_id(0)
     t = n_steps - i
 
-    phi = scal_ref[1]
     rcond = scal_ref[2]
     # time-T-units carry (see _mega_kernel): one scalar multiply discounts,
     # the stored V planes are only ever written at exercise/maturity
@@ -523,7 +522,7 @@ def _book_kernel(scal_ref, ks_ref, stats_ref, s_ref, *refs, n_steps, n_rows,
             S = s_ref[0, sl, :]
             for s in range(n_strikes):
                 if mats[s] == n_steps:
-                    pay = jnp.maximum(phi * (S - ks_ref[s]), 0.0)
+                    pay = jnp.maximum(phis_ref[s] * (S - ks_ref[s]), 0.0)
                     V[s, sl, :] = pay
                     if emit_cf_tau:
                         cf_ref[s, sl, :] = pay
@@ -601,7 +600,7 @@ def _book_kernel(scal_ref, ks_ref, stats_ref, s_ref, *refs, n_steps, n_rows,
                     for a in range(1, k):
                         fitted = fitted + cols[a] * coeffs[s][a]
                     cont = jnp.maximum(fitted, 0.0)  # Q2
-                    ex = jnp.maximum(phi * (S - ks_ref[s]), 0.0)
+                    ex = jnp.maximum(phis_ref[s] * (S - ks_ref[s]), 0.0)
                     mask = ex > cont  # ex>cont ⟹ ITM
                     # time-T-units: exercised paths re-anchor, others keep
                     stepped = jnp.where(mask, ex * inv_c_t, v_old)
@@ -621,7 +620,7 @@ def _book_kernel(scal_ref, ks_ref, stats_ref, s_ref, *refs, n_steps, n_rows,
                     # mixed maturity: payoff-anchor at own maturity, step
                     # below it, hold 0 above (t is traced; static unroll
                     # keeps the full-maturity path branch-free)
-                    pay = jnp.maximum(phi * (S - ks_ref[s]), 0.0)
+                    pay = jnp.maximum(phis_ref[s] * (S - ks_ref[s]), 0.0)
                     V[s, sl, :] = jnp.where(
                         t == mats[s], pay * inv_c_t,
                         jnp.where(t < mats[s], stepped, v_old),
@@ -666,9 +665,10 @@ def _book_kernel(scal_ref, ks_ref, stats_ref, s_ref, *refs, n_steps, n_rows,
         out_sq_ref[:, 0] = jnp.sum(macc[...], axis=1)[n_strikes:2 * n_strikes]
 
 
-def _run_book(scalars, strikes, stats, paths_blocks, n_steps, n_rows, basis,
-              degree, american, interpret, mat_steps=None, ring_axis=None,
-              ring_size=1, emit_cf_tau=False, antithetic=False):
+def _run_book(scalars, strikes, phis, stats, paths_blocks, n_steps, n_rows,
+              basis, degree, american, interpret, mat_steps=None,
+              ring_axis=None, ring_size=1, emit_cf_tau=False,
+              antithetic=False):
     n_strikes = strikes.shape[0]
     k = degree + 1
     layout, _ = _moment_layout(basis, degree)
@@ -721,6 +721,7 @@ def _run_book(scalars, strikes, stats, paths_blocks, n_steps, n_rows, basis,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (1, n_rows, LANES),
                 lambda i: (n_steps - i, 0, 0),
@@ -731,7 +732,7 @@ def _run_book(scalars, strikes, stats, paths_blocks, n_steps, n_rows, basis,
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(**compiler_kwargs),
         interpret=interpret,
-    )(scalars, strikes, stats, paths_blocks)
+    )(scalars, strikes, phis, stats, paths_blocks)
     sums = jnp.concatenate([outs[0][:, 0], outs[1][:, 0]])
     if emit_cf_tau:
         return sums, outs[2], outs[3]
@@ -801,6 +802,11 @@ def lsmc_book_megakernel(
     ``antithetic``: paths pair row j with row j + n_rows/2; folds pairs
     before the Σ² reduction (honest stderr).
 
+    ``phi`` may be a scalar (+1 calls / −1 puts for the whole book) or a
+    per-option ``(n_strikes,)`` vector — MIXED put/call books price in the
+    same single kernel (the shared Gram never depends on the payoff; only
+    the per-option intrinsic/select flips sign).
+
     Returns ``(prices, stderrs)``, each ``(n_strikes,)``.
     """
     n_steps = paths_tm.shape[0] - 1
@@ -862,7 +868,7 @@ def lsmc_book_megakernel(
     scalars = jnp.stack(
         [
             jnp.asarray(r * dt, jnp.float32),
-            jnp.asarray(phi, jnp.float32),
+            jnp.float32(0.0),  # slot kept for layout stability (was phi)
             jnp.asarray(rcond, jnp.float32),
         ]
     )
@@ -874,8 +880,9 @@ def lsmc_book_megakernel(
     )
     blocks = (paths_tm if paths_tm.ndim == 3
               else paths_tm.reshape(n_steps + 1, n_rows, LANES))
+    phis = jnp.broadcast_to(jnp.asarray(phi, jnp.float32), (n_strikes,))
     run = _run_book if axis_name is not None else _run_book_jit
-    sums, cf, tau = run(scalars, strikes, stats, blocks, n_steps, n_rows,
+    sums, cf, tau = run(scalars, strikes, phis, stats, blocks, n_steps, n_rows,
                         basis, degree, american, interpret,
                         mat_steps=maturity_steps, ring_axis=axis_name,
                         ring_size=axis_size, emit_cf_tau=return_cf_tau,

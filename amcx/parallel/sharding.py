@@ -363,7 +363,7 @@ def price_book_shardmap(
 
     Returns ``(prices, stderrs)``, each ``(n_strikes,)``.
     """
-    from ..payoff import intrinsic_value
+    from ..book import _phi_vector
 
     mesh = make_mesh() if mesh is None else mesh
     axis = mesh.axis_names[0]
@@ -372,6 +372,7 @@ def price_book_shardmap(
         raise ValueError(f"n_paths={sim.n_paths} not divisible by mesh size {n_dev}")
     dtype = sim.jnp_dtype
     strikes = jnp.atleast_1d(jnp.asarray(strikes, dtype))
+    phis, _ = _phi_vector(option_type, strikes.shape[0], dtype)
     n_steps = sim.n_steps
     dt = jnp.asarray(T, dtype) / n_steps
 
@@ -395,8 +396,9 @@ def price_book_shardmap(
                                  T, local_sim)
             knocked = jnp.ones(paths.shape, dtype=bool)
 
-            def one(_, K):
-                payoff = lambda S: intrinsic_value(S, K, option_type)
+            def one(_, Kphi):
+                K, phi = Kphi
+                payoff = lambda S: jnp.maximum(phi * (S - K), 0.0)
                 res = backward_induction(
                     paths, knocked, r, dt, payoff, spec,
                     american=american, return_surface=False, axis_name=axis,
@@ -406,7 +408,7 @@ def price_book_shardmap(
             # scan, not vmap: batched regression reductions lower to MXU
             # dots on TPU whose noise costs real deep-ITM policy value
             # (see amcx.book._price_strike_grid_xla)
-            _, out = jax.lax.scan(one, 0, strikes)
+            _, out = jax.lax.scan(one, 0, (strikes, phis))
             return out
 
         return shard_map(
@@ -453,7 +455,9 @@ def price_book_shardmap_mega(
         raise ValueError(f"n_paths={sim.n_paths} not divisible by mesh size {n_dev}")
     dtype = sim.jnp_dtype
     strikes = jnp.atleast_1d(jnp.asarray(strikes, dtype))
-    phi = 1.0 if option_type == "call" else -1.0
+    from ..book import _phi_vector
+
+    phi, _ = _phi_vector(option_type, strikes.shape[0])
     n_steps = sim.n_steps
 
     from jax import shard_map

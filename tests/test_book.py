@@ -232,3 +232,26 @@ def test_book_greeks_ladder(paths):
                              engine="mega")
     with pytest.raises(ValueError, match="cashflow"):
         book_greeks(mega, M, strikes, 1.0, 20, "put")
+
+
+def test_mixed_put_call_book(paths):
+    """MIXED put/call books (per-option payoff sign) price through both
+    engines; rows match the corresponding single-type books exactly."""
+    from amcx.book import book_greeks
+
+    strikes = jnp.asarray([90.0, 100.0, 110.0, 100.0])
+    types = ["put", "put", "call", "call"]
+    bx = price_strike_grid(paths, strikes, M.r, 1.0, types, True, SPEC)
+    bm = price_strike_grid(paths, strikes, M.r, 1.0, types, True, SPEC,
+                           engine="mega", return_cf_tau=True)
+    np.testing.assert_allclose(np.asarray(bx.prices), np.asarray(bm.prices),
+                               atol=3e-3)
+    bp = price_strike_grid(paths, strikes[:2], M.r, 1.0, "put", True, SPEC)
+    bc = price_strike_grid(paths, strikes[2:], M.r, 1.0, "call", True, SPEC)
+    np.testing.assert_allclose(np.asarray(bx.prices[:2]), np.asarray(bp.prices),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(bx.prices[2:]), np.asarray(bc.prices),
+                               rtol=1e-6)
+    g = book_greeks(bm, M, strikes, 1.0, 20, types)
+    d = np.asarray(g["delta"])
+    assert (d[:2] < 0).all() and (d[2:] > 0).all()
