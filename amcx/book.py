@@ -75,13 +75,17 @@ def price_strike_grid(
     spec: RegressionSpec = RegressionSpec(),
     engine: str = "xla",
     return_cf_tau: bool = False,
+    barrier=None,
+    barrier_type: str = "down-in",
 ) -> BookResult:
     """Price a strike grid of vanilla puts/calls on shared paths.
 
     ``option_type`` is a single name or a per-option sequence — MIXED
     put/call books run through one program on either engine (the mega
     kernel takes a per-option payoff-sign vector; the shared Gram never
-    depends on the payoff).
+    depends on the payoff). ``barrier``: optional knock level shared by
+    the whole ladder (all four knock variants via ``barrier_type``); the
+    mega kernel carries it in the spot sign bit — zero extra HBM traffic.
 
     ``engine="xla"``: one compiled program, the backward induction scanned
     over strikes (per-strike regressions and exercise boundaries, full
@@ -106,6 +110,7 @@ def price_strike_grid(
             paths_tm, strikes, r, T / n_steps, phis,
             basis=spec.basis, degree=spec.degree, rcond=spec.rcond,
             american=american, return_cf_tau=return_cf_tau,
+            barrier=barrier, barrier_type=barrier_type,
         )
         if return_cf_tau:
             return BookResult(*out)
@@ -113,10 +118,10 @@ def price_strike_grid(
     if engine != "xla":
         raise ValueError(f"unknown book engine {engine!r} (use 'xla' or 'mega')")
     return _price_strike_grid_xla(paths_tm, strikes, phis, r, T,
-                                  american, spec)
+                                  american, spec, barrier, barrier_type)
 
 
-@partial(jax.jit, static_argnames=("american", "spec"))
+@partial(jax.jit, static_argnames=("american", "spec", "barrier_type"))
 def _price_strike_grid_xla(
     paths_tm: jnp.ndarray,
     strikes: jnp.ndarray,
@@ -125,10 +130,14 @@ def _price_strike_grid_xla(
     T,
     american: bool = True,
     spec: RegressionSpec = RegressionSpec(),
+    barrier=None,
+    barrier_type: str = "down-in",
 ) -> BookResult:
+    from .payoff import barrier_gate
+
     n_steps = paths_tm.shape[0] - 1
     dt = T / n_steps
-    knocked = jnp.ones(paths_tm.shape, dtype=bool)
+    knocked = barrier_gate(paths_tm, barrier, barrier_type)
     strikes = jnp.atleast_1d(jnp.asarray(strikes, paths_tm.dtype))
     phis = jnp.asarray(phis, paths_tm.dtype)
 

@@ -470,7 +470,7 @@ def _mega_kernel(scal_ref, stats_ref, s_ref, *refs,
 def _book_kernel(scal_ref, ks_ref, phis_ref, stats_ref, s_ref, *refs,
                  n_steps, n_rows, chunk_rows, basis, degree, american,
                  n_strikes, mat_steps=None, ring_axis=None, ring_size=1,
-                 emit_cf_tau=False, antithetic=False):
+                 emit_cf_tau=False, antithetic=False, barrier=False):
     """Strike-batched mega-kernel: one backward induction over a whole book.
 
     All strikes share the S column read (the step's only HBM traffic), the
@@ -515,14 +515,25 @@ def _book_kernel(scal_ref, ks_ref, phis_ref, stats_ref, s_ref, *refs,
 
     mats = mat_steps if mat_steps is not None else (n_steps,) * n_strikes
 
+    def decode(raw):
+        # barrier books share ONE knock level across the ladder: the knock
+        # state rides the sign bit of the shared spot column exactly as in
+        # the single-option kernel (zero extra HBM traffic for any number
+        # of strikes)
+        if barrier:
+            return jnp.abs(raw), raw > 0.0
+        return raw, None
+
     @pl.when(i == 0)
     def _maturity():
         def body(c, _):
             sl = pl.ds(c * chunk_rows, chunk_rows)
-            S = s_ref[0, sl, :]
+            S, kn = decode(s_ref[0, sl, :])
             for s in range(n_strikes):
                 if mats[s] == n_steps:
                     pay = jnp.maximum(phis_ref[s] * (S - ks_ref[s]), 0.0)
+                    if barrier:
+                        pay = jnp.where(kn, pay, 0.0)  # Q4: knocked only
                     V[s, sl, :] = pay
                     if emit_cf_tau:
                         cf_ref[s, sl, :] = pay
@@ -553,7 +564,7 @@ def _book_kernel(scal_ref, ks_ref, phis_ref, stats_ref, s_ref, *refs,
 
         def pass1(c, _):
             sl = pl.ds(c * chunk_rows, chunk_rows)
-            S = s_ref[0, sl, :]
+            S, _ = decode(s_ref[0, sl, :])
             xhat = (S - mean) * inv_std
             if layout == "identity":
                 cols = _basis_cols(xhat, basis, 2 * degree)
@@ -589,7 +600,7 @@ def _book_kernel(scal_ref, ks_ref, phis_ref, stats_ref, s_ref, *refs,
         # ---- pass 2: per-strike fitted continuation + exercise ----
         def pass2(c, _):
             sl = pl.ds(c * chunk_rows, chunk_rows)
-            S = s_ref[0, sl, :]
+            S, kn = decode(s_ref[0, sl, :])
             if american:
                 xhat = (S - mean) * inv_std
                 cols = _basis_cols(xhat, basis, degree)
@@ -602,6 +613,8 @@ def _book_kernel(scal_ref, ks_ref, phis_ref, stats_ref, s_ref, *refs,
                     cont = jnp.maximum(fitted, 0.0)  # Q2
                     ex = jnp.maximum(phis_ref[s] * (S - ks_ref[s]), 0.0)
                     mask = ex > cont  # ex>cont ⟹ ITM
+                    if barrier:
+                        mask = mask & kn  # Q4: exercise only once knocked
                     # time-T-units: exercised paths re-anchor, others keep
                     stepped = jnp.where(mask, ex * inv_c_t, v_old)
                 else:
@@ -621,6 +634,8 @@ def _book_kernel(scal_ref, ks_ref, phis_ref, stats_ref, s_ref, *refs,
                     # below it, hold 0 above (t is traced; static unroll
                     # keeps the full-maturity path branch-free)
                     pay = jnp.maximum(phis_ref[s] * (S - ks_ref[s]), 0.0)
+                    if barrier:
+                        pay = jnp.where(kn, pay, 0.0)
                     V[s, sl, :] = jnp.where(
                         t == mats[s], pay * inv_c_t,
                         jnp.where(t < mats[s], stepped, v_old),
@@ -668,7 +683,7 @@ def _book_kernel(scal_ref, ks_ref, phis_ref, stats_ref, s_ref, *refs,
 def _run_book(scalars, strikes, phis, stats, paths_blocks, n_steps, n_rows,
               basis, degree, american, interpret, mat_steps=None,
               ring_axis=None, ring_size=1, emit_cf_tau=False,
-              antithetic=False):
+              antithetic=False, barrier=False):
     n_strikes = strikes.shape[0]
     k = degree + 1
     layout, _ = _moment_layout(basis, degree)
@@ -688,6 +703,7 @@ def _run_book(scalars, strikes, phis, stats, paths_blocks, n_steps, n_rows,
         ring_size=ring_size,
         emit_cf_tau=emit_cf_tau,
         antithetic=antithetic,
+        barrier=barrier,
     )
     scratch_shapes = [
         pltpu.VMEM((n_strikes, n_rows, LANES), jnp.float32),  # V per strike
@@ -743,7 +759,7 @@ _run_book_jit = jax.jit(
     _run_book,
     static_argnames=("n_steps", "n_rows", "basis", "degree", "american",
                      "interpret", "mat_steps", "ring_axis", "ring_size",
-                     "emit_cf_tau", "antithetic"),
+                     "emit_cf_tau", "antithetic", "barrier"),
 )
 
 
@@ -765,6 +781,8 @@ def lsmc_book_megakernel(
     axis_size: int = 1,
     return_cf_tau: bool = False,
     antithetic: bool = False,
+    barrier=None,
+    barrier_type: str = "down-in",
 ):
     """Price a vanilla strike grid in ONE kernel on shared paths.
 
@@ -806,6 +824,13 @@ def lsmc_book_megakernel(
     per-option ``(n_strikes,)`` vector — MIXED put/call books price in the
     same single kernel (the shared Gram never depends on the payoff; only
     the per-option intrinsic/select flips sign).
+
+    ``barrier``: optional knock level SHARED by the whole ladder (e.g. a
+    reverse-convertible strip on one barrier): the knock state rides the
+    sign bit of the shared spot column exactly as in the single-option
+    kernel — zero extra HBM traffic for any number of strikes. Per-option
+    barrier LEVELS need per-option knock planes (VMEM-prohibitive); price
+    those per option.
 
     Returns ``(prices, stderrs)``, each ``(n_strikes,)``.
     """
@@ -872,6 +897,13 @@ def lsmc_book_megakernel(
             jnp.asarray(rcond, jnp.float32),
         ]
     )
+    if barrier is not None:
+        # stats above were computed on the RAW spots (Q1 all-paths parity);
+        # now fold the knock state into the sign bit for the kernel
+        from ..payoff import barrier_gate
+
+        gate = barrier_gate(paths_tm, barrier, barrier_type)
+        paths_tm = jnp.where(gate, paths_tm, -paths_tm)
     rem = n_steps - jnp.arange(n_steps + 1, dtype=jnp.float32)
     rdt_f = jnp.asarray(r * dt, jnp.float32)
     stats = jnp.concatenate(
@@ -886,7 +918,7 @@ def lsmc_book_megakernel(
                         basis, degree, american, interpret,
                         mat_steps=maturity_steps, ring_axis=axis_name,
                         ring_size=axis_size, emit_cf_tau=return_cf_tau,
-                        antithetic=antithetic)
+                        antithetic=antithetic, barrier=barrier is not None)
     if axis_name is not None:
         sums = jax.lax.psum(sums, axis_name)
     price = sums[:n_strikes] / n_glob
