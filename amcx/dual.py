@@ -392,11 +392,16 @@ def dual_upper_bound(
     n_steps = paths_tm.shape[0] - 1
     dt = product.T / n_steps
     dtype = paths_tm.dtype
+    coeffs = result.coeffs
+    if coeffs.shape[0] == n_steps + 1:
+        # mega-kernel export carries a zero maturity row; the XLA engine's
+        # (n_steps, k) convention drops it
+        coeffs = coeffs[:n_steps]
     impl = _dual_nested_impl if nested else _dual_impl
     return impl(
         key,
         paths_tm,
-        result.coeffs.astype(dtype),
+        coeffs.astype(dtype),
         jnp.asarray(mean_t, dtype),
         jnp.asarray(inv_std_t, dtype),
         jnp.asarray(product.K, dtype),

@@ -74,3 +74,41 @@ def test_nested_bound_tighter_than_onestep(fit):
     assert float(nested.upper) + 4 * float(nested.stderr) >= true
     assert float(nested.upper) <= float(one.upper) + 1e-6
     assert float(nested.upper) - true < 0.15
+
+
+def test_dual_from_mega_coeffs():
+    """The Andersen-Broadie bound runs off the MEGA kernel's exported
+    per-step coefficients (VERDICT r2 #1: dual bounds at flagship speed) —
+    and agrees with the bound built from the XLA engine's coeffs on the
+    same paths."""
+    import jax
+    import jax.numpy as jnp
+
+    from amcx import (MarketParams, ProductSpec, RegressionSpec, SimConfig,
+                      dual_upper_bound, lsmc_option_pricing, simulate_gbm)
+    from amcx.engine_pallas import precompute_standardization
+    from amcx.ops.lsmc_megakernel import lsmc_price_megakernel
+
+    m = MarketParams(100.0, 0.05, 0.2)
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american")
+    spec = RegressionSpec(degree=4)
+    n_steps = 10
+    paths = simulate_gbm(jax.random.key(3), m, 1.0,
+                         SimConfig(n_paths=16384, n_steps=n_steps))
+    mean_t, inv_std_t = precompute_standardization(paths, None, spec)
+    mega = lsmc_price_megakernel(paths, 100.0, m.r, 1.0 / n_steps, -1.0,
+                                 degree=4, mean_t=mean_t, inv_std_t=inv_std_t,
+                                 return_cf_tau=True, return_coeffs=True)
+    xla = lsmc_option_pricing(paths, prod, m.r, spec, return_surface=False,
+                              return_coeffs=True)
+
+    class _R:
+        price = mega.price
+        coeffs = mega.coeffs  # (n_steps+1, k): dual slices the maturity row
+
+    d_mega = dual_upper_bound(jax.random.key(9), paths, _R, m, prod, spec,
+                              mean_t, inv_std_t, n_inner=16)
+    d_xla = dual_upper_bound(jax.random.key(9), paths, xla, m, prod, spec,
+                             mean_t, inv_std_t, n_inner=16)
+    assert float(d_mega.upper) >= float(mega.price) - 1e-3  # valid upper bound
+    assert abs(float(d_mega.upper) - float(d_xla.upper)) < 5e-3
