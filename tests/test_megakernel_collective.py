@@ -108,7 +108,7 @@ def test_collective_mega_two_dev():
     set to f32 reduction noise. (Config chosen by a reliability probe of
     the 1-core interpret machinery: quick-retry with short timeouts beats
     one long timeout — non-livelocked runs finish in ~15 s.)"""
-    out = _run_case(2, 8, 4, timeout=35, attempts=3)
+    out = _run_case(2, 8, 4, timeout=28, attempts=3)
     assert "OK" in out
 
 
@@ -122,13 +122,13 @@ def test_collective_mega_two_dev_deep():
 
 def test_collective_mega_four_dev():
     """4 devices × 5 steps: multi-hop ring (3 hops/step)."""
-    out = _run_case(4, 5, 2, timeout=35, attempts=2)
+    out = _run_case(4, 5, 2, timeout=28, attempts=2)
     assert "OK" in out
 
 
 def test_collective_mega_eight_dev():
     """Full 8-device ring width (7 hops/step)."""
-    out = _run_case(8, 4, 2, timeout=35, attempts=2)
+    out = _run_case(8, 4, 2, timeout=28, attempts=2)
     assert "OK" in out
 
 
@@ -180,7 +180,7 @@ def _run_book_case(n_dev, steps, timeout=90, attempts=1):
 def test_collective_book_two_dev():
     """Strike-batched book kernel over a 2-device ring: the whole moment
     stack (Gram head + 3 strikes × k rhs) rides one collective per step."""
-    out = _run_book_case(2, 4, timeout=35, attempts=2)
+    out = _run_book_case(2, 4, timeout=28, attempts=2)
     assert "OK" in out
 
 
@@ -191,13 +191,13 @@ def test_collective_book_eight_dev():
     interpreter, so in CI it usually budget-skips LOUDLY; ring-width
     coverage comes from the 8-wide mega case (same ring code path) and the
     4-wide book."""
-    out = _run_book_case(8, 2, timeout=30, attempts=1)
+    out = _run_book_case(8, 2, timeout=25, attempts=1)
     assert "OK" in out
 
 
 def test_collective_book_four_dev():
     """4-wide book ring (probe: reliable in ~8 s on this host)."""
-    out = _run_book_case(4, 3, timeout=35, attempts=2)
+    out = _run_book_case(4, 3, timeout=28, attempts=2)
     assert "OK" in out
 
 
@@ -244,11 +244,11 @@ def test_collective_fusedpath_two_dev():
     """Zero-HBM collective engine: backward in-kernel pathgen + RDMA moment
     ring on a 2-device mesh (VERDICT r2 next-step #8)."""
     code = _FUSEDPATH_CASE.format(repo=_REPO, n_dev=2, steps=4)
-    out = _run_code(code, "fusedpath", 2, 4, timeout=35, attempts=2)
+    out = _run_code(code, "fusedpath", 2, 4, timeout=28, attempts=2)
     assert "OK" in out
 
 
 def test_collective_fusedpath_four_dev():
     code = _FUSEDPATH_CASE.format(repo=_REPO, n_dev=4, steps=3)
-    out = _run_code(code, "fusedpath", 4, 3, timeout=35, attempts=2)
+    out = _run_code(code, "fusedpath", 4, 3, timeout=28, attempts=2)
     assert "OK" in out
