@@ -349,8 +349,12 @@ def q0_call_advisory(market: MarketParams, product: ProductSpec,
     when that configuration is requested (``None`` otherwise); callers warn
     but keep the parity default (VERDICT r2 next-step #9).
     """
+    try:
+        q_zero = float(market.q) == 0.0
+    except (TypeError, jax.errors.TracerArrayConversionError):
+        return None  # traced q (inside jit): advisory is best-effort only
     if (product.option_type == "call" and product.is_american
-            and float(market.q) == 0.0 and spec.regress_on == "all"
+            and q_zero and spec.regress_on == "all"
             and not product.has_barrier):
         return (
             "American call with q=0 and regress_on='all': early exercise is "
