@@ -386,17 +386,16 @@ def price_option(
     kernels/step), ``"mega"`` (single-kernel backward induction), or
     ``"fusedpath"`` (single kernel that also *generates* the paths backward
     in-kernel via the Brownian-bridge recursion — zero path HBM
-    traffic/storage; vanilla GBM only, price/stderr only, TPU for real
-    statistics).
+    traffic/storage; vanilla GBM only, TPU for real statistics).
 
     ``exercise_steps``: optional Bermudan schedule (tuple of step indices);
     supported by all four engines.
 
     ``return_cf_tau``: fill ``cashflows``/``exercise_times`` in the result
-    for the "mega" engine (the "xla"/"fused" engines always return them) —
-    feeds `amcx.greeks.fast_greeks` and the exposure helpers at
-    flagship-kernel speed. ``return_coeffs``: fill ``coeffs`` (per-step
-    regression coefficients; "xla" and "mega") — feeds
+    for the "mega" and "fusedpath" engines (the "xla"/"fused" engines always
+    return them) — feeds `amcx.greeks.fast_greeks` and the exposure helpers
+    at flagship-kernel speed. ``return_coeffs``: fill ``coeffs`` (per-step
+    regression coefficients; "xla", "mega", "fusedpath") — feeds
     `amcx.dual.dual_upper_bound` and `amcx.exposures.exposures_from_coeffs`.
     """
     import warnings
@@ -407,8 +406,12 @@ def price_option(
     if exercise_steps is not None:
         exercise_steps = tuple(int(i) for i in exercise_steps)
     if engine == "fusedpath":
-        if return_surface or return_cf_tau or return_coeffs:
-            raise ValueError("engine='fusedpath' is price-only")
+        if return_surface:
+            raise ValueError(
+                "engine='fusedpath' stores no paths, so no dense surface; "
+                "use return_coeffs=True + "
+                "amcx.exposures.exposures_from_coeffs on any same-law paths"
+            )
         if product.has_barrier:
             raise ValueError(
                 "engine='fusedpath' generates paths backward; the knock "
@@ -417,7 +420,7 @@ def price_option(
         from .ops.gbm_pallas import _key_to_seed
         from .ops.lsmc_fusedpath import lsmc_price_fusedpath
 
-        price, stderr = lsmc_price_fusedpath(
+        out = lsmc_price_fusedpath(
             _key_to_seed(key), market.S0, product.K, market.r, market.sigma,
             product.T / sim.n_steps, sim.n_steps, sim.n_paths,
             1.0 if product.option_type == "call" else -1.0, q=market.q,
@@ -426,7 +429,12 @@ def price_option(
             itm_weights=spec.regress_on == "itm",
             antithetic=sim.antithetic, return_stats=True,
             exercise_steps=exercise_steps,
+            return_cf_tau=return_cf_tau, return_coeffs=return_coeffs,
         )
+        if return_cf_tau or return_coeffs:
+            return LSMCResult(out.price, out.stderr, out.cashflows,
+                              out.exercise_times, None, coeffs=out.coeffs)
+        price, stderr = out
         return LSMCResult(price, stderr, None, None, None)
     if engine == "fused":
         if return_coeffs:

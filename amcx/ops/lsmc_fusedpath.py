@@ -25,7 +25,10 @@ closed-form GBM statistics (`amcx.paths.gbm_standardization` semantics) —
 pure conditioning, fitted values are affine-invariant. Barriers are NOT
 supported here: the knock state at step t depends on the forward path
 history min/max, which a backward generator does not know yet (use the
-forward pipeline). Exposure/τ outputs: none (price + stderr only).
+forward pipeline). Analytics: ``return_cf_tau``/``return_coeffs`` emit the
+per-path (cashflow, τ) planes and per-step regression coefficients (same
+contract as the mega kernel), so Greeks, dual bounds, and coefficient-route
+exposures run off the zero-HBM engine too.
 
 Reference semantics preserved: Q1 both fit modes, Q2 clamp, Q3 via the
 equilibrated ridge solve, Q5/Q7 discounting/exercise (same step structure as
@@ -44,8 +47,10 @@ from jax.experimental.pallas import tpu as pltpu
 from .gbm_pallas import _box_muller
 from .lsmc_megakernel import (
     LANES,
+    MegaOutputs,
     _basis_cols,
     _chunk_rows_for,
+    _coeff_row,
     _g_raw_fn,
     _factor_equilibrated_ridge,
     _moment_layout,
@@ -57,10 +62,23 @@ from .lsmc_megakernel import (
 __all__ = ["lsmc_price_fusedpath"]
 
 
-def _fusedpath_kernel(seed_ref, scal_ref, stats_ref, out_ref, out_sq_ref,
-                      V, W, Sp, macc, *rest, n_steps, n_rows, chunk_rows, basis,
+def _fusedpath_kernel(seed_ref, scal_ref, stats_ref, *refs,
+                      n_steps, n_rows, chunk_rows, basis,
                       degree, american, itm_weights, antithetic,
-                      schedule=False, ring_axis=None, ring_size=1):
+                      schedule=False, ring_axis=None, ring_size=1,
+                      emit_cf_tau=False, emit_coeffs=False):
+    # refs = outputs (price Σ, ΣV², [cf, τ], [coeff rows]) then scratch
+    # (V, W, Sp, macc, [ring comm buffers]) — unpacked by the same static
+    # flags that built the pallas_call signature (mirrors _mega_kernel).
+    it = iter(refs)
+    out_ref, out_sq_ref = next(it), next(it)
+    cf_ref = tau_ref = coef_ref = None
+    if emit_cf_tau:
+        cf_ref, tau_ref = next(it), next(it)
+    if emit_coeffs:
+        coef_ref = next(it)
+    V, W, Sp, macc = next(it), next(it), next(it), next(it)
+    rest = tuple(it)
     if ring_axis is not None:
         comm, send_sem, recv_sem = rest
     k = degree + 1
@@ -110,10 +128,22 @@ def _fusedpath_kernel(seed_ref, scal_ref, stats_ref, out_ref, out_sq_ref,
             Wt = wT * draw(c)
             W[sl, :] = Wt
             S = S0 * jnp.exp(drift_dt * float(n_steps) + sigma * Wt)
-            V[sl, :] = jnp.maximum(phi * (S - K), 0.0)
+            vT = jnp.maximum(phi * (S - K), 0.0)
+            V[sl, :] = vT
+            if emit_cf_tau:
+                # cashflow carry stores UNdiscounted exercise values (Q5);
+                # τ initialized to n_steps everywhere (Q7) — the same
+                # contract as the mega kernel / XLA engine exports.
+                cf_ref[sl, :] = vT
+                tau_ref[sl, :] = jnp.full(
+                    (chunk_rows, LANES), float(n_steps), jnp.float32
+                )
             return 0
 
         jax.lax.fori_loop(0, n_chunks, body, 0)
+        if emit_coeffs:
+            # maturity row recorded as zeros (no regression at t = n_steps)
+            coef_ref[...] = jnp.zeros((1, 8, 128), jnp.float32)
 
     @pl.when(i > 0)
     def _step():
@@ -173,6 +203,8 @@ def _fusedpath_kernel(seed_ref, scal_ref, stats_ref, out_ref, out_sq_ref,
         L, d, G = _factor_equilibrated_ridge(g_raw, k, rcond)
         off = (2 * degree + 1) if layout == "identity" else len(_pairs(k))
         coeffs = _solve_factored(L, d, G, [packed[off + a_] for a_ in range(k)], k)
+        if emit_coeffs:
+            coef_ref[...] = _coeff_row(coeffs, k)
 
         # ---- pass 2: fitted continuation + exercise on the cached S ----
         # (European needs no carry update at all — pass skipped)
@@ -191,6 +223,11 @@ def _fusedpath_kernel(seed_ref, scal_ref, stats_ref, out_ref, out_sq_ref,
                 mask = mask & (allow > 0.0)
             # exercised paths re-anchor at ex·e^{+r·dt·(n_steps−t)}
             V[sl, :] = jnp.where(mask, ex * inv_c_t, V[sl, :])
+            if emit_cf_tau:
+                cf_ref[sl, :] = jnp.where(mask, ex, cf_ref[sl, :])
+                tau_ref[sl, :] = jnp.where(
+                    mask, t.astype(jnp.float32), tau_ref[sl, :]
+                )
             return 0
 
         if american:
@@ -214,11 +251,12 @@ def _fusedpath_kernel(seed_ref, scal_ref, stats_ref, out_ref, out_sq_ref,
     jax.jit,
     static_argnames=("n_steps", "n_rows", "basis", "degree", "american",
                      "itm_weights", "antithetic", "interpret", "schedule",
-                     "ring_axis", "ring_size"),
+                     "ring_axis", "ring_size", "emit_cf_tau", "emit_coeffs"),
 )
 def _run_fusedpath(seed, scalars, stats, n_steps, n_rows, basis, degree,
                    american, itm_weights, antithetic, interpret,
-                   schedule=False, ring_axis=None, ring_size=1):
+                   schedule=False, ring_axis=None, ring_size=1,
+                   emit_cf_tau=False, emit_coeffs=False):
     _, P = _moment_layout(basis, degree)
     kernel = functools.partial(
         _fusedpath_kernel,
@@ -233,6 +271,8 @@ def _run_fusedpath(seed, scalars, stats, n_steps, n_rows, basis, degree,
         schedule=schedule,
         ring_axis=ring_axis,
         ring_size=ring_size,
+        emit_cf_tau=emit_cf_tau,
+        emit_coeffs=emit_coeffs,
     )
     scratch_shapes = [
         pltpu.VMEM((n_rows, LANES), jnp.float32),  # V carry
@@ -248,23 +288,50 @@ def _run_fusedpath(seed, scalars, stats, n_steps, n_rows, basis, degree,
             pltpu.SemaphoreType.DMA((2, ring_size)),
         ]
         compiler_kwargs["collective_id"] = 0
-    out_shape = jax.ShapeDtypeStruct((1, 1), jnp.float32)
-    out_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    out, out_sq = pl.pallas_call(
+    scalar_shape = jax.ShapeDtypeStruct((1, 1), jnp.float32)
+    scalar_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out_shapes = [scalar_shape, scalar_shape]
+    out_specs = [scalar_spec, scalar_spec]
+    if emit_cf_tau:
+        # (cf, τ) planes live in VMEM as constant-index output blocks for
+        # the whole scan and are written back to HBM once, at the end —
+        # the ONLY per-path HBM bytes this engine ever writes.
+        plane = jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)
+        plane_spec = pl.BlockSpec(
+            (n_rows, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        out_shapes += [plane, plane]
+        out_specs += [plane_spec, plane_spec]
+    if emit_coeffs:
+        # one (8, 128) tile per time step, written by that grid step (the
+        # sublane padding satisfies Mosaic's block-shape minimum; the host
+        # slices row 0 / the first k lanes)
+        out_shapes.append(jax.ShapeDtypeStruct((n_steps + 1, 8, 128), jnp.float32))
+        out_specs.append(pl.BlockSpec(
+            (1, 8, 128), lambda i: (n_steps - i, 0, 0), memory_space=pltpu.VMEM
+        ))
+    outs = pl.pallas_call(
         kernel,
-        out_shape=(out_shape, out_shape),
+        out_shape=tuple(out_shapes),
         grid=(n_steps + 1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=(out_spec, out_spec),
+        out_specs=tuple(out_specs),
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(**compiler_kwargs),
         interpret=interpret,
     )(seed, scalars, stats)
-    return jnp.stack([out[0, 0], out_sq[0, 0]])
+    it = iter(outs)
+    out, out_sq = next(it), next(it)
+    cf = tau = coefs = None
+    if emit_cf_tau:
+        cf, tau = next(it), next(it)
+    if emit_coeffs:
+        coefs = next(it)
+    return jnp.stack([out[0, 0], out_sq[0, 0]]), cf, tau, coefs
 
 
 def lsmc_price_fusedpath(
@@ -289,6 +356,8 @@ def lsmc_price_fusedpath(
     exercise_steps=None,
     axis_name=None,
     axis_size: int = 1,
+    return_cf_tau: bool = False,
+    return_coeffs: bool = False,
 ):
     """American/European vanilla GBM price with ZERO path HBM traffic.
 
@@ -310,6 +379,15 @@ def lsmc_price_fusedpath(
     TPU-only for statistics: the TPU interpreter stubs the PRNG with zero
     bits, so CPU/interpret runs produce the deterministic zero-noise path
     fan (useful for compile checks only).
+
+    ``return_cf_tau`` / ``return_coeffs``: emit the per-path undiscounted
+    cashflow/τ planes and per-step solved regression coefficients (the same
+    contract as `lsmc_price_megakernel` — returns a `MegaOutputs`). The
+    planes are VMEM-resident output blocks written back once, so the
+    zero-path-HBM property degrades only to two (n_paths,) planes of
+    *result* traffic; every analytics consumer (`amcx.greeks.fast_greeks`,
+    `amcx.dual.dual_upper_bound`, `amcx.exposures.exposures_from_coeffs`
+    with any same-law path set) runs off them.
     """
     if n_paths % (8 * LANES):
         raise ValueError(
@@ -352,18 +430,27 @@ def lsmc_price_fusedpath(
                                               jnp.float32))
     stats = jnp.concatenate(stats_parts)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape((1,))
-    sums = _run_fusedpath(seed_arr, scalars, stats, n_steps, n_rows, basis,
-                          degree, american, itm_weights, antithetic, interpret,
-                          schedule=exercise_steps is not None,
-                          ring_axis=axis_name, ring_size=axis_size)
+    sums, cf, tau, coefs = _run_fusedpath(
+        seed_arr, scalars, stats, n_steps, n_rows, basis,
+        degree, american, itm_weights, antithetic, interpret,
+        schedule=exercise_steps is not None,
+        ring_axis=axis_name, ring_size=axis_size,
+        emit_cf_tau=return_cf_tau, emit_coeffs=return_coeffs)
     n_glob = n_paths * (axis_size if axis_name is not None else 1)
     if axis_name is not None:
         sums = jax.lax.psum(sums, axis_name)
     price = sums[0] / n_glob
-    if not return_stats:
-        return price
     # antithetic: ΣV² was emitted over the n/2 pair means (honest stderr)
     n_eff = n_glob // 2 if antithetic else n_glob
     var = jnp.maximum(sums[1] / n_eff - price * price, 0.0)
     stderr = jnp.sqrt(var / n_eff)
+    if return_cf_tau or return_coeffs:
+        return MegaOutputs(
+            price, stderr,
+            None if cf is None else cf.reshape(-1),
+            None if tau is None else tau.reshape(-1),
+            None if coefs is None else coefs[:, 0, : degree + 1],
+        )
+    if not return_stats:
+        return price
     return price, stderr

@@ -51,7 +51,7 @@ def test_validation():
 def test_engine_selector():
     m = MarketParams(100.0, 0.05, 0.2)
     sim = SimConfig(n_paths=8192, n_steps=20)
-    with pytest.raises(ValueError, match="price-only"):
+    with pytest.raises(ValueError, match="no dense surface"):
         price_option(jax.random.key(0), m,
                      ProductSpec(K=100.0, T=1.0, option_type="put",
                                  exercise="american"),
@@ -67,3 +67,50 @@ def test_engine_selector():
                                    exercise="american"),
                        RegressionSpec(), sim, engine="fusedpath")
     assert np.isfinite(float(res.price))
+
+
+def test_cf_tau_price_identity():
+    """The exported (cf, τ) planes must reproduce the kernel's own price:
+    price == mean(cf·e^{−r·dt·τ}) (Q5 discounting), for ANY PRNG stream —
+    including the interpreter's zero-bit stub."""
+    r, dt, n_steps, n_paths = 0.05, 0.02, 50, 8192
+    out = lsmc_price_fusedpath(3, 100.0, 100.0, r, 0.2, dt, n_steps, n_paths,
+                               -1.0, return_cf_tau=True)
+    cf = np.asarray(out.cashflows)
+    tau = np.asarray(out.exercise_times)
+    assert cf.shape == tau.shape == (n_paths,)
+    assert (cf >= 0).all()
+    assert ((tau >= 0) & (tau <= n_steps)).all()
+    # never-exercised paths keep τ = n_steps (Q7) and cf = 0 or intrinsic
+    recon = float(np.mean(cf * np.exp(-r * dt * tau)))
+    np.testing.assert_allclose(recon, float(out.price), rtol=1e-5, atol=1e-6)
+
+
+def test_coeffs_export_shape():
+    """Per-step coefficient export: (n_steps+1, k), zero maturity row,
+    finite everywhere — the same contract as the mega kernel's export."""
+    n_steps, degree = 20, 4
+    out = lsmc_price_fusedpath(7, 100.0, 100.0, 0.05, 0.2, 0.05, n_steps,
+                               8192, -1.0, degree=degree, return_coeffs=True)
+    coefs = np.asarray(out.coeffs)
+    assert coefs.shape == (n_steps + 1, degree + 1)
+    assert np.isfinite(coefs).all()
+    np.testing.assert_array_equal(coefs[n_steps], 0.0)
+
+
+def test_price_option_fusedpath_feeds_fast_greeks():
+    """engine='fusedpath' with return_cf_tau fills LSMCResult and feeds
+    fast_greeks (order-independent reductions over cf/τ)."""
+    from amcx.greeks import fast_greeks
+
+    m = MarketParams(100.0, 0.05, 0.2)
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american")
+    sim = SimConfig(n_paths=8192, n_steps=20)
+    res = price_option(jax.random.key(1), m, prod, RegressionSpec(), sim,
+                       engine="fusedpath", return_cf_tau=True,
+                       return_coeffs=True)
+    assert res.cashflows is not None and res.exercise_times is not None
+    assert res.coeffs is not None and res.coeffs.shape == (21, 5)
+    g = fast_greeks(res, m, prod, sim.n_steps)
+    for v in g.values():
+        assert np.isfinite(float(v))
