@@ -28,6 +28,7 @@ from .oracle import (
     implied_vol,
 )
 from .boundary import exercise_boundary
+from .policy import reprice_with_coeffs, price_out_of_sample, OOSResult
 from .dual import dual_upper_bound, dual_upper_bound_max_call, DualResult
 from .exposures import (compute_ccr_exposures, CCRExposures,
                         exposures_from_coeffs, cva_from_epe)
@@ -75,6 +76,9 @@ __all__ = [
     "oracle_price",
     "implied_vol",
     "exercise_boundary",
+    "reprice_with_coeffs",
+    "price_out_of_sample",
+    "OOSResult",
     "dual_upper_bound",
     "dual_upper_bound_max_call",
     "DualResult",

@@ -119,7 +119,26 @@ def cmd_price(args):
     advisory = q0_call_advisory(market, product, spec)
     if advisory is not None:
         print(f"ADVISORY: {advisory}", file=sys.stderr)
-    if args.engine == "fusedpath":
+    oos = None
+    if getattr(args, "out_of_sample", False):
+        if args.plot:
+            raise SystemExit("--out-of-sample is price-only (no --plot)")
+        if args.qmc:
+            raise SystemExit("--out-of-sample draws its own fit/pricing "
+                             "streams; drop --qmc")
+        from .policy import price_out_of_sample
+
+        fit_engine = args.engine if args.engine in ("mega", "fusedpath") else "mega"
+        if fit_engine == "fusedpath" and product.has_barrier:
+            raise SystemExit("fusedpath cannot price barriers; use --engine mega")
+        replay_engine = args.engine if args.engine in ("mega", "fusedpath") else None
+        oos = price_out_of_sample(
+            jax.random.key(args.seed), market, product, spec, sim,
+            engine=fit_engine, n_fit_paths=args.fit_paths,
+            replay_engine=replay_engine,
+        )
+        res = oos.oos
+    elif args.engine == "fusedpath":
         if args.plot:
             raise SystemExit("--engine fusedpath is price-only (no --plot)")
         if args.qmc:
@@ -173,7 +192,14 @@ def cmd_price(args):
                                      option_type=product.option_type,
                                      exercise=product.exercise))
         payload["oracle_vanilla"] = round(vanilla, 4)
+    if oos is not None:
+        payload["fit_price"] = round(float(oos.fit.price), 4)
+        payload["foresight_gap"] = round(
+            float(oos.fit.price) - float(oos.oos.price), 4)
     if not args.json:
+        if oos is not None:
+            print(f"{desc} Option Price {btxt} (LSMC, in-sample fit): "
+                  f"{payload['fit_price']:.4f}")
         print(f"{desc} Option Price {btxt} (LSMC):   {payload['price']:.4f} "
               f"± {payload['stderr']:.4f}")
         print(f"{desc} Option Price {btxt} (Oracle): {payload['oracle']:.4f}")
@@ -480,6 +506,13 @@ def build_parser():
     pp.add_argument("--oracle-grid-steps", type=int, default=50)
     pp.add_argument("--oracle-grid-paths", type=int, default=512,
                     help="paths sampled for the oracle CCR profile")
+    pp.add_argument("--out-of-sample", action="store_true",
+                    help="two-pass Longstaff-Schwartz: fit the policy on "
+                         "one path set, reprice (replay) on an independent "
+                         "one — removes foresight bias (amcx.policy)")
+    pp.add_argument("--fit-paths", type=int, default=None,
+                    help="with --out-of-sample: fit on this many paths, "
+                         "replay on --paths (default: same count)")
     pp.set_defaults(fn=cmd_price)
 
     pg = sub.add_parser("greeks", help="pathwise Greeks")

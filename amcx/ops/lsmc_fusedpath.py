@@ -66,7 +66,7 @@ def _fusedpath_kernel(seed_ref, scal_ref, stats_ref, *refs,
                       n_steps, n_rows, chunk_rows, basis,
                       degree, american, itm_weights, antithetic,
                       schedule=False, ring_axis=None, ring_size=1,
-                      emit_cf_tau=False, emit_coeffs=False):
+                      emit_cf_tau=False, emit_coeffs=False, replay=False):
     # refs = outputs (price Σ, ΣV², [cf, τ], [coeff rows]) then scratch
     # (V, W, Sp, macc, [ring comm buffers]) — unpacked by the same static
     # flags that built the pallas_call signature (mirrors _mega_kernel).
@@ -155,8 +155,17 @@ def _fusedpath_kernel(seed_ref, scal_ref, stats_ref, *refs,
         a = tf / (tf + 1.0)
         bscale = jnp.sqrt(dt * a)  # √(dt·t/(t+1)); exactly 0 at t = 0
 
+        if replay:
+            # frozen-policy replay (two-pass out-of-sample pricing): the
+            # fitted coefficients arrive through the stats stream; pass 1
+            # below only regenerates the bridge/spot state (no moments),
+            # and the whole ring/solve is skipped (see amcx.policy).
+            base = (4 + (1 if schedule else 0)) * (n_steps + 1)
+            coeffs = [stats_ref[base + t * k + a_] for a_ in range(k)]
+
         # ---- pass 1: bridge-regenerate S_t, accumulate moments ----
-        macc[...] = jnp.zeros_like(macc)
+        if not replay:
+            macc[...] = jnp.zeros_like(macc)
 
         def pass1(c, _):
             sl = pl.ds(c * chunk_rows, chunk_rows)
@@ -164,6 +173,8 @@ def _fusedpath_kernel(seed_ref, scal_ref, stats_ref, *refs,
             W[sl, :] = Wt
             S = S0 * jnp.exp(drift_dt * tf + sigma * Wt)
             Sp[sl, :] = S  # pass 2 re-reads from VMEM, not HBM
+            if replay:
+                return 0
             y = c_t * V[sl, :]
             xhat = (S - mean) * inv_std
             w = ((jnp.maximum(phi * (S - K), 0.0) > 0.0).astype(jnp.float32)
@@ -189,20 +200,22 @@ def _fusedpath_kernel(seed_ref, scal_ref, stats_ref, *refs,
             return 0
 
         jax.lax.fori_loop(0, n_chunks, pass1, 0)
-        if ring_axis is None:
-            packed = jnp.sum(macc[...], axis=1)
-        else:
-            # collective zero-HBM pricing: the ONLY bytes that ever move —
-            # on-chip or off — are these packed moments riding the RDMA
-            # ring (paths are regenerated in VMEM on every chip).
-            packed = _ring_allreduce_moments(
-                macc, comm, send_sem, recv_sem, t, ring_axis, ring_size
-            )
+        if not replay:
+            if ring_axis is None:
+                packed = jnp.sum(macc[...], axis=1)
+            else:
+                # collective zero-HBM pricing: the ONLY bytes that ever move
+                # — on-chip or off — are these packed moments riding the
+                # RDMA ring (paths are regenerated in VMEM on every chip).
+                packed = _ring_allreduce_moments(
+                    macc, comm, send_sem, recv_sem, t, ring_axis, ring_size
+                )
 
-        g_raw = _g_raw_fn(packed, k, layout, basis)
-        L, d, G = _factor_equilibrated_ridge(g_raw, k, rcond)
-        off = (2 * degree + 1) if layout == "identity" else len(_pairs(k))
-        coeffs = _solve_factored(L, d, G, [packed[off + a_] for a_ in range(k)], k)
+            g_raw = _g_raw_fn(packed, k, layout, basis)
+            L, d, G = _factor_equilibrated_ridge(g_raw, k, rcond)
+            off = (2 * degree + 1) if layout == "identity" else len(_pairs(k))
+            coeffs = _solve_factored(
+                L, d, G, [packed[off + a_] for a_ in range(k)], k)
         if emit_coeffs:
             coef_ref[...] = _coeff_row(coeffs, k)
 
@@ -251,12 +264,13 @@ def _fusedpath_kernel(seed_ref, scal_ref, stats_ref, *refs,
     jax.jit,
     static_argnames=("n_steps", "n_rows", "basis", "degree", "american",
                      "itm_weights", "antithetic", "interpret", "schedule",
-                     "ring_axis", "ring_size", "emit_cf_tau", "emit_coeffs"),
+                     "ring_axis", "ring_size", "emit_cf_tau", "emit_coeffs",
+                     "replay"),
 )
 def _run_fusedpath(seed, scalars, stats, n_steps, n_rows, basis, degree,
                    american, itm_weights, antithetic, interpret,
                    schedule=False, ring_axis=None, ring_size=1,
-                   emit_cf_tau=False, emit_coeffs=False):
+                   emit_cf_tau=False, emit_coeffs=False, replay=False):
     _, P = _moment_layout(basis, degree)
     kernel = functools.partial(
         _fusedpath_kernel,
@@ -273,6 +287,7 @@ def _run_fusedpath(seed, scalars, stats, n_steps, n_rows, basis, degree,
         ring_size=ring_size,
         emit_cf_tau=emit_cf_tau,
         emit_coeffs=emit_coeffs,
+        replay=replay,
     )
     scratch_shapes = [
         pltpu.VMEM((n_rows, LANES), jnp.float32),  # V carry
@@ -358,6 +373,7 @@ def lsmc_price_fusedpath(
     axis_size: int = 1,
     return_cf_tau: bool = False,
     return_coeffs: bool = False,
+    replay_coeffs=None,
 ):
     """American/European vanilla GBM price with ZERO path HBM traffic.
 
@@ -388,6 +404,16 @@ def lsmc_price_fusedpath(
     *result* traffic; every analytics consumer (`amcx.greeks.fast_greeks`,
     `amcx.dual.dual_upper_bound`, `amcx.exposures.exposures_from_coeffs`
     with any same-law path set) runs off them.
+
+    ``replay_coeffs``: frozen per-step coefficients (``(n_steps[+1],
+    degree+1)``, any engine's ``return_coeffs=True`` export) — the kernel
+    skips the regression (moments + ring + solve) and replays the fixed
+    policy on its own freshly generated paths: the out-of-sample pricing
+    pass of the two-pass Longstaff-Schwartz estimator (`amcx.policy`).
+    The coefficient frame is automatically consistent: this engine always
+    standardizes with the closed-form GBM statistics, so any mega/fusedpath
+    fit under the same market parameters replays exactly. Use a ``seed``
+    disjoint from the fit's so the pricing paths are independent.
     """
     if n_paths % (8 * LANES):
         raise ValueError(
@@ -428,6 +454,25 @@ def lsmc_price_fusedpath(
 
         stats_parts.append(exercise_allow_row(exercise_steps, n_steps,
                                               jnp.float32))
+    replay = replay_coeffs is not None
+    if replay:
+        replay_coeffs = jnp.asarray(replay_coeffs, jnp.float32)
+        _k = degree + 1
+        if replay_coeffs.ndim != 2 or replay_coeffs.shape[1] != _k:
+            raise ValueError(
+                f"replay_coeffs must be (n_steps[+1], degree+1={_k}), "
+                f"got {replay_coeffs.shape}"
+            )
+        if replay_coeffs.shape[0] == n_steps + 1:
+            replay_coeffs = replay_coeffs[:n_steps]  # zero maturity row
+        elif replay_coeffs.shape[0] != n_steps:
+            raise ValueError(
+                f"replay_coeffs has {replay_coeffs.shape[0]} step rows; "
+                f"expected n_steps={n_steps}"
+            )
+        # frozen-policy coefficients ride the stats stream, flattened
+        # row-major: the kernel reads stats[base + t*k + a] per step
+        stats_parts.append(replay_coeffs.reshape(-1))
     stats = jnp.concatenate(stats_parts)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape((1,))
     sums, cf, tau, coefs = _run_fusedpath(
@@ -435,7 +480,7 @@ def lsmc_price_fusedpath(
         degree, american, itm_weights, antithetic, interpret,
         schedule=exercise_steps is not None,
         ring_axis=axis_name, ring_size=axis_size,
-        emit_cf_tau=return_cf_tau, emit_coeffs=return_coeffs)
+        emit_cf_tau=return_cf_tau, emit_coeffs=return_coeffs, replay=replay)
     n_glob = n_paths * (axis_size if axis_name is not None else 1)
     if axis_name is not None:
         sums = jax.lax.psum(sums, axis_name)

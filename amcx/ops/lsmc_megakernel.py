@@ -281,7 +281,8 @@ def _coeff_row(coeffs, k):
 def _mega_kernel(scal_ref, stats_ref, s_ref, *refs,
                  n_steps, n_rows, chunk_rows, basis, degree, american, barrier,
                  itm_weights, ring_axis=None, ring_size=1, schedule=False,
-                 emit_cf_tau=False, emit_coeffs=False, antithetic=False):
+                 emit_cf_tau=False, emit_coeffs=False, antithetic=False,
+                 replay=False):
     # refs = outputs (price Σ, ΣV², [cf, τ], [coeff rows]) then scratch
     # (V, macc, [ring comm buffers]) — unpacked by the same static flags
     # that built the pallas_call signature.
@@ -356,8 +357,19 @@ def _mega_kernel(scal_ref, stats_ref, s_ref, *refs,
         # standardization/discount stats (1.0 = exercise date)
         allow = stats_ref[4 * (n_steps + 1) + t] if schedule else None
 
+        if replay:
+            # frozen-policy replay (out-of-sample pricing): the solved
+            # coefficients arrive through the stats stream; the whole
+            # regression pass — moments, ring all-reduce, solve — is
+            # skipped, and pass 2's fixed-policy select IS the step (the
+            # backward last-write-wins overwrite equals the forward
+            # first-hit walk; see amcx/policy.py).
+            base = (4 + (1 if schedule else 0)) * (n_steps + 1)
+            coeffs = [stats_ref[base + t * k + a] for a in range(k)]
+
         # ---- pass 1: Gram/moment accumulation over VMEM-resident data ----
-        macc[...] = jnp.zeros_like(macc)
+        if not replay:
+            macc[...] = jnp.zeros_like(macc)
 
         def pass1(c, _):
             sl = pl.ds(c * chunk_rows, chunk_rows)
@@ -397,17 +409,18 @@ def _mega_kernel(scal_ref, stats_ref, s_ref, *refs,
                     macc[len(pairs) + a, :] += jnp.sum(cols[a] * yw, axis=0)
             return 0
 
-        jax.lax.fori_loop(0, n_chunks, pass1, 0)
+        if not replay:
+            jax.lax.fori_loop(0, n_chunks, pass1, 0)
 
-        if ring_axis is None:
-            packed = jnp.sum(macc[...], axis=1)  # (P,)
-        else:
-            packed = _ring_allreduce_moments(
-                macc, comm, send_sem, recv_sem, t, ring_axis, ring_size
-            )
+            if ring_axis is None:
+                packed = jnp.sum(macc[...], axis=1)  # (P,)
+            else:
+                packed = _ring_allreduce_moments(
+                    macc, comm, send_sem, recv_sem, t, ring_axis, ring_size
+                )
 
-        # ---- in-kernel solve (replicated: identical on every chip) ----
-        coeffs = _solve_equilibrated_ridge(packed, k, rcond, layout, basis)
+            # ---- in-kernel solve (replicated: identical on every chip) ----
+            coeffs = _solve_equilibrated_ridge(packed, k, rcond, layout, basis)
         if emit_coeffs:
             coef_ref[...] = _coeff_row(coeffs, k)
 
@@ -934,7 +947,7 @@ def lsmc_book_megakernel(
 def _run(scalars, stats, paths_blocks, n_steps, n_rows, basis, degree, american,
          barrier, itm_weights, interpret, ring_axis=None, ring_size=1,
          schedule=False, emit_cf_tau=False, emit_coeffs=False,
-         antithetic=False):
+         antithetic=False, replay=False):
     kernel = functools.partial(
         _mega_kernel,
         n_steps=n_steps,
@@ -951,6 +964,7 @@ def _run(scalars, stats, paths_blocks, n_steps, n_rows, basis, degree, american,
         emit_cf_tau=emit_cf_tau,
         emit_coeffs=emit_coeffs,
         antithetic=antithetic,
+        replay=replay,
     )
     _, P = _moment_layout(basis, degree)
     scratch_shapes = [
@@ -1023,7 +1037,7 @@ _run_jit = jax.jit(
     static_argnames=("n_steps", "n_rows", "basis", "degree", "american",
                      "barrier", "itm_weights", "interpret", "ring_axis",
                      "ring_size", "schedule", "emit_cf_tau", "emit_coeffs",
-                     "antithetic"),
+                     "antithetic", "replay"),
 )
 
 
@@ -1074,9 +1088,20 @@ def lsmc_price_megakernel(
     return_cf_tau: bool = False,
     return_coeffs: bool = False,
     antithetic: bool = False,
+    replay_coeffs=None,
 ):
     """Price a vanilla or down-and-in put/call with the single-kernel
     backward induction.
+
+    ``replay_coeffs``: frozen per-step regression coefficients
+    (``(n_steps, k)`` or ``(n_steps+1, k)``, any engine's
+    ``return_coeffs=True`` export in the mega standardization frame) —
+    the kernel skips the whole regression pass (moments + solve) and
+    replays the fixed policy on these paths: the out-of-sample pricing
+    pass of the two-pass Longstaff-Schwartz estimator (see
+    `amcx.policy`). Requires explicit ``mean_t``/``inv_std_t`` (the FIT's
+    frame — stats recomputed from pricing paths would be a different
+    frame).
 
     ``paths_tm``: (n_steps+1, n_paths) time-major; ``mean_t``/``inv_std_t``:
     per-step standardization stats (computed here if omitted). ``barrier``:
@@ -1102,6 +1127,28 @@ def lsmc_price_megakernel(
     traffic at 1M×100), so the production pipeline stays blocked end to end.
     """
     n_steps = paths_tm.shape[0] - 1
+    replay = replay_coeffs is not None
+    if replay:
+        if mean_t is None or inv_std_t is None:
+            raise ValueError(
+                "replay_coeffs requires the FIT's explicit mean_t/inv_std_t: "
+                "stats recomputed from the pricing paths would be a "
+                "different standardization frame than the coefficients'"
+            )
+        replay_coeffs = jnp.asarray(replay_coeffs, jnp.float32)
+        _k = degree + 1
+        if replay_coeffs.ndim != 2 or replay_coeffs.shape[1] != _k:
+            raise ValueError(
+                f"replay_coeffs must be (n_steps[+1], degree+1={_k}), "
+                f"got {replay_coeffs.shape}"
+            )
+        if replay_coeffs.shape[0] == n_steps + 1:
+            replay_coeffs = replay_coeffs[:n_steps]  # zero maturity row
+        elif replay_coeffs.shape[0] != n_steps:
+            raise ValueError(
+                f"replay_coeffs has {replay_coeffs.shape[0]} step rows; "
+                f"paths have n_steps={n_steps}"
+            )
     if paths_tm.ndim == 3:
         if paths_tm.shape[2] != LANES or paths_tm.shape[1] % 8:
             raise ValueError(
@@ -1169,6 +1216,10 @@ def lsmc_price_megakernel(
 
         stats_parts.append(exercise_allow_row(exercise_steps, n_steps,
                                               jnp.float32))
+    if replay:
+        # frozen-policy coefficients ride the stats stream, flattened
+        # row-major: the kernel reads stats[base + t*k + a] per step
+        stats_parts.append(replay_coeffs.reshape(-1))
     stats = jnp.concatenate(stats_parts)
     blocks = (paths_tm if paths_tm.ndim == 3
               else paths_tm.reshape(n_steps + 1, n_rows, LANES))
@@ -1184,7 +1235,7 @@ def lsmc_price_megakernel(
         ring_axis=axis_name, ring_size=axis_size,
         schedule=exercise_steps is not None,
         emit_cf_tau=return_cf_tau, emit_coeffs=return_coeffs,
-        antithetic=antithetic)
+        antithetic=antithetic, replay=replay)
     if axis_name is not None:
         sums = jax.lax.psum(sums, axis_name)
     price = sums[0] / n_glob

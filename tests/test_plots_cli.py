@@ -155,3 +155,16 @@ def test_cli_q0_call_advisory(capsys):
         sys.argv = old
     err = capsys.readouterr().err
     assert "ADVISORY" in err and "q=0" in err
+
+
+def test_cli_out_of_sample_price(capsys):
+    """--out-of-sample runs the two-pass estimator and reports both the
+    in-sample fit and the replayed (unbiased-below) price."""
+    from amcx.cli import main
+
+    main(["price", "--paths", "8192", "--steps", "10", "--k", "105",
+          "--sigma", "0.25", "--r", "0.05", "--engine", "mega",
+          "--out-of-sample", "--fit-paths", "4096", "--json"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "fit_price" in out and "foresight_gap" in out
+    assert abs(out["price"] - out["oracle"]) < 0.5
