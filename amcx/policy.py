@@ -44,7 +44,8 @@ from .engine import LSMCResult
 from .payoff import barrier_gate, exercise_allow_row
 from .types import MarketParams, ProductSpec, RegressionSpec, SimConfig
 
-__all__ = ["reprice_with_coeffs", "price_out_of_sample", "OOSResult"]
+__all__ = ["reprice_with_coeffs", "price_out_of_sample", "OOSResult",
+           "valuation_interval", "ValuationInterval"]
 
 
 @partial(jax.jit, static_argnames=("spec", "american", "schedule",
@@ -264,3 +265,68 @@ def price_out_of_sample(
                               exercise_steps=exercise_steps,
                               antithetic=sim.antithetic)
     return OOSResult(fit, oos)
+
+
+class ValuationInterval(NamedTuple):
+    """Unbiased price sandwich from ONE fitted exercise policy.
+
+    ``lower`` is the out-of-sample replay (a true lower bound: any adapted
+    stopping rule under-prices), ``upper`` the Andersen-Broadie dual bound
+    from the SAME coefficients on a third independent path set (a true
+    upper bound up to inner-sample noise). The exact price lies in
+    ``[lower.price − 2·lower.stderr, upper.upper + 2·upper.stderr]``
+    with ~95% one-sided confidence each. ``fit`` is the in-sample run the
+    policy came from (its price is NOT a bound — it carries foresight
+    bias).
+    """
+
+    fit: LSMCResult
+    lower: LSMCResult
+    upper: object  # amcx.dual.DualResult
+
+
+def valuation_interval(
+    key: jax.Array,
+    market: MarketParams,
+    product: ProductSpec,
+    spec: RegressionSpec = RegressionSpec(),
+    sim: SimConfig = SimConfig(),
+    engine: str = "mega",
+    n_fit_paths: Optional[int] = None,
+    replay_engine: Optional[str] = None,
+    n_dual_paths: int = 4096,
+    n_inner: int = 32,
+    nested: bool = True,
+) -> ValuationInterval:
+    """Fit → [OOS lower bound, AB dual upper bound] in one call.
+
+    The production valuation certificate: three disjoint key streams (fit,
+    replay, dual outer/inner), one regression pass, and two independent
+    bounds that bracket the exact price — the Andersen-Broadie sandwich
+    with BOTH sides out-of-sample (`amcx.dual` alone reuses whatever paths
+    you hand it; here everything is key-disjoint by construction).
+
+    ``n_dual_paths``: outer paths for the dual (the nested bound costs
+    O(n_steps²·n_inner·N) path-steps, so the default is intentionally far
+    smaller than ``sim.n_paths``). Vanilla products only (the dual has no
+    barrier support).
+    """
+    from .dual import dual_upper_bound
+    from .engine import price_option
+    from .paths import gbm_standardization, simulate_gbm
+
+    if product.has_barrier:
+        raise ValueError("valuation_interval is vanilla-only: the dual "
+                         "bound does not support barriers")
+    key_two_pass, key_dual_paths, key_dual_inner = jax.random.split(key, 3)
+    pair = price_out_of_sample(key_two_pass, market, product, spec, sim,
+                               engine=engine, n_fit_paths=n_fit_paths,
+                               replay_engine=replay_engine)
+    mean_t, inv_std_t = gbm_standardization(market, product.T, sim.n_steps)
+    outer = simulate_gbm(key_dual_paths, market, product.T,
+                         dataclasses.replace(sim, n_paths=n_dual_paths,
+                                             antithetic=False))
+    upper = dual_upper_bound(key_dual_inner, outer, pair.fit, market,
+                             product, spec, mean_t, inv_std_t,
+                             n_inner=n_inner, nested=nested)
+    return ValuationInterval(pair.fit, pair.oos, upper)

@@ -227,3 +227,33 @@ def test_reprice_antithetic_pairs_fold():
                                 inv_std_t, RegressionSpec(degree=4))
     # pair-folded stderr must differ from the (dishonest) pathwise one
     assert float(res.stderr) != float(plain.stderr)
+
+
+def test_valuation_interval_brackets_crr():
+    """One fit → [OOS replay lower, AB dual upper]: the binomial truth must
+    land inside the sandwich (with 2-sigma slack on each side)."""
+    from amcx import valuation_interval
+
+    res = valuation_interval(
+        jax.random.key(17), M, PUT, RegressionSpec(degree=4),
+        SimConfig(n_paths=65_536, n_steps=N_STEPS), engine="mega",
+        n_dual_paths=2_048, n_inner=32, nested=True,
+    )
+    crr = float(crr_price(M.S0, PUT.K, PUT.T, M.r, M.sigma, 2000,
+                          option_type="put", american=True))
+    lo = float(res.lower.price) - 3.0 * float(res.lower.stderr)
+    hi = float(res.upper.upper) + 3.0 * float(res.upper.stderr)
+    assert lo <= crr <= hi
+    # informative, not vacuous (hermetic config: only 32 inner samples, so
+    # the dual side is loose; the tight on-chip sandwich is in RESULTS.md)
+    assert hi - lo < 1.0
+    assert float(res.lower.price) <= float(res.upper.upper) + 1e-6
+
+
+def test_valuation_interval_rejects_barrier():
+    from amcx import valuation_interval
+
+    prod = ProductSpec(K=105.0, T=1.0, barrier=85.0, option_type="put",
+                       exercise="american")
+    with pytest.raises(ValueError, match="barrier"):
+        valuation_interval(jax.random.key(0), M, prod)
