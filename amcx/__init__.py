@@ -28,7 +28,10 @@ from .oracle import (
     implied_vol,
 )
 from .boundary import exercise_boundary
-from .policy import reprice_with_coeffs, price_out_of_sample, OOSResult
+from .policy import (reprice_with_coeffs, price_out_of_sample, OOSResult,
+                     valuation_interval, ValuationInterval)
+from .term import (TermCurves, price_option_curves, simulate_gbm_curves,
+                   european_price_curves, crr_price_curves)
 from .dual import dual_upper_bound, dual_upper_bound_max_call, DualResult
 from .exposures import (compute_ccr_exposures, CCRExposures,
                         exposures_from_coeffs, cva_from_epe)
@@ -79,6 +82,13 @@ __all__ = [
     "reprice_with_coeffs",
     "price_out_of_sample",
     "OOSResult",
+    "valuation_interval",
+    "ValuationInterval",
+    "TermCurves",
+    "price_option_curves",
+    "simulate_gbm_curves",
+    "european_price_curves",
+    "crr_price_curves",
     "dual_upper_bound",
     "dual_upper_bound_max_call",
     "DualResult",

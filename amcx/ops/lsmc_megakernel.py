@@ -1197,20 +1197,37 @@ def lsmc_price_megakernel(
 
         gate = barrier_gate(paths_tm, barrier, barrier_type)
         paths_tm = jnp.where(gate, paths_tm, -paths_tm)
+    r_arr = jnp.asarray(r, jnp.float32)
     scalars = jnp.stack(
         [
-            jnp.asarray(r * dt, jnp.float32),
+            jnp.asarray(jnp.mean(r_arr) * dt, jnp.float32),
             jnp.asarray(K, jnp.float32),
             jnp.asarray(phi, jnp.float32),
             jnp.asarray(rcond, jnp.float32),
         ]
     )
-    # time-T-units discount rows: c_t = e^{−r·dt·(n_steps−t)} and its
-    # reciprocal (see the carry note in _mega_kernel)
-    rem = n_steps - jnp.arange(n_steps + 1, dtype=jnp.float32)
-    rdt_f = jnp.asarray(r * dt, jnp.float32)
+    # time-T-units discount rows: c_t = e^{−∫_t^T r ds} and its reciprocal
+    # (see the carry note in _mega_kernel). The kernel never reads a rate
+    # scalar — ALL discounting comes from these rows — so a deterministic
+    # term structure r(t) is supported by passing ``r`` as an (n_steps,)
+    # per-step short-rate vector (amcx.term builds the matching paths and
+    # standardization frame).
+    if r_arr.ndim == 0:
+        rem = n_steps - jnp.arange(n_steps + 1, dtype=jnp.float32)
+        r_rem = r_arr * jnp.asarray(dt, jnp.float32) * rem
+    elif r_arr.shape == (n_steps,):
+        # Rrem[t] = Σ_{s≥t} r_s·dt (0 at maturity)
+        r_rem = jnp.concatenate(
+            [jnp.cumsum((r_arr * jnp.asarray(dt, jnp.float32))[::-1])[::-1],
+             jnp.zeros((1,), jnp.float32)]
+        )
+    else:
+        raise ValueError(
+            f"r must be a scalar or an (n_steps,) per-step short-rate "
+            f"vector; got shape {r_arr.shape} for n_steps={n_steps}"
+        )
     stats_parts = [mean_t.astype(jnp.float32), inv_std_t.astype(jnp.float32),
-                   jnp.exp(-rdt_f * rem), jnp.exp(rdt_f * rem)]
+                   jnp.exp(-r_rem), jnp.exp(r_rem)]
     if exercise_steps is not None:
         from ..payoff import exercise_allow_row
 
