@@ -66,7 +66,8 @@ def _fusedpath_kernel(seed_ref, scal_ref, stats_ref, *refs,
                       n_steps, n_rows, chunk_rows, basis,
                       degree, american, itm_weights, antithetic,
                       schedule=False, ring_axis=None, ring_size=1,
-                      emit_cf_tau=False, emit_coeffs=False, replay=False):
+                      emit_cf_tau=False, emit_coeffs=False, replay=False,
+                      curves=False):
     # refs = outputs (price Σ, ΣV², [cf, τ], [coeff rows]) then scratch
     # (V, W, Sp, macc, [ring comm buffers]) — unpacked by the same static
     # flags that built the pallas_call signature (mirrors _mega_kernel).
@@ -100,6 +101,19 @@ def _fusedpath_kernel(seed_ref, scal_ref, stats_ref, *refs,
     # never compounds into the carry.
     c_t = stats_ref[2 * (n_steps + 1) + t]
     inv_c_t = stats_ref[3 * (n_steps + 1) + t]
+    # deterministic term structures (amcx.term): the spot map becomes
+    # S_t = S0·e^{D_t + X_t} with D_t = Σ_{s<t}(r_s−q_s−σ_s²/2)·dt and
+    # X_t = Σ_{s<t} σ_s·ΔW_s a TIME-CHANGED Brownian motion, X_t = B(v_t),
+    # v_t = Σ_{s<t} σ_s²·dt. The backward-bridge recursion generalizes to
+    # the non-uniform clock v: conditionally on X_{t+1},
+    #   X_t = (v_t/v_{t+1})·X_{t+1} + √(v_t·Δv_t/v_{t+1})·ξ
+    # so three per-step host-precomputed rows (D, A = v_t/v_{t+1},
+    # B = √(v_t·Δv_t/v_{t+1}), with B[n_steps] = √v_T for the terminal
+    # draw) replace the flat drift/σ scalars; flat curves reproduce the
+    # scalar recursion exactly (v_t = σ²·t·dt ⟹ A = t/(t+1)).
+    n_extra = 3 if curves else 0
+    if curves:
+        D_t = stats_ref[4 * (n_steps + 1) + t]
 
     n_chunks = n_rows // chunk_rows
     half_chunks = n_chunks // 2
@@ -121,13 +135,19 @@ def _fusedpath_kernel(seed_ref, scal_ref, stats_ref, *refs,
 
     @pl.when(i == 0)
     def _maturity():
-        wT = jnp.sqrt(dt * float(n_steps))
+        if curves:
+            wT = stats_ref[6 * (n_steps + 1) + n_steps]  # √v_T
+        else:
+            wT = jnp.sqrt(dt * float(n_steps))
 
         def body(c, _):
             sl = pl.ds(c * chunk_rows, chunk_rows)
             Wt = wT * draw(c)
             W[sl, :] = Wt
-            S = S0 * jnp.exp(drift_dt * float(n_steps) + sigma * Wt)
+            if curves:
+                S = S0 * jnp.exp(D_t + Wt)  # W carries X = B(v)
+            else:
+                S = S0 * jnp.exp(drift_dt * float(n_steps) + sigma * Wt)
             vT = jnp.maximum(phi * (S - K), 0.0)
             V[sl, :] = vT
             if emit_cf_tau:
@@ -150,17 +170,22 @@ def _fusedpath_kernel(seed_ref, scal_ref, stats_ref, *refs,
         mean = stats_ref[t]
         inv_std = stats_ref[n_steps + 1 + t]
         # Bermudan schedule: per-step allow flag appended after the
-        # standardization/discount stats (1.0 = exercise date)
-        allow = stats_ref[4 * (n_steps + 1) + t] if schedule else None
-        a = tf / (tf + 1.0)
-        bscale = jnp.sqrt(dt * a)  # √(dt·t/(t+1)); exactly 0 at t = 0
+        # standardization/discount (+ curve) stats (1.0 = exercise date)
+        allow = (stats_ref[(4 + n_extra) * (n_steps + 1) + t]
+                 if schedule else None)
+        if curves:
+            a = stats_ref[5 * (n_steps + 1) + t]        # v_t/v_{t+1}
+            bscale = stats_ref[6 * (n_steps + 1) + t]   # √(v_t·Δv_t/v_{t+1})
+        else:
+            a = tf / (tf + 1.0)
+            bscale = jnp.sqrt(dt * a)  # √(dt·t/(t+1)); exactly 0 at t = 0
 
         if replay:
             # frozen-policy replay (two-pass out-of-sample pricing): the
             # fitted coefficients arrive through the stats stream; pass 1
             # below only regenerates the bridge/spot state (no moments),
             # and the whole ring/solve is skipped (see amcx.policy).
-            base = (4 + (1 if schedule else 0)) * (n_steps + 1)
+            base = (4 + n_extra + (1 if schedule else 0)) * (n_steps + 1)
             coeffs = [stats_ref[base + t * k + a_] for a_ in range(k)]
 
         # ---- pass 1: bridge-regenerate S_t, accumulate moments ----
@@ -171,7 +196,10 @@ def _fusedpath_kernel(seed_ref, scal_ref, stats_ref, *refs,
             sl = pl.ds(c * chunk_rows, chunk_rows)
             Wt = a * W[sl, :] + bscale * draw(c)
             W[sl, :] = Wt
-            S = S0 * jnp.exp(drift_dt * tf + sigma * Wt)
+            if curves:
+                S = S0 * jnp.exp(D_t + Wt)
+            else:
+                S = S0 * jnp.exp(drift_dt * tf + sigma * Wt)
             Sp[sl, :] = S  # pass 2 re-reads from VMEM, not HBM
             if replay:
                 return 0
@@ -265,12 +293,13 @@ def _fusedpath_kernel(seed_ref, scal_ref, stats_ref, *refs,
     static_argnames=("n_steps", "n_rows", "basis", "degree", "american",
                      "itm_weights", "antithetic", "interpret", "schedule",
                      "ring_axis", "ring_size", "emit_cf_tau", "emit_coeffs",
-                     "replay"),
+                     "replay", "curves"),
 )
 def _run_fusedpath(seed, scalars, stats, n_steps, n_rows, basis, degree,
                    american, itm_weights, antithetic, interpret,
                    schedule=False, ring_axis=None, ring_size=1,
-                   emit_cf_tau=False, emit_coeffs=False, replay=False):
+                   emit_cf_tau=False, emit_coeffs=False, replay=False,
+                   curves=False):
     _, P = _moment_layout(basis, degree)
     kernel = functools.partial(
         _fusedpath_kernel,
@@ -288,6 +317,7 @@ def _run_fusedpath(seed, scalars, stats, n_steps, n_rows, basis, degree,
         emit_cf_tau=emit_cf_tau,
         emit_coeffs=emit_coeffs,
         replay=replay,
+        curves=curves,
     )
     scratch_shapes = [
         pltpu.VMEM((n_rows, LANES), jnp.float32),  # V carry
@@ -414,6 +444,14 @@ def lsmc_price_fusedpath(
     standardizes with the closed-form GBM statistics, so any mega/fusedpath
     fit under the same market parameters replays exactly. Use a ``seed``
     disjoint from the fit's so the pricing paths are independent.
+
+    **Term structures**: ``r``/``sigma``/``q`` may each be an ``(n_steps,)``
+    piecewise-constant curve (`amcx.term.TermCurves` grid). The kernel then
+    regenerates the time-changed Brownian ``X_t = B(Σ_{s<t}σ_s²·dt)``
+    backward with per-step bridge rows and prices with exact curve
+    discounting — zero path HBM under any deterministic term structure.
+    Composes with replay/schedules/collective mode; flat scalars are
+    bitwise-unchanged.
     """
     if n_paths % (8 * LANES):
         raise ValueError(
@@ -428,27 +466,75 @@ def lsmc_price_fusedpath(
     n_rows = n_paths // LANES
     if antithetic and (n_rows // _chunk_rows_for(n_rows)) % 2:
         raise ValueError("antithetic fusedpath needs an even chunk count")
-    from ..paths import gbm_standardization
-    from ..types import MarketParams
+    # deterministic term structures (amcx.term): any of r/sigma/q given as
+    # an (n_steps,) vector switches the kernel to the time-changed-Brownian
+    # bridge (see the curve note in _fusedpath_kernel). The flat scalar path
+    # is bitwise-unchanged.
+    r_a = jnp.asarray(r, jnp.float32)
+    sig_a = jnp.asarray(sigma, jnp.float32)
+    q_a = jnp.asarray(q, jnp.float32)
+    curves = any(x.ndim > 0 for x in (r_a, sig_a, q_a))
+    if curves:
+        for name, x in (("r", r_a), ("sigma", sig_a), ("q", q_a)):
+            if x.ndim > 1 or (x.ndim == 1 and x.shape != (n_steps,)):
+                raise ValueError(
+                    f"{name} must be a scalar or an (n_steps,) vector; got "
+                    f"shape {x.shape} for n_steps={n_steps}")
+        r_t = jnp.broadcast_to(r_a, (n_steps,))
+        sig_t = jnp.broadcast_to(sig_a, (n_steps,))
+        q_t = jnp.broadcast_to(q_a, (n_steps,))
+        from ..term import TermCurves, curve_standardization
 
-    mean_t, inv_std_t = gbm_standardization(
-        MarketParams(float(S0), float(r), float(sigma), float(q)),
-        float(dt) * n_steps, n_steps,
-    )
+        mean_t, inv_std_t = curve_standardization(
+            TermCurves(jnp.asarray(S0, jnp.float32), r_t, sig_t, q_t), dt)
+        r_eff = jnp.mean(r_t)
+        drift_eff = jnp.float32(0.0)  # unused in curve mode
+        sig_eff = jnp.float32(0.0)
+    else:
+        from ..paths import gbm_standardization
+        from ..types import MarketParams
+
+        mean_t, inv_std_t = gbm_standardization(
+            MarketParams(float(S0), float(r), float(sigma), float(q)),
+            float(dt) * n_steps, n_steps,
+        )
+        r_eff = r_a
+        drift_eff = jnp.asarray((r - q - 0.5 * sigma**2) * dt, jnp.float32)
+        sig_eff = sig_a
     scalars = jnp.stack([
-        jnp.asarray(r * dt, jnp.float32),
+        jnp.asarray(r_eff * dt, jnp.float32),
         jnp.asarray(K, jnp.float32),
         jnp.asarray(phi, jnp.float32),
         jnp.asarray(rcond, jnp.float32),
-        jnp.asarray(sigma, jnp.float32),
-        jnp.asarray((r - q - 0.5 * sigma**2) * dt, jnp.float32),
+        sig_eff,
+        drift_eff,
         jnp.asarray(dt, jnp.float32),
         jnp.asarray(S0, jnp.float32),
     ])
-    rem = n_steps - jnp.arange(n_steps + 1, dtype=jnp.float32)
-    rdt_f = jnp.asarray(r * dt, jnp.float32)
+    dt_f = jnp.asarray(dt, jnp.float32)
+    if curves:
+        # Rrem[t] = Σ_{s≥t} r_s·dt (0 at maturity) — same rows as the mega
+        # kernel's generalized discounting
+        r_rem = jnp.concatenate(
+            [jnp.cumsum((r_t * dt_f)[::-1])[::-1], jnp.zeros((1,), jnp.float32)])
+    else:
+        rem = n_steps - jnp.arange(n_steps + 1, dtype=jnp.float32)
+        r_rem = jnp.asarray(r * dt, jnp.float32) * rem
     stats_parts = [mean_t.astype(jnp.float32), inv_std_t.astype(jnp.float32),
-                   jnp.exp(-rdt_f * rem), jnp.exp(rdt_f * rem)]
+                   jnp.exp(-r_rem), jnp.exp(r_rem)]
+    if curves:
+        # bridge clock v_t = Σ_{s<t} σ_s²·dt and drift D_t (t = 0..n_steps)
+        zero = jnp.zeros((1,), jnp.float32)
+        v = jnp.concatenate([zero, jnp.cumsum(jnp.square(sig_t) * dt_f)])
+        D = jnp.concatenate([zero, jnp.cumsum(
+            (r_t - q_t - 0.5 * jnp.square(sig_t)) * dt_f)])
+        v_next = v[1:]                      # v_{t+1}, t = 0..n_steps−1
+        safe = jnp.maximum(v_next, 1e-30)   # σ≡0 prefix: A = B = 0
+        A = jnp.concatenate([v[:n_steps] / safe, zero])
+        B = jnp.concatenate(
+            [jnp.sqrt(v[:n_steps] * (v_next - v[:n_steps]) / safe),
+             jnp.sqrt(v[n_steps:])])        # B[n_steps] = √v_T
+        stats_parts += [D, A, B]
     if exercise_steps is not None:
         from ..payoff import exercise_allow_row
 
@@ -480,7 +566,8 @@ def lsmc_price_fusedpath(
         degree, american, itm_weights, antithetic, interpret,
         schedule=exercise_steps is not None,
         ring_axis=axis_name, ring_size=axis_size,
-        emit_cf_tau=return_cf_tau, emit_coeffs=return_coeffs, replay=replay)
+        emit_cf_tau=return_cf_tau, emit_coeffs=return_coeffs, replay=replay,
+        curves=curves)
     n_glob = n_paths * (axis_size if axis_name is not None else 1)
     if axis_name is not None:
         sums = jax.lax.psum(sums, axis_name)
