@@ -11,6 +11,7 @@ structured JSON output (SURVEY §5 observability):
     amcx greeks  ...                      # pathwise delta/vega/rho/theta
     amcx sweep   --study paths|steps|degree|heatmap ...
     amcx maxcall --assets 5 ...
+    amcx term    --r-curve 0.5:0.03,1.0:0.08 ...   # term-structure pricing
     amcx preset  <name>                   # BASELINE.json configs + reference demo
     amcx bench                            # the north-star throughput line
 
@@ -484,6 +485,104 @@ def cmd_preset(args):
     return payload
 
 
+def _parse_curve(spec: str, n_steps: int, T: float, name: str) -> np.ndarray:
+    """Parse ``"t1:v1,t2:v2,..."`` into an (n_steps,) piecewise-constant
+    vector on the simulation grid: value ``v_i`` applies on ``[t_{i−1},
+    t_i)`` (times in years, ascending, last ``t`` ≥ T). A bare number is a
+    flat curve."""
+    try:
+        if ":" not in spec:
+            return np.full(n_steps, float(spec))
+        knots = []
+        for part in spec.split(","):
+            t_s, v_s = part.split(":")
+            knots.append((float(t_s), float(v_s)))
+    except ValueError:
+        raise SystemExit(
+            f"--{name}: expected 't1:v1,t2:v2,...' or a single number, "
+            f"got {spec!r}")
+    if any(b[0] <= a[0] for a, b in zip(knots, knots[1:])):
+        raise SystemExit(f"--{name}: knot times must be ascending")
+    if knots[-1][0] < T - 1e-12:
+        raise SystemExit(f"--{name}: last knot time {knots[-1][0]} must "
+                         f"cover maturity T={T}")
+    dt = T / n_steps
+    # step s covers [s·dt, (s+1)·dt): take the value at the interval start
+    out = np.empty(n_steps)
+    ki = 0
+    for s in range(n_steps):
+        while s * dt >= knots[ki][0] - 1e-12 and ki + 1 < len(knots):
+            ki += 1
+        out[s] = knots[ki][1]
+    return out
+
+
+def cmd_term(args):
+    """Price under deterministic r(t)/σ(t)/q(t) term structures
+    (`amcx.term`) and compare with the right oracle for the config: the
+    exact effective-parameter closed form for Europeans, the per-step-rate
+    f64 lattice for Americans with flat σ."""
+    from .term import (TermCurves, crr_price_curves, european_price_curves,
+                       price_option_curves)
+    from .types import ProductSpec, RegressionSpec, SimConfig
+
+    r_t = _parse_curve(args.r_curve, args.steps, args.t, "r-curve")
+    sig_t = _parse_curve(args.sigma_curve, args.steps, args.t, "sigma-curve")
+    q_t = _parse_curve(args.q_curve, args.steps, args.t, "q-curve")
+    curves = TermCurves(args.s0, jnp.asarray(r_t, jnp.float32),
+                        jnp.asarray(sig_t, jnp.float32),
+                        jnp.asarray(q_t, jnp.float32))
+    product = ProductSpec(K=args.k, T=args.t, option_type=args.option_type,
+                          exercise=args.exercise)
+    spec = RegressionSpec(basis=args.basis, degree=args.degree,
+                          regress_on=args.regress_on)
+    sim = SimConfig(n_paths=args.paths, n_steps=args.steps,
+                    antithetic=args.antithetic)
+    res = price_option_curves(jax.random.key(args.seed), curves, product,
+                              spec, sim, engine=args.engine)
+    payload = {
+        "price": round(float(res.price), 4),
+        "stderr": round(float(res.stderr), 4),
+        "engine": args.engine,
+        "r_eff": round(float(np.mean(r_t)), 6),
+        "sigma_eff": round(float(np.sqrt(np.mean(sig_t**2))), 6),
+    }
+    if product.exercise == "european":
+        payload["oracle"] = round(float(european_price_curves(
+            curves, args.k, args.t, args.option_type)), 4)
+        payload["oracle_kind"] = "effective-parameter closed form (exact)"
+    elif np.ptp(sig_t) < 1e-12:
+        payload["oracle"] = round(crr_price_curves(
+            args.s0, args.k, args.t, r_t, float(sig_t[0]), q_t,
+            n_sub=max(1, 2000 // args.steps), option_type=args.option_type,
+            american=True), 4)
+        payload["oracle_kind"] = "per-step-rate f64 lattice"
+    if "oracle" in payload:
+        payload["abs_err"] = round(abs(payload["price"] - payload["oracle"]), 4)
+    if args.bucketed_rho:
+        from .term import TermCurves as TC
+
+        def price_of_r(rv):
+            c = TC(args.s0, rv, curves.sigma_t, curves.q_t)
+            return price_option_curves(jax.random.key(args.seed), c, product,
+                                       spec, sim, engine="xla").price
+
+        buckets = jax.grad(price_of_r)(curves.r_t)
+        payload["bucketed_rho"] = [round(float(b), 5) for b in buckets]
+    if not args.json:
+        desc = f"{product.exercise.title()} {product.option_type.title()}"
+        print(f"{desc} under term structures ({args.engine}): "
+              f"{payload['price']:.4f} ± {payload['stderr']:.4f}")
+        if "oracle" in payload:
+            print(f"Oracle ({payload['oracle_kind']}): "
+                  f"{payload['oracle']:.4f}  |err| {payload['abs_err']:.4f}")
+        if args.bucketed_rho:
+            print(f"bucketed rho (per step, sums to "
+                  f"{sum(payload['bucketed_rho']):.4f}): "
+                  f"{payload['bucketed_rho']}")
+    return _emit(payload, args.json)
+
+
 def cmd_bench(args):
     import bench as bench_mod  # repo-root harness
 
@@ -610,6 +709,36 @@ def build_parser():
     ph.add_argument("--seed", type=int, default=42)
     ph.add_argument("--json", action="store_true")
     ph.set_defaults(fn=cmd_heston)
+
+    pt = sub.add_parser(
+        "term", help="price under r(t)/sigma(t)/q(t) term-structure curves")
+    pt.add_argument("--s0", type=float, default=100.0)
+    pt.add_argument("--k", type=float, default=100.0)
+    pt.add_argument("--t", type=float, default=1.0)
+    pt.add_argument("--r-curve", default="0.05",
+                    help="'t1:v1,t2:v2,...' piecewise-constant short rate "
+                         "(value v_i applies until time t_i), or one number")
+    pt.add_argument("--sigma-curve", default="0.2",
+                    help="term volatility, same format")
+    pt.add_argument("--q-curve", default="0.0",
+                    help="dividend-yield curve, same format")
+    pt.add_argument("--option-type", choices=["put", "call"], default="put")
+    pt.add_argument("--exercise", choices=["european", "american"],
+                    default="american")
+    pt.add_argument("--basis", default="chebyshev")
+    pt.add_argument("--degree", type=int, default=4)
+    pt.add_argument("--regress-on", choices=["all", "itm"], default="itm")
+    pt.add_argument("--paths", type=int, default=100_000)
+    pt.add_argument("--steps", type=int, default=100)
+    pt.add_argument("--antithetic", action="store_true")
+    pt.add_argument("--engine", choices=["xla", "mega", "fusedpath"],
+                    default="mega")
+    pt.add_argument("--bucketed-rho", action="store_true",
+                    help="also print dPrice/dr_t per step (one jax.grad "
+                         "through the curve XLA engine)")
+    pt.add_argument("--seed", type=int, default=42)
+    pt.add_argument("--json", action="store_true")
+    pt.set_defaults(fn=cmd_term)
 
     pr = sub.add_parser("preset", help="run a named BASELINE config")
     pr.add_argument("name")

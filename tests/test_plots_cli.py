@@ -168,3 +168,32 @@ def test_cli_out_of_sample_price(capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "fit_price" in out and "foresight_gap" in out
     assert abs(out["price"] - out["oracle"]) < 0.5
+
+
+def test_cli_term_curves(capsys):
+    """`amcx term`: piecewise-curve parsing, lattice-oracle comparison, and
+    bucketed rho through the curve XLA engine."""
+    import json as _json
+
+    from amcx.cli import main
+
+    main(["term", "--r-curve", "0.5:0.03,1.0:0.08", "--sigma-curve", "0.25",
+          "--paths", "8192", "--steps", "10", "--engine", "xla",
+          "--bucketed-rho", "--json"])
+    payload = _json.loads(capsys.readouterr().out)
+    assert payload["oracle_kind"] == "per-step-rate f64 lattice"
+    assert payload["abs_err"] < 0.5
+    assert len(payload["bucketed_rho"]) == 10
+    # two-regime rate parsed onto the grid: r_eff is the midpoint mean
+    assert abs(payload["r_eff"] - 0.055) < 1e-9
+
+
+def test_cli_term_curve_parse_errors():
+    from amcx.cli import main
+
+    with pytest.raises(SystemExit, match="ascending"):
+        main(["term", "--r-curve", "0.8:0.03,0.5:0.08", "--paths", "1024",
+              "--steps", "4"])
+    with pytest.raises(SystemExit, match="cover maturity"):
+        main(["term", "--r-curve", "0.5:0.03", "--paths", "1024",
+              "--steps", "4"])
