@@ -24,10 +24,14 @@ jax.config.update("jax_platforms", "cpu")
 # to run (keyed by HLO hash, so code changes invalidate exactly the affected
 # programs). Cuts repeat runs from ~15 min to a few minutes on this 1-core
 # host (suite-budget task, VERDICT r2 weak #3).
-jax.config.update("jax_compilation_cache_dir", os.path.join(
+# AMCX_JAX_CACHE=off disables it (bisection/debug); a path overrides the
+# default repo-root .jax_cache.
+_cache = os.environ.get("AMCX_JAX_CACHE", os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+if _cache != "off":
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 @pytest.fixture(scope="session")
@@ -36,3 +40,33 @@ def eight_devices():
     if len(devs) < 8:
         pytest.skip("needs 8 virtual devices (XLA_FLAGS=--xla_force_host_platform_device_count=8)")
     return devs[:8]
+
+
+def _n_maps() -> int:
+    try:
+        with open("/proc/self/maps", "rb") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return -1
+
+
+# Every loaded CPU executable holds LLVM-JIT code granules as three anonymous
+# mappings (RO/RX/RW); the full suite accumulates ~200 mappings/test and SEGVs
+# at vm.max_map_count (65530 default) around test ~310 — XLA crashes (not
+# errors) when mmap fails during executable load. jax.clear_caches() releases
+# the granules (verified: 2327 → 640 maps), so bound the count well below the
+# ceiling. The persistent compilation cache keeps the post-clear recompiles
+# cheap (disk read + load, no LLVM).
+_MAPS_CLEAR_THRESHOLD = 40_000
+
+
+@pytest.fixture(autouse=True)
+def _bound_map_count(request):
+    yield
+    n = _n_maps()
+    if n > _MAPS_CLEAR_THRESHOLD:
+        jax.clear_caches()
+    log = os.environ.get("AMCX_MAPS_LOG")
+    if log:
+        with open(log, "a") as f:
+            f.write(f"{n}\t{request.node.nodeid}\n")
