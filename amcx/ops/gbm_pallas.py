@@ -112,7 +112,13 @@ def _box_muller(shape):
     return z[:rows]
 
 
-def _gbm_kernel(seed_ref, params_ref, out_ref, *, n_steps, antithetic):
+def _gbm_kernel(seed_ref, params_ref, *refs, n_steps, antithetic,
+                curves=False):
+    # refs = ([drift plane, vol plane] if curves) + [out]
+    if curves:
+        drift_ref, vol_ref, out_ref = refs
+    else:
+        (out_ref,) = refs
     pid = pl.program_id(0)
     n_blocks = pl.num_programs(0)
     S0 = params_ref[0]
@@ -134,7 +140,19 @@ def _gbm_kernel(seed_ref, params_ref, out_ref, *, n_steps, antithetic):
     if antithetic:
         sign = jnp.where(mirror, -1.0, 1.0)
         z = z * sign
-    log_inc = drift_dt + vol_sdt * z
+    if curves:
+        # deterministic term structures: per-step (r_t − q_t − σ_t²/2)·dt
+        # and σ_t·√dt arrive as (n_steps, lanes) planes (host-replicated
+        # across lanes); the blocked layout broadcasts them over the unit
+        # sublane axis. Everything downstream (prefix sum, exp) unchanged.
+        d_t = drift_ref[...]
+        w_t = vol_ref[...]
+        if len(out_ref.shape) == 3:
+            d_t = d_t[:, None, :]
+            w_t = w_t[:, None, :]
+        log_inc = d_t + w_t * z
+    else:
+        log_inc = drift_dt + vol_sdt * z
     # Running log-sum over time. jnp.cumsum has no Mosaic lowering, and a
     # row-by-row unrolled loop runs 1/8-utilized (1, lanes) VPU ops — so do
     # a Hillis-Steele prefix sum: ceil(log2(n_steps)) full-shape shifted
@@ -160,6 +178,11 @@ def gbm_paths_pallas(seed, S0, r, sigma, q, T, n_steps, n_paths, antithetic=Fals
     ``seed`` is an int32 scalar; every path block derives its stream from
     ``(seed, block_index)`` so results are independent of sharding layout.
 
+    ``r``/``sigma``/``q`` may each be an ``(n_steps,)`` piecewise-constant
+    curve (`amcx.term` grid): the per-step drift/vol rows ride as two small
+    lane-replicated VMEM planes and scale the increments before the prefix
+    sum — exact log-normal curve paths at flagship pathgen speed.
+
     ``out_blocked=True`` emits ``(n_steps+1, n_paths // 512, 512)`` — the
     lane-blocked layout the LSMC kernels consume. This is not cosmetic: on
     TPU the 2-D→blocked reshape splits the (tiled) lane dimension, which XLA
@@ -179,16 +202,43 @@ def gbm_paths_pallas(seed, S0, r, sigma, q, T, n_steps, n_paths, antithetic=Fals
     if antithetic and n_blocks % 2:
         raise ValueError("antithetic pallas paths need an even number of path blocks")
     dt = T / n_steps
+    # deterministic term structures: r/sigma/q may each be an (n_steps,)
+    # curve (amcx.term grid); per-step drift/vol rows ride as VMEM planes
+    r_a = jnp.asarray(r, jnp.float32)
+    sig_a = jnp.asarray(sigma, jnp.float32)
+    q_a = jnp.asarray(q, jnp.float32)
+    curves = any(x.ndim > 0 for x in (r_a, sig_a, q_a))
+    if curves:
+        for name, x in (("r", r_a), ("sigma", sig_a), ("q", q_a)):
+            if x.ndim > 1 or (x.ndim == 1 and x.shape != (n_steps,)):
+                raise ValueError(
+                    f"{name} must be a scalar or an (n_steps,) vector; got "
+                    f"shape {x.shape} for n_steps={n_steps}")
+        dt_f = jnp.asarray(dt, jnp.float32)
+        r_t = jnp.broadcast_to(r_a, (n_steps,))
+        sig_t = jnp.broadcast_to(sig_a, (n_steps,))
+        q_t = jnp.broadcast_to(q_a, (n_steps,))
+        drift_plane = jnp.broadcast_to(
+            ((r_t - q_t - 0.5 * jnp.square(sig_t)) * dt_f)[:, None],
+            (n_steps, BLOCK_PATHS))
+        vol_plane = jnp.broadcast_to(
+            (sig_t * jnp.sqrt(dt_f))[:, None], (n_steps, BLOCK_PATHS))
+        drift_eff = jnp.float32(0.0)
+        sig_eff = jnp.float32(0.0)
+    else:
+        drift_eff = jnp.asarray((r - q - 0.5 * sigma**2) * dt, jnp.float32)
+        sig_eff = sig_a * jnp.sqrt(jnp.asarray(dt, jnp.float32))
     params = jnp.stack(
         [
             jnp.asarray(S0, jnp.float32),
-            jnp.asarray((r - q - 0.5 * sigma**2) * dt, jnp.float32),
-            jnp.asarray(sigma, jnp.float32) * jnp.sqrt(jnp.asarray(dt, jnp.float32)),
+            drift_eff,
+            sig_eff,
         ]
     )
     seed_arr = jnp.asarray(seed, jnp.int32).reshape((1,))
 
-    kernel = functools.partial(_gbm_kernel, n_steps=n_steps, antithetic=antithetic)
+    kernel = functools.partial(_gbm_kernel, n_steps=n_steps,
+                               antithetic=antithetic, curves=curves)
     compiler_params = None
     if out_blocked:
         # (101, 8, 512) blocks: 8-sublane rows keep the step-plane blocks of
@@ -208,18 +258,25 @@ def gbm_paths_pallas(seed, S0, r, sigma, q, T, n_steps, n_paths, antithetic=Fals
             (n_steps + 1, BLOCK_PATHS), lambda i: (0, i),
             memory_space=pltpu.VMEM,
         )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    operands = [seed_arr, params]
+    if curves:
+        plane_spec = pl.BlockSpec((n_steps, BLOCK_PATHS), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+        in_specs += [plane_spec, plane_spec]
+        operands += [drift_plane, vol_plane]
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_spec,
         compiler_params=compiler_params,
         interpret=interpret,
-    )(seed_arr, params)
+    )(*operands)
 
 
 def _key_to_seed(key: jax.Array) -> jnp.ndarray:

@@ -279,6 +279,10 @@ def price_option_curves(
         exercise_steps = tuple(int(i) for i in exercise_steps)
     n_steps = sim.n_steps
     dt = product.T / n_steps
+    if curves.n_steps != n_steps:
+        raise ValueError(
+            f"curves are on a {curves.n_steps}-step grid; sim.n_steps="
+            f"{n_steps}")
     if engine == "fusedpath":
         if product.has_barrier:
             raise ValueError(
@@ -302,8 +306,19 @@ def price_option_curves(
                               coeffs=out.coeffs)
         price, stderr = out
         return LSMCResult(price, stderr, None, None, None)
-    paths = simulate_gbm_curves(key, curves, product.T, sim)
     phi = 1.0 if product.option_type == "call" else -1.0
+    if engine == "mega" and sim.backend == "pallas":
+        # fully-Pallas curve pipeline: blocked in-kernel curve pathgen
+        # feeding the mega kernel with no relayout (same contract as the
+        # flat flagship pipeline)
+        from .ops.gbm_pallas import _key_to_seed, gbm_paths_pallas
+
+        paths = gbm_paths_pallas(
+            _key_to_seed(key), curves.S0, curves.r_t, curves.sigma_t,
+            curves.q_t, product.T, n_steps, sim.n_paths,
+            antithetic=sim.antithetic, out_blocked=True)
+    else:
+        paths = simulate_gbm_curves(key, curves, product.T, sim)
     if engine == "mega":
         from .ops.lsmc_megakernel import lsmc_price_megakernel
 

@@ -136,3 +136,36 @@ def test_megakernel_blocked_input_matches_2d():
     pa = lsmc_price_megakernel(blocked, 100.0, m.r, 1.0 / 6, -1.0, degree=3,
                                mean_t=mean_t, inv_std_t=inv_std_t)
     np.testing.assert_allclose(float(pa), float(p2), atol=2.5e-3)
+
+
+def test_curve_pathgen_interpret_zero_noise():
+    """Term-structure pathgen (per-step drift/vol planes): with the
+    interpreter's zero PRNG bits every path is exactly S0·e^{D_t}, the
+    cumulative curve drift — validates the plane plumbing and the
+    blocked-layout broadcast; flat vectors reproduce the scalar path."""
+    from amcx.ops.gbm_pallas import gbm_paths_pallas
+
+    I = pltpu.InterpretParams()
+    n_steps = 10
+    r_t = jnp.linspace(0.02, 0.08, n_steps)
+    sig_t = jnp.linspace(0.15, 0.35, n_steps)
+    p = gbm_paths_pallas(3, 100.0, r_t, sig_t, 0.0, 1.0, n_steps, 4096,
+                         interpret=I)
+    dt = 1.0 / n_steps
+    D = np.concatenate([[0.0], np.cumsum(
+        (np.asarray(r_t) - 0.5 * np.asarray(sig_t) ** 2) * dt)])
+    np.testing.assert_allclose(np.asarray(p[:, 0]), 100.0 * np.exp(D),
+                               rtol=2e-6)
+    pb = gbm_paths_pallas(3, 100.0, r_t, sig_t, 0.0, 1.0, n_steps, 8 * 4096,
+                         interpret=I, out_blocked=True)
+    np.testing.assert_allclose(np.asarray(pb[:, 0, 0]), 100.0 * np.exp(D),
+                               rtol=2e-6)
+    pf = gbm_paths_pallas(3, 100.0, 0.05, 0.2, 0.0, 1.0, n_steps, 4096,
+                          interpret=I)
+    pv = gbm_paths_pallas(3, 100.0, jnp.full(n_steps, 0.05),
+                          jnp.full(n_steps, 0.2), 0.0, 1.0, n_steps, 4096,
+                          interpret=I)
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(pf), rtol=2e-7)
+    with pytest.raises(ValueError, match="scalar or an"):
+        gbm_paths_pallas(3, 100.0, r_t[:5], 0.2, 0.0, 1.0, n_steps, 4096,
+                         interpret=I)
