@@ -32,6 +32,7 @@ from .policy import (reprice_with_coeffs, price_out_of_sample, OOSResult,
                      valuation_interval, ValuationInterval)
 from .term import (TermCurves, price_option_curves, simulate_gbm_curves,
                    european_price_curves, crr_price_curves)
+from .swing import price_swing_option, crr_swing_price
 from .dual import dual_upper_bound, dual_upper_bound_max_call, DualResult
 from .exposures import (compute_ccr_exposures, CCRExposures,
                         exposures_from_coeffs, cva_from_epe)
@@ -89,6 +90,8 @@ __all__ = [
     "simulate_gbm_curves",
     "european_price_curves",
     "crr_price_curves",
+    "price_swing_option",
+    "crr_swing_price",
     "dual_upper_bound",
     "dual_upper_bound_max_call",
     "DualResult",

@@ -583,6 +583,40 @@ def cmd_term(args):
     return _emit(payload, args.json)
 
 
+def cmd_swing(args):
+    """Swing option (multiple exercise rights) vs its exact lattice
+    oracle on the same date grid."""
+    from .swing import crr_swing_price, price_swing_option
+    from .types import MarketParams, ProductSpec, RegressionSpec, SimConfig
+
+    market = MarketParams(args.s0, args.r, args.sigma, args.q)
+    product = ProductSpec(K=args.k, T=args.t, option_type=args.option_type,
+                          exercise="american")
+    spec = RegressionSpec(degree=args.degree, regress_on=args.regress_on)
+    sim = SimConfig(n_paths=args.paths, n_steps=args.steps,
+                    antithetic=args.antithetic)
+    res = price_swing_option(jax.random.key(args.seed), market, product,
+                             args.rights, spec, sim)
+    oracle = crr_swing_price(args.s0, args.k, args.t, args.r, args.sigma,
+                             args.rights, q=args.q, n_steps=args.steps,
+                             n_sub=max(1, 2000 // args.steps),
+                             option_type=args.option_type)
+    payload = {
+        "price": round(float(res.price), 4),
+        "stderr": round(float(res.stderr), 4),
+        "oracle": round(oracle, 4),
+        "abs_err": round(abs(float(res.price) - oracle), 4),
+        "rights": args.rights,
+    }
+    if not args.json:
+        print(f"Swing {args.option_type} ({args.rights} rights, "
+              f"{args.steps + 1} dates): {payload['price']:.4f} "
+              f"± {payload['stderr']:.4f}")
+        print(f"Lattice oracle (same date grid): {payload['oracle']:.4f}  "
+              f"|err| {payload['abs_err']:.4f}")
+    return _emit(payload, args.json)
+
+
 def cmd_bench(args):
     import bench as bench_mod  # repo-root harness
 
@@ -739,6 +773,25 @@ def build_parser():
     pt.add_argument("--seed", type=int, default=42)
     pt.add_argument("--json", action="store_true")
     pt.set_defaults(fn=cmd_term)
+
+    pw = sub.add_parser(
+        "swing", help="swing option: multiple exercise rights (<=1/date)")
+    pw.add_argument("--rights", type=int, default=3)
+    pw.add_argument("--s0", type=float, default=100.0)
+    pw.add_argument("--k", type=float, default=100.0)
+    pw.add_argument("--t", type=float, default=1.0)
+    pw.add_argument("--r", type=float, default=0.05)
+    pw.add_argument("--q", type=float, default=0.0)
+    pw.add_argument("--sigma", type=float, default=0.2)
+    pw.add_argument("--option-type", choices=["put", "call"], default="put")
+    pw.add_argument("--degree", type=int, default=4)
+    pw.add_argument("--regress-on", choices=["all", "itm"], default="itm")
+    pw.add_argument("--paths", type=int, default=100_000)
+    pw.add_argument("--steps", type=int, default=50)
+    pw.add_argument("--antithetic", action="store_true")
+    pw.add_argument("--seed", type=int, default=42)
+    pw.add_argument("--json", action="store_true")
+    pw.set_defaults(fn=cmd_swing)
 
     pr = sub.add_parser("preset", help="run a named BASELINE config")
     pr.add_argument("name")

@@ -1,0 +1,184 @@
+"""Swing options: LSMC with multiple exercise rights.
+
+A swing (multi-exercise) option grants ``n_rights`` exercises of the same
+vanilla payoff, at most one per exercise date. The reference engine prices
+single-exercise American/European products only
+(`/root/reference/american_monte_carlo.py:139-167`); the multiple-stopping
+extension is the standard desk generalization (energy/commodity swing
+contracts, Meinshausen-Hambly / Carmona-Touzi multiple-stopping LSMC).
+
+Dynamic program over the rights dimension: with ``V^k`` the value holding
+``k`` rights,
+
+    exercise at t:  payoff_t + C^{k-1}_t  >  C^k_t,
+    C^k_t = E[V^k_{t+1} | S_t]   (regressed, one fit per k ≥ 1, C^0 ≡ 0)
+
+— at k = 1 this collapses to the American exercise rule, so the whole
+engine is the `amcx.engine` backward induction with a (n_rights+1)-row
+value carry and n_rights regressions per step.
+
+TPU design notes: the rights axis is tiny and static, so the per-``k``
+regressions unroll inside one `lax.scan` step — XLA fuses the shared basis
+construction across them (the Gram moments differ only in the y-vector, so
+pass-1 work is shared by construction in `amcx.regress`'s fused-reduction
+path). Values ride in TIME-T UNITS (one scalar multiply per step, the same
+carry discipline as every amcx kernel — see
+`amcx.ops.lsmc_megakernel._mega_kernel`); an exercised right re-anchors its
+payoff with ``e^{+r·dt·(n_steps−t)}`` and the remaining-rights value rolls
+down from the ``k−1`` carry.
+
+Validation: an exact float64 lattice oracle with a rights dimension
+(`crr_swing_price`) whose exercise opportunities sit EXACTLY on the LSMC
+date grid (``n_sub`` tree steps per LSMC step, rights usable at multiples
+of ``n_sub``) — a sharp oracle with no exercise-grid mismatch, same
+methodology as `amcx.term.crr_price_curves`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .engine import LSMCResult
+from .types import MarketParams, ProductSpec, RegressionSpec, SimConfig
+
+__all__ = ["price_swing_option", "crr_swing_price"]
+
+
+def crr_swing_price(S0, K, T, r, sigma, n_rights: int, q=0.0,
+                    n_steps: int = 100, n_sub: int = 20,
+                    option_type: str = "put") -> float:
+    """float64 binomial oracle for a swing option with ``n_rights`` rights.
+
+    The tree has ``n_steps·n_sub`` CRR steps; exercise (one right) is
+    allowed only at multiples of ``n_sub`` — i.e. exactly the ``n_steps+1``
+    LSMC grid dates (t = 0 included, as in the amcx engines) — so LSMC
+    prices converge to this value with NO exercise-grid bias. ``V^k``
+    arrays (k = 0..n_rights) are rolled back jointly; at an exercise date
+    ``V^k = max(V^k, payoff + V^{k-1})``.
+    """
+    if n_rights < 1:
+        raise ValueError("n_rights must be >= 1")
+    N = n_steps * n_sub
+    ddt = float(T) / N
+    u = np.exp(float(sigma) * np.sqrt(ddt))
+    d = 1.0 / u
+    p = (np.exp((float(r) - float(q)) * ddt) - d) / (u - d)
+    if not (0.0 < p < 1.0):
+        raise ValueError(f"lattice probability out of (0,1): p={p}")
+    df = np.exp(-float(r) * ddt)
+    phi = 1.0 if option_type == "call" else -1.0
+
+    def spots(step):
+        j = np.arange(step + 1, dtype=np.float64)
+        return float(S0) * np.exp((2.0 * j - step) * float(sigma)
+                                  * np.sqrt(ddt))
+
+    pay_T = np.maximum(phi * (spots(N) - float(K)), 0.0)
+    # maturity is an exercise date: one right is usable, the rest expire
+    V = [np.zeros(N + 1)] + [pay_T.copy() for _ in range(n_rights)]
+    for step in range(N - 1, -1, -1):
+        V = [df * (p * Vk[1: step + 2] + (1.0 - p) * Vk[: step + 1])
+             for Vk in V]
+        if step % n_sub == 0:
+            ex = np.maximum(phi * (spots(step) - float(K)), 0.0)
+            # one right per date: after exercising, the remaining k−1
+            # rights are worth their CONTINUATION value at this date (no
+            # second exercise now) — update descending so V[k-1] is still
+            # pre-update when V[k] reads it.
+            for k in range(n_rights, 0, -1):
+                V[k] = np.maximum(V[k], ex + V[k - 1])
+    return float(V[n_rights][0])
+
+
+@partial(jax.jit, static_argnames=("spec", "n_rights", "itm", "antithetic"))
+def _swing_engine_impl(paths_tm, rdt, K, phi, spec, n_rights, itm,
+                       antithetic):
+    """Backward induction with an (n_rights+1)-deep value carry.
+
+    ``Y[k]`` is the pathwise REALIZED value of following the estimated
+    policy with k rights, in time-T units (lower-bound estimator, exactly
+    as the single-exercise engine's cashflow carry). Decisions use the
+    regressed continuations; all k update simultaneously from the t+1
+    carries (exercising one right hands the path to the k−1 policy).
+    """
+    from .regress import fit_continuation_with_coeffs
+
+    n_steps = paths_tm.shape[0] - 1
+    n_paths = paths_tm.shape[1]
+    dtype = paths_tm.dtype
+    payoff = lambda S: jnp.maximum(phi * (S - K), 0.0)
+
+    pay_T = payoff(paths_tm[n_steps])
+    Y0 = jnp.concatenate(
+        [jnp.zeros((1, n_paths), dtype),
+         jnp.broadcast_to(pay_T, (n_rights, n_paths))], axis=0)
+
+    def step(Y, xs):
+        S_t, t = xs
+        rem = (n_steps - t).astype(dtype)
+        c_t = jnp.exp(-rdt * rem)
+        inv_c_t = jnp.exp(rdt * rem)
+        ex = payoff(S_t)
+        weights = (ex > 0).astype(dtype) if itm else None
+        conts = [jnp.zeros((n_paths,), dtype)]  # C^0 ≡ 0
+        for k in range(1, n_rights + 1):
+            cont, _ = fit_continuation_with_coeffs(
+                S_t, c_t * Y[k], spec, weights)
+            conts.append(cont)
+        newY = [Y[0]]
+        for k in range(1, n_rights + 1):
+            hit = (ex > 0) & (ex + conts[k - 1] > conts[k])
+            newY.append(jnp.where(hit, ex * inv_c_t + Y[k - 1], Y[k]))
+        return jnp.stack(newY), None
+
+    ts = jnp.arange(n_steps, dtype=dtype)
+    Y, _ = lax.scan(step, Y0, (paths_tm[:n_steps], ts), reverse=True)
+    discounted = jnp.exp(-rdt * n_steps) * Y[n_rights]
+    if antithetic:
+        # honest stderr: row j pairs with row j + n_paths/2 in every
+        # generator layout — fold pairs before the moment reductions
+        half = n_paths // 2
+        stat = 0.5 * (discounted[:half] + discounted[half:])
+    else:
+        stat = discounted
+    price = jnp.mean(stat)
+    stderr = jnp.std(stat) / jnp.sqrt(stat.shape[0])
+    return price, stderr
+
+
+def price_swing_option(
+    key: jax.Array,
+    market: MarketParams,
+    product: ProductSpec,
+    n_rights: int,
+    spec: RegressionSpec = RegressionSpec(),
+    sim: SimConfig = SimConfig(),
+) -> LSMCResult:
+    """Price a swing option with ``n_rights`` exercise rights (≤ 1 per
+    date) on the ``product`` vanilla payoff. ``n_rights=1`` reproduces the
+    single-exercise American engine's estimator (same exercise rule, same
+    regression frame). Barriers/antithetic-folding are not supported here
+    (vanilla multiple-stopping only)."""
+    if n_rights < 1:
+        raise ValueError("n_rights must be >= 1")
+    if product.has_barrier:
+        raise ValueError("swing pricing is vanilla-only")
+    if not product.is_american:
+        raise ValueError("a European swing is n_rights * european price; "
+                         "use exercise='american'")
+    from .paths import simulate_gbm
+
+    paths = simulate_gbm(key, market, product.T, sim)
+    phi = 1.0 if product.option_type == "call" else -1.0
+    dtype = sim.jnp_dtype
+    price, stderr = _swing_engine_impl(
+        paths, jnp.asarray(market.r * product.T / sim.n_steps, dtype),
+        jnp.asarray(product.K, dtype), phi, spec, int(n_rights),
+        spec.regress_on == "itm", sim.antithetic)
+    return LSMCResult(price, stderr, None, None, None)

@@ -197,3 +197,15 @@ def test_cli_term_curve_parse_errors():
     with pytest.raises(SystemExit, match="cover maturity"):
         main(["term", "--r-curve", "0.5:0.03", "--paths", "1024",
               "--steps", "4"])
+
+
+def test_cli_swing(capsys):
+    import json as _json
+
+    from amcx.cli import main
+
+    main(["swing", "--rights", "2", "--k", "105", "--sigma", "0.25",
+          "--paths", "16384", "--steps", "10", "--json"])
+    payload = _json.loads(capsys.readouterr().out)
+    assert payload["rights"] == 2
+    assert payload["abs_err"] < 0.5

