@@ -33,6 +33,8 @@ from .policy import (reprice_with_coeffs, price_out_of_sample, OOSResult,
 from .term import (TermCurves, price_option_curves, simulate_gbm_curves,
                    european_price_curves, crr_price_curves)
 from .swing import price_swing_option, crr_swing_price
+from .hybrid import (HullWhiteParams, price_option_hw, european_price_hw,
+                     simulate_hybrid_hw)
 from .dual import dual_upper_bound, dual_upper_bound_max_call, DualResult
 from .exposures import (compute_ccr_exposures, CCRExposures,
                         exposures_from_coeffs, cva_from_epe)
@@ -92,6 +94,10 @@ __all__ = [
     "crr_price_curves",
     "price_swing_option",
     "crr_swing_price",
+    "HullWhiteParams",
+    "price_option_hw",
+    "european_price_hw",
+    "simulate_hybrid_hw",
     "dual_upper_bound",
     "dual_upper_bound_max_call",
     "DualResult",

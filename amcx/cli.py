@@ -617,6 +617,46 @@ def cmd_swing(args):
     return _emit(payload, args.json)
 
 
+def cmd_hw(args):
+    """Vanilla option under the Hull-White + GBM hybrid (stochastic short
+    rate), vs the exact hybrid closed form for Europeans."""
+    from .hybrid import HullWhiteParams, european_price_hw, price_option_hw
+    from .types import ProductSpec, RegressionSpec, SimConfig
+
+    hw = HullWhiteParams(args.s0, args.r0, args.sigma, kappa=args.kappa,
+                         sigma_r=args.sigma_r, rho=args.rho, q=args.q)
+    product = ProductSpec(K=args.k, T=args.t, option_type=args.option_type,
+                          exercise=args.exercise)
+    spec = RegressionSpec(degree=args.degree, regress_on=args.regress_on)
+    sim = SimConfig(n_paths=args.paths, n_steps=args.steps,
+                    antithetic=args.antithetic)
+    res = price_option_hw(jax.random.key(args.seed), hw, product, spec, sim)
+    payload = {
+        "price": round(float(res.price), 4),
+        "stderr": round(float(res.stderr), 4),
+        "kappa": args.kappa, "sigma_r": args.sigma_r, "rho": args.rho,
+    }
+    if product.exercise == "european":
+        payload["oracle"] = round(float(european_price_hw(
+            hw, args.k, args.t, args.option_type)), 4)
+        payload["oracle_kind"] = "hybrid closed form (exact)"
+        payload["abs_err"] = round(abs(payload["price"] - payload["oracle"]), 4)
+    else:
+        payload["european_cf"] = round(float(european_price_hw(
+            hw, args.k, args.t, args.option_type)), 4)
+    if not args.json:
+        desc = f"{product.exercise.title()} {product.option_type.title()}"
+        print(f"{desc} under Hull-White+GBM (kappa={args.kappa}, "
+              f"sigma_r={args.sigma_r}, rho={args.rho}): "
+              f"{payload['price']:.4f} ± {payload['stderr']:.4f}")
+        if "oracle" in payload:
+            print(f"Hybrid closed form: {payload['oracle']:.4f}  "
+                  f"|err| {payload['abs_err']:.4f}")
+        else:
+            print(f"(European closed form: {payload['european_cf']:.4f})")
+    return _emit(payload, args.json)
+
+
 def cmd_bench(args):
     import bench as bench_mod  # repo-root harness
 
@@ -792,6 +832,33 @@ def build_parser():
     pw.add_argument("--seed", type=int, default=42)
     pw.add_argument("--json", action="store_true")
     pw.set_defaults(fn=cmd_swing)
+
+    pq = sub.add_parser(
+        "hw", help="vanilla option under the Hull-White+GBM hybrid")
+    pq.add_argument("--s0", type=float, default=100.0)
+    pq.add_argument("--k", type=float, default=100.0)
+    pq.add_argument("--t", type=float, default=1.0)
+    pq.add_argument("--r0", type=float, default=0.04,
+                    help="flat initial discount curve level")
+    pq.add_argument("--q", type=float, default=0.0)
+    pq.add_argument("--sigma", type=float, default=0.2, help="equity vol")
+    pq.add_argument("--kappa", type=float, default=0.8,
+                    help="rate mean-reversion speed")
+    pq.add_argument("--sigma-r", type=float, default=0.015,
+                    help="short-rate vol")
+    pq.add_argument("--rho", type=float, default=-0.3,
+                    help="equity-rate correlation")
+    pq.add_argument("--option-type", choices=["put", "call"], default="put")
+    pq.add_argument("--exercise", choices=["european", "american"],
+                    default="american")
+    pq.add_argument("--degree", type=int, default=4)
+    pq.add_argument("--regress-on", choices=["all", "itm"], default="itm")
+    pq.add_argument("--paths", type=int, default=100_000)
+    pq.add_argument("--steps", type=int, default=50)
+    pq.add_argument("--antithetic", action="store_true")
+    pq.add_argument("--seed", type=int, default=42)
+    pq.add_argument("--json", action="store_true")
+    pq.set_defaults(fn=cmd_hw)
 
     pr = sub.add_parser("preset", help="run a named BASELINE config")
     pr.add_argument("name")

@@ -209,3 +209,15 @@ def test_cli_swing(capsys):
     payload = _json.loads(capsys.readouterr().out)
     assert payload["rights"] == 2
     assert payload["abs_err"] < 0.5
+
+
+def test_cli_hw_hybrid(capsys):
+    import json as _json
+
+    from amcx.cli import main
+
+    main(["hw", "--exercise", "european", "--k", "105", "--paths", "16384",
+          "--steps", "10", "--antithetic", "--json"])
+    payload = _json.loads(capsys.readouterr().out)
+    assert payload["oracle_kind"].startswith("hybrid closed form")
+    assert payload["abs_err"] < 4.0 * max(payload["stderr"], 1e-4) + 0.05

@@ -167,3 +167,26 @@ def test_curve_pipeline_pallas_backend_onchip():
     gap = abs(float(res_p.price) - float(res_x.price))
     tol = 4.0 * (float(res_p.stderr) + float(res_x.stderr))
     assert gap < tol, (float(res_p.price), float(res_x.price))
+
+
+def test_hybrid_hw_european_cf_onchip():
+    """Hull-White+GBM hybrid on hardware: the exact simulation must hit
+    the hybrid closed form; the American (S, r)-basis run sits above its
+    European floor."""
+    from amcx import HullWhiteParams, european_price_hw, price_option_hw
+
+    hw = HullWhiteParams(100.0, 0.04, 0.2, kappa=0.8, sigma_r=0.02,
+                         rho=-0.4)
+    sim = SimConfig(n_paths=524_288, n_steps=N_STEPS, antithetic=True)
+    prod_e = ProductSpec(K=105.0, T=1.0, option_type="put",
+                         exercise="european")
+    res = price_option_hw(jax.random.key(1), hw, prod_e,
+                          RegressionSpec(degree=3), sim)
+    cf = european_price_hw(hw, 105.0, 1.0, "put")
+    assert abs(float(res.price) - cf) < 4.0 * float(res.stderr), (
+        float(res.price), cf)
+    prod_a = ProductSpec(K=105.0, T=1.0, option_type="put",
+                         exercise="american")
+    res_a = price_option_hw(jax.random.key(1), hw, prod_a,
+                            RegressionSpec(degree=4, regress_on="itm"), sim)
+    assert float(res_a.price) > float(res.price)
