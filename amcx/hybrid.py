@@ -188,8 +188,10 @@ def european_price_hw(hw: HullWhiteParams, K, T, option_type: str = "put"):
     return call - P0T * (F - float(K))  # put-call parity on the forward
 
 
-@partial(jax.jit, static_argnames=("spec", "american", "itm", "antithetic"))
-def _hw_engine_impl(S, r, df, K, phi, spec, american, itm, antithetic):
+@partial(jax.jit, static_argnames=("spec", "american", "itm", "antithetic",
+                                  "return_surface"))
+def _hw_engine_impl(S, r, df, K, phi, spec, american, itm, antithetic,
+                    return_surface=False):
     """Backward induction with PATHWISE discounting on the (S, r) state.
 
     The carry is the value at the *current* step in current-dollar units;
@@ -215,10 +217,18 @@ def _hw_engine_impl(S, r, df, K, phi, spec, american, itm, antithetic):
             cont, _ = max_call_fit(X, y, spec, weights, mode="total")
             hit = (ex > 0) & (ex > cont)
             y = jnp.where(hit, ex, y)
-        return y, None
+        else:
+            cont = y
+        return y, (cont if return_surface else None)
 
-    V0, _ = lax.scan(step, V_T, (S[:n_steps], r[:n_steps], df),
-                     reverse=True)
+    V0, surf = lax.scan(step, V_T, (S[:n_steps], r[:n_steps], df),
+                        reverse=True)
+    if return_surface:
+        # reference surface contract: continuation per (step, path) with
+        # the maturity row = terminal payoff (engine.py / the reference's
+        # (t, S_t, C_t) dump, american_monte_carlo.py:164-167) — feeds
+        # amcx.exposures.compute_ccr_exposures: CCR under stochastic rates
+        surf = jnp.concatenate([surf, V_T[None]], axis=0)
     if antithetic:
         half = n_paths // 2
         stat = 0.5 * (V0[:half] + V0[half:])
@@ -226,7 +236,7 @@ def _hw_engine_impl(S, r, df, K, phi, spec, american, itm, antithetic):
         stat = V0
     price = jnp.mean(stat)
     stderr = jnp.std(stat) / jnp.sqrt(stat.shape[0])
-    return price, stderr
+    return price, stderr, surf
 
 
 def price_option_hw(
@@ -235,6 +245,7 @@ def price_option_hw(
     product: ProductSpec,
     spec: RegressionSpec = RegressionSpec(),
     sim: SimConfig = SimConfig(),
+    return_surface: bool = False,
 ) -> LSMCResult:
     """American/European vanilla under the Hull-White + GBM hybrid.
 
@@ -243,13 +254,19 @@ def price_option_hw(
     `amcx.dynamics.price_option_heston`); discounting is pathwise. The
     European route needs no regression (pure discounted payoff) and must
     match `european_price_hw` to MC tolerance — the standing validation
-    gate for the exact simulation scheme."""
+    gate for the exact simulation scheme.
+
+    ``return_surface=True`` fills ``LSMCResult.continuation`` with the
+    per-(step, path) continuation surface — `amcx.exposures
+    .compute_ccr_exposures` on it gives EPE/PFE under stochastic rates
+    (wrong-way risk via ρ)."""
     if product.has_barrier:
         raise ValueError("hybrid barrier pricing is not implemented")
     S, r, df = simulate_hybrid_hw(key, hw, product.T, sim)
     phi = 1.0 if product.option_type == "call" else -1.0
     dtype = sim.jnp_dtype
-    price, stderr = _hw_engine_impl(
+    price, stderr, surf = _hw_engine_impl(
         S, r, df, jnp.asarray(product.K, dtype), phi, spec,
-        product.is_american, spec.regress_on == "itm", sim.antithetic)
-    return LSMCResult(price, stderr, None, None, None)
+        product.is_american, spec.regress_on == "itm", sim.antithetic,
+        return_surface)
+    return LSMCResult(price, stderr, None, None, surf)

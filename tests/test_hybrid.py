@@ -95,3 +95,20 @@ def test_validation_errors():
             ProductSpec(K=105.0, T=1.0, barrier=80.0, option_type="put",
                         exercise="american", barrier_type="down-in"),
             RegressionSpec(), SIM)
+
+
+def test_ccr_exposures_under_stochastic_rates():
+    """return_surface feeds compute_ccr_exposures: EPE/PFE under
+    stochastic rates (the reference's surface -> CCR pipeline, now with a
+    rate-coupled exercise boundary)."""
+    from amcx.exposures import compute_ccr_exposures
+
+    res = price_option_hw(jax.random.key(4), HW, PUT_A,
+                          RegressionSpec(degree=3, regress_on="itm"),
+                          SimConfig(n_paths=16_384, n_steps=20),
+                          return_surface=True)
+    assert res.continuation.shape == (21, 16_384)
+    ccr = compute_ccr_exposures(res.continuation)
+    assert ccr.epe.shape == (21,)
+    assert float(ccr.epe[0]) == pytest.approx(float(res.price), rel=0.02)
+    assert np.all(np.asarray(ccr.pfe95) >= np.asarray(ccr.epe) - 1e-5)
