@@ -173,6 +173,62 @@ def main():
     print(f"  EPE(T/2) {float(np.asarray(ccrM.epe)[simM.n_steps // 2]):.4f}  "
           f"CVA(λ=2%, R=40%) {cva:.4f}  boundary S*(T/2) ≈ {b_mid:.2f}")
 
+    # ------------------------------------------------------------------
+    section("Term structures: two-regime short rate at flagship speed")
+    from amcx import TermCurves, crr_price_curves, price_option_curves
+
+    n_tc = 50
+    r_t = jnp.concatenate([jnp.full((n_tc // 2,), 0.03),
+                           jnp.full((n_tc // 2,), 0.08)])
+    curves = TermCurves.make(100.0, r_t, 0.25, 0.0, n_steps=n_tc)
+    sim_tc = SimConfig(n_paths=1 << 20 if on_tpu else 1 << 16, n_steps=n_tc,
+                       backend="pallas" if on_tpu else "xla")
+    res_tc = price_option_curves(
+        key, curves, ProductSpec(K=100.0, T=1.0, option_type="put",
+                                 exercise="american"),
+        RegressionSpec(degree=4, regress_on="itm"), sim_tc, engine="mega")
+    lat = crr_price_curves(100.0, 100.0, 1.0, np.asarray(r_t), 0.25,
+                           n_sub=40)
+    print(f"  American put, r(t) = 3% then 8%: {float(res_tc.price):.4f} "
+          f"± {float(res_tc.stderr):.4f} (per-step-rate f64 lattice "
+          f"{lat:.4f}) — the mega kernel is unchanged: curve discounting "
+          f"rides its per-step stats rows")
+
+    # ------------------------------------------------------------------
+    section("Swing option: 3 exercise rights vs the rights lattice")
+    from amcx import crr_swing_price, price_swing_option
+
+    res_sw = price_swing_option(
+        key, MarketParams(100.0, 0.05, 0.25),
+        ProductSpec(K=105.0, T=1.0, option_type="put", exercise="american"),
+        3, RegressionSpec(degree=4, regress_on="itm"),
+        SimConfig(n_paths=1 << 17, n_steps=20))
+    sw_lat = crr_swing_price(100.0, 105.0, 1.0, 0.05, 0.25, 3, n_steps=20,
+                             n_sub=25)
+    print(f"  3-rights swing put: {float(res_sw.price):.4f} ± "
+          f"{float(res_sw.stderr):.4f} (exact same-date-grid lattice "
+          f"{sw_lat:.4f})")
+
+    # ------------------------------------------------------------------
+    section("Stochastic rates: Hull-White + GBM hybrid (exact scheme)")
+    from amcx import HullWhiteParams, european_price_hw, price_option_hw
+
+    hw = HullWhiteParams(100.0, 0.04, 0.2, kappa=0.8, sigma_r=0.02,
+                         rho=-0.4)
+    sim_hw = SimConfig(n_paths=1 << 17, n_steps=50, antithetic=True)
+    res_eu = price_option_hw(key, hw, ProductSpec(
+        K=105.0, T=1.0, option_type="put", exercise="european"),
+        RegressionSpec(degree=3), sim_hw)
+    res_am = price_option_hw(key, hw, ProductSpec(
+        K=105.0, T=1.0, option_type="put", exercise="american"),
+        RegressionSpec(degree=4, regress_on="itm"), sim_hw)
+    cf = european_price_hw(hw, 105.0, 1.0, "put")
+    print(f"  European: {float(res_eu.price):.4f} ± "
+          f"{float(res_eu.stderr):.4f} vs exact hybrid closed form {cf:.4f}")
+    print(f"  American on the (S, r) cross basis: {float(res_am.price):.4f} "
+          f"± {float(res_am.stderr):.4f} (early-exercise premium "
+          f"{float(res_am.price) - float(res_eu.price):.4f})")
+
 
 if __name__ == "__main__":
     main()
