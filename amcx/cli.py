@@ -594,9 +594,9 @@ def cmd_swing(args):
                           exercise="american")
     spec = RegressionSpec(degree=args.degree, regress_on=args.regress_on)
     sim = SimConfig(n_paths=args.paths, n_steps=args.steps,
-                    antithetic=args.antithetic)
+                    antithetic=args.antithetic, backend=args.backend)
     res = price_swing_option(jax.random.key(args.seed), market, product,
-                             args.rights, spec, sim)
+                             args.rights, spec, sim, engine=args.engine)
     oracle = crr_swing_price(args.s0, args.k, args.t, args.r, args.sigma,
                              args.rights, q=args.q, n_steps=args.steps,
                              n_sub=max(1, 2000 // args.steps),
@@ -829,6 +829,9 @@ def build_parser():
     pw.add_argument("--paths", type=int, default=100_000)
     pw.add_argument("--steps", type=int, default=50)
     pw.add_argument("--antithetic", action="store_true")
+    pw.add_argument("--engine", choices=["xla", "mega"], default="mega",
+                    help="mega = whole rights ladder in one Pallas kernel")
+    pw.add_argument("--backend", choices=["xla", "pallas"], default="xla")
     pw.add_argument("--seed", type=int, default=42)
     pw.add_argument("--json", action="store_true")
     pw.set_defaults(fn=cmd_swing)

@@ -159,12 +159,19 @@ def price_swing_option(
     n_rights: int,
     spec: RegressionSpec = RegressionSpec(),
     sim: SimConfig = SimConfig(),
+    engine: str = "xla",
 ) -> LSMCResult:
     """Price a swing option with ``n_rights`` exercise rights (≤ 1 per
     date) on the ``product`` vanilla payoff. ``n_rights=1`` reproduces the
     single-exercise American engine's estimator (same exercise rule, same
-    regression frame). Barriers/antithetic-folding are not supported here
-    (vanilla multiple-stopping only)."""
+    regression frame). Barriers are not supported (vanilla
+    multiple-stopping only).
+
+    ``engine="mega"`` runs the whole rights ladder in ONE Pallas kernel
+    (`amcx.ops.lsmc_swing`): one shared Gram + n_rights-RHS solve per
+    step, (n_rights+1) VMEM value planes — flagship-speed swing pricing
+    (with ``sim.backend="pallas"`` the paths come blocked from the
+    in-kernel generator, relayout-free)."""
     if n_rights < 1:
         raise ValueError("n_rights must be >= 1")
     if product.has_barrier:
@@ -172,11 +179,36 @@ def price_swing_option(
     if not product.is_american:
         raise ValueError("a European swing is n_rights * european price; "
                          "use exercise='american'")
+    phi = 1.0 if product.option_type == "call" else -1.0
+    dtype = sim.jnp_dtype
+    if engine == "mega":
+        from .ops.lsmc_swing import lsmc_price_swing
+        from .paths import gbm_standardization
+
+        if sim.backend == "pallas":
+            from .ops.gbm_pallas import _key_to_seed, gbm_paths_pallas
+
+            paths = gbm_paths_pallas(
+                _key_to_seed(key), market.S0, market.r, market.sigma,
+                market.q, product.T, sim.n_steps, sim.n_paths,
+                antithetic=sim.antithetic, out_blocked=True)
+        else:
+            from .paths import simulate_gbm
+
+            paths = simulate_gbm(key, market, product.T, sim)
+        mean_t, inv_std_t = gbm_standardization(market, product.T,
+                                                sim.n_steps)
+        price, stderr = lsmc_price_swing(
+            paths, product.K, market.r, product.T / sim.n_steps, phi,
+            int(n_rights), basis=spec.basis, degree=spec.degree,
+            rcond=spec.rcond, itm_weights=spec.regress_on == "itm",
+            mean_t=mean_t, inv_std_t=inv_std_t, antithetic=sim.antithetic)
+        return LSMCResult(price, stderr, None, None, None)
+    if engine != "xla":
+        raise ValueError(f"engine must be 'xla' or 'mega', got {engine!r}")
     from .paths import simulate_gbm
 
     paths = simulate_gbm(key, market, product.T, sim)
-    phi = 1.0 if product.option_type == "call" else -1.0
-    dtype = sim.jnp_dtype
     price, stderr = _swing_engine_impl(
         paths, jnp.asarray(market.r * product.T / sim.n_steps, dtype),
         jnp.asarray(product.K, dtype), phi, spec, int(n_rights),

@@ -95,3 +95,46 @@ def test_swing_antithetic_runs():
     truth = crr_swing_price(100.0, 105.0, 1.0, 0.05, 0.25, 2,
                             n_steps=N_STEPS, n_sub=10)
     assert abs(float(res.price) - truth) < 6.0 * float(res.stderr) + 0.02
+
+
+def test_swing_mega_kernel_matches_xla_engine():
+    """One-kernel swing (shared Gram, n_rights-RHS solve, descending
+    cascade) vs the XLA scan engine on the SAME paths; the gap is the
+    usual standardization-frame f32 noise (the per-right cascade amplifies
+    it slightly at higher rights counts)."""
+    from amcx.ops.lsmc_swing import lsmc_price_swing
+    from amcx.paths import gbm_standardization, simulate_gbm
+    from amcx.swing import _swing_engine_impl
+
+    sim = SimConfig(n_paths=32_768, n_steps=N_STEPS)
+    paths = simulate_gbm(jax.random.key(5), M, 1.0, sim)
+    mt, ist = gbm_standardization(M, 1.0, N_STEPS)
+    for n_rights in (1, 2, 3):
+        p_x, _ = _swing_engine_impl(
+            paths, jnp.float32(M.r / N_STEPS), jnp.float32(105.0), -1.0,
+            RegressionSpec(degree=4), n_rights, True, False)
+        p_m, se = lsmc_price_swing(
+            paths, 105.0, M.r, 1.0 / N_STEPS, -1.0, n_rights, degree=4,
+            itm_weights=True, mean_t=mt, inv_std_t=ist)
+        assert abs(float(p_m) - float(p_x)) < 1e-2, (n_rights,)
+        truth = crr_swing_price(100.0, 105.0, 1.0, 0.05, 0.25, n_rights,
+                                n_steps=N_STEPS, n_sub=25)
+        assert abs(float(p_m) - truth) < 4.0 * float(se) + 0.02
+
+
+def test_swing_mega_engine_route():
+    res = price_swing_option(jax.random.key(7), M, PUT, 2, SPEC, SIM,
+                             engine="mega")
+    res_x = price_swing_option(jax.random.key(7), M, PUT, 2, SPEC, SIM,
+                               engine="xla")
+    assert abs(float(res.price) - float(res_x.price)) < 1e-2
+    with pytest.raises(ValueError, match="engine"):
+        price_swing_option(jax.random.key(7), M, PUT, 2, SPEC, SIM,
+                           engine="bogus")
+    with pytest.raises(ValueError, match="VMEM"):
+        from amcx.ops.lsmc_swing import lsmc_price_swing
+        from amcx.paths import simulate_gbm
+
+        paths = simulate_gbm(jax.random.key(1), M, 1.0,
+                             SimConfig(n_paths=8192, n_steps=4))
+        lsmc_price_swing(paths, 105.0, M.r, 0.25, -1.0, 13)

@@ -190,3 +190,22 @@ def test_hybrid_hw_european_cf_onchip():
     res_a = price_option_hw(jax.random.key(1), hw, prod_a,
                             RegressionSpec(degree=4, regress_on="itm"), sim)
     assert float(res_a.price) > float(res.price)
+
+
+def test_swing_mega_kernel_onchip():
+    """One-kernel 3-rights swing at 1M×100 on hardware vs the exact
+    same-date-grid rights lattice (seed-pinned; measured 0.14σ)."""
+    from amcx import MarketParams, crr_swing_price, price_swing_option
+
+    m = MarketParams(100.0, 0.05, 0.25)
+    prod = ProductSpec(K=105.0, T=1.0, option_type="put",
+                       exercise="american")
+    res = price_swing_option(
+        jax.random.key(5), m, prod, 3,
+        RegressionSpec(degree=4, regress_on="itm"),
+        SimConfig(n_paths=1_048_576, n_steps=100, backend="pallas"),
+        engine="mega")
+    lat = crr_swing_price(100.0, 105.0, 1.0, 0.05, 0.25, 3, n_steps=100,
+                          n_sub=20)
+    assert abs(float(res.price) - lat) < 3.0 * float(res.stderr) + 2e-3, (
+        float(res.price), lat)
