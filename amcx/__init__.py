@@ -32,7 +32,8 @@ from .policy import (reprice_with_coeffs, price_out_of_sample, OOSResult,
                      valuation_interval, ValuationInterval)
 from .term import (TermCurves, price_option_curves, simulate_gbm_curves,
                    european_price_curves, crr_price_curves)
-from .swing import price_swing_option, crr_swing_price
+from .swing import (price_swing_option, price_swing_option_curves,
+                    crr_swing_price)
 from .hybrid import (HullWhiteParams, price_option_hw, european_price_hw,
                      simulate_hybrid_hw)
 from .dual import dual_upper_bound, dual_upper_bound_max_call, DualResult
@@ -93,6 +94,7 @@ __all__ = [
     "european_price_curves",
     "crr_price_curves",
     "price_swing_option",
+    "price_swing_option_curves",
     "crr_swing_price",
     "HullWhiteParams",
     "price_option_hw",

@@ -47,7 +47,8 @@ from jax import lax
 from .engine import LSMCResult
 from .types import MarketParams, ProductSpec, RegressionSpec, SimConfig
 
-__all__ = ["price_swing_option", "crr_swing_price"]
+__all__ = ["price_swing_option", "price_swing_option_curves",
+           "crr_swing_price"]
 
 
 def crr_swing_price(S0, K, T, r, sigma, n_rights: int, q=0.0,
@@ -61,17 +62,24 @@ def crr_swing_price(S0, K, T, r, sigma, n_rights: int, q=0.0,
     prices converge to this value with NO exercise-grid bias. ``V^k``
     arrays (k = 0..n_rights) are rolled back jointly; at an exercise date
     ``V^k = max(V^k, payoff + V^{k-1})``.
+
+    ``r``/``q`` may be ``(n_steps,)`` piecewise-constant curves on the
+    LSMC grid (the `amcx.term` convention; flat sigma — the per-step
+    risk-neutral probability and discount absorb the time dependence, as
+    in `amcx.term.crr_price_curves`).
     """
     if n_rights < 1:
         raise ValueError("n_rights must be >= 1")
+    r_t = np.broadcast_to(np.asarray(r, np.float64), (n_steps,))
+    q_t = np.broadcast_to(np.asarray(q, np.float64), (n_steps,))
     N = n_steps * n_sub
     ddt = float(T) / N
     u = np.exp(float(sigma) * np.sqrt(ddt))
     d = 1.0 / u
-    p = (np.exp((float(r) - float(q)) * ddt) - d) / (u - d)
-    if not (0.0 < p < 1.0):
-        raise ValueError(f"lattice probability out of (0,1): p={p}")
-    df = np.exp(-float(r) * ddt)
+    p_t = (np.exp((r_t - q_t) * ddt) - d) / (u - d)
+    if not np.all((0.0 < p_t) & (p_t < 1.0)):
+        raise ValueError("lattice probability out of (0,1); raise n_sub")
+    df_t = np.exp(-r_t * ddt)
     phi = 1.0 if option_type == "call" else -1.0
 
     def spots(step):
@@ -83,6 +91,8 @@ def crr_swing_price(S0, K, T, r, sigma, n_rights: int, q=0.0,
     # maturity is an exercise date: one right is usable, the rest expire
     V = [np.zeros(N + 1)] + [pay_T.copy() for _ in range(n_rights)]
     for step in range(N - 1, -1, -1):
+        p = p_t[step // n_sub]
+        df = df_t[step // n_sub]
         V = [df * (p * Vk[1: step + 2] + (1.0 - p) * Vk[: step + 1])
              for Vk in V]
         if step % n_sub == 0:
@@ -213,4 +223,48 @@ def price_swing_option(
         paths, jnp.asarray(market.r * product.T / sim.n_steps, dtype),
         jnp.asarray(product.K, dtype), phi, spec, int(n_rights),
         spec.regress_on == "itm", sim.antithetic)
+    return LSMCResult(price, stderr, None, None, None)
+
+
+def price_swing_option_curves(
+    key: jax.Array,
+    curves,
+    product: ProductSpec,
+    n_rights: int,
+    spec: RegressionSpec = RegressionSpec(),
+    sim: SimConfig = SimConfig(),
+) -> LSMCResult:
+    """Swing pricing under deterministic r(t)/σ(t)/q(t) term structures
+    (`amcx.term.TermCurves`), through the one-kernel mega swing engine —
+    the kernel's discounting already rides per-step rows, so curve support
+    is pure host plumbing (curve paths + curve standardization + the
+    ``(n_steps,)`` short-rate vector). Validate with
+    `crr_swing_price(r=<(n_steps,) vector>, ...)` (flat sigma)."""
+    from .ops.lsmc_swing import lsmc_price_swing
+    from .term import TermCurves, curve_standardization, simulate_gbm_curves
+
+    assert isinstance(curves, TermCurves)
+    if n_rights < 1:
+        raise ValueError("n_rights must be >= 1")
+    if product.has_barrier:
+        raise ValueError("swing pricing is vanilla-only")
+    if not product.is_american:
+        raise ValueError("use exercise='american'")
+    dt = product.T / sim.n_steps
+    if sim.backend == "pallas":
+        from .ops.gbm_pallas import _key_to_seed, gbm_paths_pallas
+
+        paths = gbm_paths_pallas(
+            _key_to_seed(key), curves.S0, curves.r_t, curves.sigma_t,
+            curves.q_t, product.T, sim.n_steps, sim.n_paths,
+            antithetic=sim.antithetic, out_blocked=True)
+    else:
+        paths = simulate_gbm_curves(key, curves, product.T, sim)
+    mean_t, inv_std_t = curve_standardization(curves, dt)
+    phi = 1.0 if product.option_type == "call" else -1.0
+    price, stderr = lsmc_price_swing(
+        paths, product.K, curves.r_t, dt, phi, int(n_rights),
+        basis=spec.basis, degree=spec.degree, rcond=spec.rcond,
+        itm_weights=spec.regress_on == "itm", mean_t=mean_t,
+        inv_std_t=inv_std_t, antithetic=sim.antithetic)
     return LSMCResult(price, stderr, None, None, None)

@@ -138,3 +138,28 @@ def test_swing_mega_engine_route():
         paths = simulate_gbm(jax.random.key(1), M, 1.0,
                              SimConfig(n_paths=8192, n_steps=4))
         lsmc_price_swing(paths, 105.0, M.r, 0.25, -1.0, 13)
+
+
+def test_swing_under_rate_curve():
+    """Composition: 2 exercise rights under a two-regime short rate, the
+    one-kernel swing engine vs the per-step-rate rights lattice."""
+    from amcx.swing import price_swing_option_curves
+    from amcx.term import TermCurves
+
+    r_t = np.concatenate([np.full(N_STEPS // 2, 0.03),
+                          np.full(N_STEPS // 2, 0.08)])
+    c = TermCurves.make(100.0, jnp.asarray(r_t), 0.25, 0.0, n_steps=N_STEPS)
+    truth = crr_swing_price(100.0, 105.0, 1.0, r_t, 0.25, 2,
+                            n_steps=N_STEPS, n_sub=25)
+    res = price_swing_option_curves(
+        jax.random.key(5), c,
+        ProductSpec(K=105.0, T=1.0, option_type="put", exercise="american"),
+        2, SPEC, SimConfig(n_paths=131_072, n_steps=N_STEPS))
+    assert abs(float(res.price) - truth) < 4.0 * float(res.stderr) + 0.02, (
+        float(res.price), truth)
+    # flat-vector lattice equals the scalar lattice
+    flat = crr_swing_price(100.0, 105.0, 1.0, np.full(N_STEPS, 0.05), 0.25,
+                           2, n_steps=N_STEPS, n_sub=10)
+    scal = crr_swing_price(100.0, 105.0, 1.0, 0.05, 0.25, 2,
+                           n_steps=N_STEPS, n_sub=10)
+    np.testing.assert_allclose(flat, scal, rtol=1e-12)
