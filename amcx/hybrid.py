@@ -239,6 +239,72 @@ def _hw_engine_impl(S, r, df, K, phi, spec, american, itm, antithetic,
     return price, stderr, surf
 
 
+@partial(jax.jit, static_argnames=("spec", "itm", "antithetic", "phi"))
+def _hw_engine_fused_impl(S, r, df, K, phi, spec, itm, antithetic):
+    """American (S, r) induction on the fused multi-asset Pallas kernels
+    with PATHWISE discounting (``direct_y`` mode): per step the host
+    computes y = df_t ⊙ V_{t+1} (one fused XLA elementwise), the moments
+    kernel accumulates the cross-term Gram on (S_t, r_t) in-register, and
+    the apply kernel runs the fitted-continuation exercise select — the
+    (n_paths, m) design matrix never exists. Same estimator as
+    `_hw_engine_impl` (matches to f32 regression noise on shared paths)."""
+    from .models.maxcall import maxcall_standardization
+    from .ops.lsmc_pallas import LANES, unpack_moments
+    from .ops.maxcall_pallas import ma_step_apply, ma_step_moments
+    from .basis import _multi_index_set
+    from .regress import pinv_solve
+
+    n_steps = S.shape[0] - 1
+    n_paths = S.shape[1]
+    rows = n_paths // LANES
+    X = jnp.stack([S, r], axis=-1)  # (T+1, n, 2)
+    planes_tm = jnp.moveaxis(X, -1, 1).reshape(n_steps + 1, 2, rows, LANES)
+    df_b = df.reshape(n_steps, rows, LANES)
+    mean_t, inv_std_t = maxcall_standardization(X, "total")
+    m = len(_multi_index_set(2, spec.degree, "total"))
+    payoff = lambda s: jnp.maximum(phi * (s - K), 0.0)
+    V0 = payoff(S[n_steps]).reshape(rows, LANES)
+
+    moments = partial(ma_step_moments, n_assets=2, basis=spec.basis,
+                      degree=spec.degree, mode="total", sorted_basis=False,
+                      itm_weights=itm, payoff_kind="first", phi=phi,
+                      direct_y=True,
+                      interpret=jax.default_backend() == "cpu")
+    apply_ = partial(ma_step_apply, n_assets=2, basis=spec.basis,
+                     degree=spec.degree, mode="total", sorted_basis=False,
+                     payoff_kind="first", phi=phi,
+                     interpret=jax.default_backend() == "cpu")
+
+    def step(V, xs):
+        planes, dfb, t, mean, inv_std = xs
+        y = dfb * V
+        scalars = jnp.concatenate([
+            jnp.stack([t, jnp.float32(0.0), K]), mean, inv_std,
+            jnp.ones((1,), jnp.float32),
+        ]).astype(jnp.float32)
+        packed = moments(scalars, planes, y, y)
+        G, b = unpack_moments(packed, m)
+        coeffs = pinv_solve(G, b, spec.rcond)
+        V_next, _ = apply_(scalars, coeffs, planes, y, jnp.zeros_like(y))
+        return V_next, None
+
+    ts = jnp.arange(n_steps, dtype=jnp.float32)
+    V, _ = lax.scan(
+        step, V0,
+        (planes_tm[:n_steps], df_b, ts, mean_t[:n_steps].astype(jnp.float32),
+         inv_std_t[:n_steps].astype(jnp.float32)),
+        reverse=True)
+    flat = V.reshape(-1)
+    if antithetic:
+        half = n_paths // 2
+        stat = 0.5 * (flat[:half] + flat[half:])
+    else:
+        stat = flat
+    price = jnp.mean(stat)
+    stderr = jnp.std(stat) / jnp.sqrt(stat.shape[0])
+    return price, stderr
+
+
 def price_option_hw(
     key: jax.Array,
     hw: HullWhiteParams,
@@ -246,6 +312,7 @@ def price_option_hw(
     spec: RegressionSpec = RegressionSpec(),
     sim: SimConfig = SimConfig(),
     return_surface: bool = False,
+    engine: str = "xla",
 ) -> LSMCResult:
     """American/European vanilla under the Hull-White + GBM hybrid.
 
@@ -259,12 +326,26 @@ def price_option_hw(
     ``return_surface=True`` fills ``LSMCResult.continuation`` with the
     per-(step, path) continuation surface — `amcx.exposures
     .compute_ccr_exposures` on it gives EPE/PFE under stochastic rates
-    (wrong-way risk via ρ)."""
+    (wrong-way risk via ρ).
+
+    ``engine="fused"``: the (S, r) induction runs on the fused multi-asset
+    Pallas kernels with the pathwise-discount ``direct_y`` mode (American
+    only; no surface; n_paths divisible by 4096)."""
     if product.has_barrier:
         raise ValueError("hybrid barrier pricing is not implemented")
     S, r, df = simulate_hybrid_hw(key, hw, product.T, sim)
     phi = 1.0 if product.option_type == "call" else -1.0
     dtype = sim.jnp_dtype
+    if engine == "fused":
+        if not product.is_american or return_surface:
+            raise ValueError("engine='fused' prices American only and "
+                             "emits no surface (use engine='xla')")
+        price, stderr = _hw_engine_fused_impl(
+            S, r, df, jnp.asarray(product.K, dtype), float(phi), spec,
+            spec.regress_on == "itm", sim.antithetic)
+        return LSMCResult(price, stderr, None, None, None)
+    if engine != "xla":
+        raise ValueError(f"engine must be 'xla' or 'fused', got {engine!r}")
     price, stderr, surf = _hw_engine_impl(
         S, r, df, jnp.asarray(product.K, dtype), phi, spec,
         product.is_american, spec.regress_on == "itm", sim.antithetic,

@@ -114,7 +114,7 @@ def _payoff_for(planes, K, payoff_kind, phi):
 
 def _ma_moments_kernel(scal_ref, s_ref, cf_ref, tau_ref, out_ref, acc,
                        *, n_assets, basis, degree, mode, sorted_basis,
-                       itm_weights, payoff_kind, phi):
+                       itm_weights, payoff_kind, phi, direct_y=False):
     m = len(_multi_index_set(n_assets, degree, mode))
     pairs = _pairs(m)
     P = len(pairs) + m
@@ -132,7 +132,14 @@ def _ma_moments_kernel(scal_ref, s_ref, cf_ref, tau_ref, out_ref, acc,
     planes = [s_ref[a] for a in range(n_assets)]
     cf = cf_ref[...]
     tau = tau_ref[...]
-    y = cf * jnp.exp(-rdt * (tau - t))
+    if direct_y:
+        # pathwise-discount mode (stochastic rates, amcx.hybrid): the host
+        # hands the regression target y = df_t ⊙ V_{t+1} directly — the
+        # (cf, τ)-with-scalar-rate reconstruction above has no meaning
+        # when the discount is per-path. τ plane unused.
+        y = cf
+    else:
+        y = cf * jnp.exp(-rdt * (tau - t))
     cols = _columns(planes, scal_ref, basis, degree, mode, sorted_basis, 3)
 
     if itm_weights:
@@ -155,7 +162,8 @@ def _ma_moments_kernel(scal_ref, s_ref, cf_ref, tau_ref, out_ref, acc,
 @functools.partial(
     jax.jit,
     static_argnames=("n_assets", "basis", "degree", "mode", "sorted_basis",
-                     "itm_weights", "interpret", "payoff_kind", "phi"),
+                     "itm_weights", "interpret", "payoff_kind", "phi",
+                     "direct_y"),
 )
 def ma_step_moments(
     scalars: jnp.ndarray,   # (3 + 2A,) f32: [t, r*dt, K, mean_a..., inv_std_a...]
@@ -172,8 +180,13 @@ def ma_step_moments(
     interpret: bool = False,
     payoff_kind: str = "maxcall",
     phi: float = 1.0,
+    direct_y: bool = False,
 ) -> jnp.ndarray:
-    """Packed cross-term moment vector for one backward step."""
+    """Packed cross-term moment vector for one backward step.
+
+    ``direct_y=True``: ``cf_rows`` IS the regression target (already
+    discounted to this step, e.g. pathwise ``df ⊙ V`` under stochastic
+    rates); the τ input is ignored."""
     m = len(_multi_index_set(n_assets, degree, mode))
     P = ma_pack_dim(m)
     rows = cf_rows.shape[0]
@@ -184,7 +197,7 @@ def ma_step_moments(
     kernel = functools.partial(
         _ma_moments_kernel, n_assets=n_assets, basis=basis, degree=degree,
         mode=mode, sorted_basis=sorted_basis, itm_weights=itm_weights,
-        payoff_kind=payoff_kind, phi=phi,
+        payoff_kind=payoff_kind, phi=phi, direct_y=direct_y,
     )
     out = pl.pallas_call(
         kernel,

@@ -112,3 +112,19 @@ def test_ccr_exposures_under_stochastic_rates():
     assert ccr.epe.shape == (21,)
     assert float(ccr.epe[0]) == pytest.approx(float(res.price), rel=0.02)
     assert np.all(np.asarray(ccr.pfe95) >= np.asarray(ccr.epe) - 1e-5)
+
+
+def test_fused_hybrid_matches_xla_on_shared_paths():
+    """engine='fused': the (S, r) induction on the fused multi-asset
+    kernels (pathwise-discount direct_y mode) vs the XLA engine on the
+    SAME paths — gap is f32 regression noise only (measured ~1e-3)."""
+    sim = SimConfig(n_paths=65_536, n_steps=30)
+    spec = RegressionSpec(degree=3, regress_on="itm")
+    a = price_option_hw(jax.random.key(3), HW, PUT_A, spec, sim,
+                        engine="xla")
+    b = price_option_hw(jax.random.key(3), HW, PUT_A, spec, sim,
+                        engine="fused")
+    assert abs(float(a.price) - float(b.price)) < 5e-3
+    with pytest.raises(ValueError, match="fused"):
+        price_option_hw(jax.random.key(3), HW, PUT_E, spec, sim,
+                        engine="fused")
