@@ -40,7 +40,6 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -340,6 +339,9 @@ def price_option_hw(
         if not product.is_american or return_surface:
             raise ValueError("engine='fused' prices American only and "
                              "emits no surface (use engine='xla')")
+        if sim.n_paths % 4096:
+            raise ValueError("engine='fused' needs n_paths divisible by "
+                             f"4096, got {sim.n_paths}")
         price, stderr = _hw_engine_fused_impl(
             S, r, df, jnp.asarray(product.K, dtype), float(phi), spec,
             spec.regress_on == "itm", sim.antithetic)

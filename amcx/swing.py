@@ -37,7 +37,6 @@ methodology as `amcx.term.crr_price_curves`.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
