@@ -33,7 +33,8 @@ from .policy import (reprice_with_coeffs, price_out_of_sample, OOSResult,
 from .term import (TermCurves, price_option_curves, simulate_gbm_curves,
                    european_price_curves, crr_price_curves)
 from .swing import (price_swing_option, price_swing_option_curves,
-                    crr_swing_price)
+                    crr_swing_price, price_swing_contract,
+                    SwingContractResult)
 from .hybrid import (HullWhiteParams, price_option_hw, european_price_hw,
                      simulate_hybrid_hw)
 from .dual import dual_upper_bound, dual_upper_bound_max_call, DualResult
@@ -51,6 +52,9 @@ from .models.asian import (price_asian_option, geometric_asian_price,
 from .dynamics import (HestonParams, simulate_heston, simulate_local_vol,
                        heston_price_cf, price_option_heston)
 from .qmc import simulate_gbm_qmc, sobol_normals
+from .calibrate import (SVISurface, fit_svi_surface, fit_svi_slice,
+                        svi_total_variance, dupire_local_vol,
+                        calibrate_heston, implied_vol_np)
 
 __version__ = "0.1.0"
 
@@ -95,6 +99,8 @@ __all__ = [
     "crr_price_curves",
     "price_swing_option",
     "price_swing_option_curves",
+    "price_swing_contract",
+    "SwingContractResult",
     "crr_swing_price",
     "HullWhiteParams",
     "price_option_hw",
@@ -133,4 +139,11 @@ __all__ = [
     "BookResult",
     "simulate_gbm_qmc",
     "sobol_normals",
+    "SVISurface",
+    "fit_svi_surface",
+    "fit_svi_slice",
+    "svi_total_variance",
+    "dupire_local_vol",
+    "calibrate_heston",
+    "implied_vol_np",
 ]

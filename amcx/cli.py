@@ -424,6 +424,117 @@ def cmd_asian(args):
     return payload
 
 
+def _load_quote_grid(path):
+    """Read a `T,K,value` CSV (comments/header tolerated) into the
+    rectangular (maturities, strikes, values) arrays the calibrators take."""
+    import numpy as np
+
+    rows = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split(",")
+            try:
+                rows.append(tuple(float(x) for x in parts[:3]))
+            except ValueError:
+                continue  # header line
+    if not rows:
+        raise SystemExit(f"no quotes parsed from {path}")
+    grid = {}
+    for t, k, v in rows:
+        grid.setdefault(t, []).append((k, v))
+    mats = sorted(grid)
+    widths = {len(grid[t]) for t in mats}
+    if len(widths) != 1:
+        raise SystemExit("quote grid must be rectangular "
+                         "(same strike count per maturity)")
+    strikes = np.array([[k for k, _ in sorted(grid[t])] for t in mats])
+    vals = np.array([[v for _, v in sorted(grid[t])] for t in mats])
+    return np.array(mats), strikes, vals
+
+
+def cmd_calibrate(args):
+    """Calibrate SVI/Dupire or Heston to European quotes; optionally price
+    an American option under the calibrated dynamics."""
+    import numpy as np
+
+    from .calibrate import (calibrate_heston, dupire_local_vol,
+                            fit_svi_surface, implied_vol_np)
+    from .dynamics import (heston_price_cf, price_option_heston,
+                           price_option_local_vol)
+    from .oracle import bs_price
+    from .types import ProductSpec, RegressionSpec, SimConfig
+
+    mats, strikes, vals = _load_quote_grid(args.quotes)
+    s0, r, q = args.s0, args.r, args.q
+    if args.quote_kind == "iv":
+        ivs = vals
+        prices = np.asarray(bs_price(s0, strikes, mats[:, None], r, ivs, q,
+                                     args.quote_type), dtype=np.float64)
+    else:
+        prices = vals
+        ivs = implied_vol_np(prices, s0, strikes, mats[:, None], r, q,
+                             args.quote_type)
+
+    payload = {"model": args.model, "n_quotes": int(strikes.size)}
+    product = ProductSpec(K=args.k, T=args.t, option_type=args.option_type,
+                          exercise=args.exercise)
+    spec = RegressionSpec(basis=args.basis, degree=args.degree)
+    sim = SimConfig(n_paths=args.paths, n_steps=args.steps,
+                    antithetic=args.antithetic)
+
+    if args.model == "svi":
+        surf = fit_svi_surface(s0, r, q, mats, strikes, ivs)
+        fwd = s0 * np.exp((r - q) * mats)
+        fit_iv = np.array([
+            [float(surf.implied_vol(K, T, F)) for K in strikes[i]]
+            for i, (T, F) in enumerate(zip(mats, fwd))])
+        payload["max_iv_err"] = round(float(np.max(np.abs(fit_iv - ivs))), 6)
+        payload["slices"] = [
+            {"T": float(T), "a": round(float(p[0]), 6),
+             "b": round(float(p[1]), 6), "rho": round(float(p[2]), 4),
+             "m": round(float(p[3]), 4), "s": round(float(p[4]), 4)}
+            for T, p in zip(mats, surf.params)]
+        if args.price:
+            lv = dupire_local_vol(surf, s0, r, q)
+            res = price_option_local_vol(jax.random.key(args.seed), s0, r, q,
+                                         lv, product, spec, sim)
+            payload["price"] = round(float(res.price), 4)
+            payload["stderr"] = round(float(res.stderr), 4)
+        if not args.json:
+            print(f"SVI surface fit: {len(mats)} slices, "
+                  f"max |iv err| = {payload['max_iv_err']:.2e}")
+            if args.price:
+                print(f"Dupire local-vol {args.exercise} {args.option_type}: "
+                      f"{payload['price']:.4f} ± {payload['stderr']:.4f}")
+    else:  # heston
+        hp = calibrate_heston(s0, r, q, mats, strikes, prices,
+                              option_type=args.quote_type)
+        refit = np.array([
+            [heston_price_cf(hp, K, T, args.quote_type) for K in strikes[i]]
+            for i, T in enumerate(mats)])
+        payload["max_price_err"] = round(float(np.max(np.abs(refit - prices))), 6)
+        payload["params"] = {k: round(getattr(hp, k), 6) for k in
+                             ("v0", "kappa", "theta", "xi", "rho")}
+        if args.price:
+            res = price_option_heston(jax.random.key(args.seed), hp, product,
+                                      spec, sim)
+            payload["price"] = round(float(res.price), 4)
+            payload["stderr"] = round(float(res.stderr), 4)
+        if not args.json:
+            p = payload["params"]
+            print(f"Heston fit: v0={p['v0']:.4f} kappa={p['kappa']:.3f} "
+                  f"theta={p['theta']:.4f} xi={p['xi']:.3f} rho={p['rho']:.3f}"
+                  f"  (max |price err| = {payload['max_price_err']:.2e})")
+            if args.price:
+                print(f"Heston {args.exercise} {args.option_type}: "
+                      f"{payload['price']:.4f} ± {payload['stderr']:.4f}")
+    _emit(payload, args.json)
+    return payload
+
+
 def cmd_preset(args):
     from .presets import get_preset
 
@@ -595,12 +706,20 @@ def cmd_swing(args):
     spec = RegressionSpec(degree=args.degree, regress_on=args.regress_on)
     sim = SimConfig(n_paths=args.paths, n_steps=args.steps,
                     antithetic=args.antithetic, backend=args.backend)
+    engine = args.engine
+    if engine == "mega" and (args.payoff_kind != "option"
+                             or args.min_rights > 0):
+        engine = "xla"  # one-kernel engine prices the unconstrained ladder
     res = price_swing_option(jax.random.key(args.seed), market, product,
-                             args.rights, spec, sim, engine=args.engine)
+                             args.rights, spec, sim, engine=engine,
+                             payoff_kind=args.payoff_kind,
+                             n_min=args.min_rights)
     oracle = crr_swing_price(args.s0, args.k, args.t, args.r, args.sigma,
                              args.rights, q=args.q, n_steps=args.steps,
                              n_sub=max(1, 2000 // args.steps),
-                             option_type=args.option_type)
+                             option_type=args.option_type,
+                             payoff_kind=args.payoff_kind,
+                             n_min=args.min_rights)
     payload = {
         "price": round(float(res.price), 4),
         "stderr": round(float(res.stderr), 4),
@@ -784,6 +903,34 @@ def build_parser():
     ph.add_argument("--json", action="store_true")
     ph.set_defaults(fn=cmd_heston)
 
+    pc = sub.add_parser(
+        "calibrate",
+        help="fit SVI/Dupire or Heston to a European quote grid, then price")
+    pc.add_argument("--quotes", required=True,
+                    help="CSV of 'T,K,value' rows (rectangular grid)")
+    pc.add_argument("--quote-kind", choices=["iv", "price"], default="iv")
+    pc.add_argument("--quote-type", choices=["put", "call"], default="call",
+                    help="option type of the quoted Europeans")
+    pc.add_argument("--model", choices=["svi", "heston"], default="svi")
+    pc.add_argument("--s0", type=float, default=100.0)
+    pc.add_argument("--r", type=float, default=0.03)
+    pc.add_argument("--q", type=float, default=0.0)
+    pc.add_argument("--price", action="store_true",
+                    help="price the --k/--t option under the calibrated model")
+    pc.add_argument("--k", type=float, default=100.0)
+    pc.add_argument("--t", type=float, default=1.0)
+    pc.add_argument("--option-type", choices=["put", "call"], default="put")
+    pc.add_argument("--exercise", choices=["european", "american"],
+                    default="american")
+    pc.add_argument("--basis", default="chebyshev")
+    pc.add_argument("--degree", type=int, default=4)
+    pc.add_argument("--paths", type=int, default=100_000)
+    pc.add_argument("--steps", type=int, default=50)
+    pc.add_argument("--antithetic", action="store_true")
+    pc.add_argument("--seed", type=int, default=42)
+    pc.add_argument("--json", action="store_true")
+    pc.set_defaults(fn=cmd_calibrate)
+
     pt = sub.add_parser(
         "term", help="price under r(t)/sigma(t)/q(t) term-structure curves")
     pt.add_argument("--s0", type=float, default=100.0)
@@ -829,8 +976,14 @@ def build_parser():
     pw.add_argument("--paths", type=int, default=100_000)
     pw.add_argument("--steps", type=int, default=50)
     pw.add_argument("--antithetic", action="store_true")
+    pw.add_argument("--payoff-kind", choices=["option", "forward"],
+                    default="option",
+                    help="forward = signed take (commodity swing)")
+    pw.add_argument("--min-rights", type=int, default=0,
+                    help="take-or-pay minimum exercise count")
     pw.add_argument("--engine", choices=["xla", "mega"], default="mega",
-                    help="mega = whole rights ladder in one Pallas kernel")
+                    help="mega = whole rights ladder in one Pallas kernel "
+                         "(constrained/forward swings run on xla)")
     pw.add_argument("--backend", choices=["xla", "pallas"], default="xla")
     pw.add_argument("--seed", type=int, default=42)
     pw.add_argument("--json", action="store_true")

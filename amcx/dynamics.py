@@ -48,6 +48,7 @@ __all__ = [
     "simulate_local_vol",
     "heston_price_cf",
     "price_option_heston",
+    "price_option_local_vol",
 ]
 
 
@@ -152,6 +153,36 @@ def simulate_local_vol(key, S0, r, q, sigma_fn: Callable, T, sim: SimConfig):
     S0v = jnp.full((n,), S0, dtype)
     _, path = jax.lax.scan(step, S0v, (t_grid, Z))
     return jnp.concatenate([S0v[None, :], path])
+
+
+def price_option_local_vol(
+    key,
+    S0,
+    r,
+    q,
+    sigma_fn: Callable,
+    product: ProductSpec,
+    spec: RegressionSpec = RegressionSpec(),
+    sim: SimConfig = SimConfig(),
+    return_surface: bool = False,
+) -> LSMCResult:
+    """American/European vanilla under a local-vol surface ``σ(t, S)``.
+
+    The companion entry to :func:`price_option_heston` for the calibrated
+    route ``amcx.calibrate.fit_svi_surface`` → ``dupire_local_vol`` →
+    this pricer: spot is the full Markov state under local vol, so the
+    standard 1-D regression engine applies unchanged (reference engine
+    contract, `american_monte_carlo.py:139-167` — one engine, any dynamics).
+    """
+    if product.has_barrier:
+        raise ValueError("local-vol barrier pricing is not implemented")
+    S = simulate_local_vol(key, S0, r, q, sigma_fn, product.T, sim)
+    knocked = jnp.ones(S.shape, dtype=bool)
+    payoff = lambda st: intrinsic_value(st, product.K, product.option_type)
+    return backward_induction(
+        S, knocked, r, product.T / sim.n_steps, payoff, spec,
+        american=product.is_american, return_surface=return_surface,
+    )
 
 
 def heston_price_cf(hp: HestonParams, K, T, option_type: str = "call",
