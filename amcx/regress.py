@@ -181,8 +181,16 @@ def fit_continuation_with_coeffs(
     spec: RegressionSpec,
     weights: Optional[jnp.ndarray] = None,
     axis_name: Optional[str] = None,
+    clamp: bool = True,
 ):
     """Like :func:`fit_continuation` but also returns the ``(degree+1,)``
-    solved coefficients (per-step observability dump, SURVEY §5)."""
+    solved coefficients (per-step observability dump, SURVEY §5).
+
+    ``clamp=False`` skips the Q2 zero-floor — required when the regressed
+    value can legitimately be negative (signed forward-style cashflows,
+    e.g. `amcx.swing` take-or-pay ladders, where flooring the continuation
+    at 0 silently disables every should-exercise-while-OTM decision)."""
     fitted, coeffs = _fit(s_t, discounted_cashflows, weights, spec, axis_name)
-    return jnp.maximum(fitted, 0.0), coeffs
+    if clamp:
+        fitted = jnp.maximum(fitted, 0.0)
+    return fitted, coeffs

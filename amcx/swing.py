@@ -36,6 +36,7 @@ methodology as `amcx.term.crr_price_curves`.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -47,12 +48,14 @@ from .engine import LSMCResult
 from .types import MarketParams, ProductSpec, RegressionSpec, SimConfig
 
 __all__ = ["price_swing_option", "price_swing_option_curves",
-           "crr_swing_price"]
+           "crr_swing_price", "price_swing_contract", "SwingContractResult"]
 
 
 def crr_swing_price(S0, K, T, r, sigma, n_rights: int, q=0.0,
                     n_steps: int = 100, n_sub: int = 20,
-                    option_type: str = "put") -> float:
+                    option_type: str = "put",
+                    payoff_kind: str = "option",
+                    n_min: int = 0) -> float:
     """float64 binomial oracle for a swing option with ``n_rights`` rights.
 
     The tree has ``n_steps·n_sub`` CRR steps; exercise (one right) is
@@ -62,6 +65,13 @@ def crr_swing_price(S0, K, T, r, sigma, n_rights: int, q=0.0,
     arrays (k = 0..n_rights) are rolled back jointly; at an exercise date
     ``V^k = max(V^k, payoff + V^{k-1})``.
 
+    ``payoff_kind="forward"`` makes each take pay the SIGNED φ(S−K)
+    (commodity-swing take, can be negative); ``n_min`` is a take-or-pay
+    minimum exercise count — when the remaining exercise dates equal the
+    outstanding obligations, exercise is FORCED at every remaining date.
+    With ``payoff_kind="option"`` and ``n_min=0`` this reduces to the
+    unconstrained multiple-stopping oracle.
+
     ``r``/``q`` may be ``(n_steps,)`` piecewise-constant curves on the
     LSMC grid (the `amcx.term` convention; flat sigma — the per-step
     risk-neutral probability and discount absorb the time dependence, as
@@ -69,6 +79,12 @@ def crr_swing_price(S0, K, T, r, sigma, n_rights: int, q=0.0,
     """
     if n_rights < 1:
         raise ValueError("n_rights must be >= 1")
+    if not 0 <= n_min <= n_rights:
+        raise ValueError("need 0 <= n_min <= n_rights")
+    if n_min > n_steps + 1:
+        raise ValueError("n_min exceeds the number of exercise dates")
+    if payoff_kind not in ("option", "forward"):
+        raise ValueError(f"unknown payoff_kind {payoff_kind!r}")
     r_t = np.broadcast_to(np.asarray(r, np.float64), (n_steps,))
     q_t = np.broadcast_to(np.asarray(q, np.float64), (n_steps,))
     N = n_steps * n_sub
@@ -86,28 +102,47 @@ def crr_swing_price(S0, K, T, r, sigma, n_rights: int, q=0.0,
         return float(S0) * np.exp((2.0 * j - step) * float(sigma)
                                   * np.sqrt(ddt))
 
-    pay_T = np.maximum(phi * (spots(N) - float(K)), 0.0)
-    # maturity is an exercise date: one right is usable, the rest expire
-    V = [np.zeros(N + 1)] + [pay_T.copy() for _ in range(n_rights)]
+    def take(step):
+        signed = phi * (spots(step) - float(K))
+        return signed if payoff_kind == "forward" else np.maximum(signed, 0.0)
+
+    def obligations(k):
+        # k rights remaining ⇒ n_rights − k already exercised
+        return max(0, n_min - (n_rights - k))
+
+    ex_T = take(N)
+    # maturity is an exercise date: one right is usable, the rest expire;
+    # an outstanding obligation forces the (possibly negative) take
+    V = [np.zeros(N + 1)]
+    for k in range(1, n_rights + 1):
+        # only ONE right is usable at the maturity date; states whose
+        # obligations exceed the one remaining date are unreachable
+        V.append((ex_T + V[k - 1]) if obligations(k) >= 1
+                 else np.maximum(ex_T, 0.0).copy())
     for step in range(N - 1, -1, -1):
         p = p_t[step // n_sub]
         df = df_t[step // n_sub]
         V = [df * (p * Vk[1: step + 2] + (1.0 - p) * Vk[: step + 1])
              for Vk in V]
         if step % n_sub == 0:
-            ex = np.maximum(phi * (spots(step) - float(K)), 0.0)
+            ex = take(step)
+            dates_remaining = n_steps - step // n_sub + 1
             # one right per date: after exercising, the remaining k−1
             # rights are worth their CONTINUATION value at this date (no
             # second exercise now) — update descending so V[k-1] is still
             # pre-update when V[k] reads it.
             for k in range(n_rights, 0, -1):
-                V[k] = np.maximum(V[k], ex + V[k - 1])
+                if obligations(k) >= dates_remaining:
+                    V[k] = ex + V[k - 1]          # take-or-pay: forced
+                else:
+                    V[k] = np.maximum(V[k], ex + V[k - 1])
     return float(V[n_rights][0])
 
 
-@partial(jax.jit, static_argnames=("spec", "n_rights", "itm", "antithetic"))
+@partial(jax.jit, static_argnames=("spec", "n_rights", "itm", "antithetic",
+                                   "payoff_kind", "n_min"))
 def _swing_engine_impl(paths_tm, rdt, K, phi, spec, n_rights, itm,
-                       antithetic):
+                       antithetic, payoff_kind="option", n_min=0):
     """Backward induction with an (n_rights+1)-deep value carry.
 
     ``Y[k]`` is the pathwise REALIZED value of following the estimated
@@ -115,18 +150,33 @@ def _swing_engine_impl(paths_tm, rdt, K, phi, spec, n_rights, itm,
     as the single-exercise engine's cashflow carry). Decisions use the
     regressed continuations; all k update simultaneously from the t+1
     carries (exercising one right hands the path to the k−1 policy).
+
+    ``payoff_kind="forward"`` pays the SIGNED φ(S−K) per take and drops
+    the ITM gate from the exercise rule; ``n_min`` outstanding obligations
+    force exercise once the remaining dates run out (take-or-pay). Both
+    rights-axis quantities are static, so the forced region is resolved at
+    trace time per (k, t) — no dynamic control flow enters the scan.
     """
     from .regress import fit_continuation_with_coeffs
 
     n_steps = paths_tm.shape[0] - 1
     n_paths = paths_tm.shape[1]
     dtype = paths_tm.dtype
-    payoff = lambda S: jnp.maximum(phi * (S - K), 0.0)
+    signed = lambda S: phi * (S - K)
+    if payoff_kind == "forward":
+        payoff = signed
+    else:
+        payoff = lambda S: jnp.maximum(signed(S), 0.0)
 
-    pay_T = payoff(paths_tm[n_steps])
-    Y0 = jnp.concatenate(
-        [jnp.zeros((1, n_paths), dtype),
-         jnp.broadcast_to(pay_T, (n_rights, n_paths))], axis=0)
+    def obligations(k):
+        return max(0, n_min - (n_rights - k))
+
+    ex_T = payoff(paths_tm[n_steps])
+    rows = [jnp.zeros((n_paths,), dtype)]
+    for k in range(1, n_rights + 1):
+        rows.append((ex_T + rows[k - 1]) if obligations(k) >= 1
+                    else jnp.maximum(ex_T, 0.0))
+    Y0 = jnp.stack(rows)
 
     def step(Y, xs):
         S_t, t = xs
@@ -137,16 +187,27 @@ def _swing_engine_impl(paths_tm, rdt, K, phi, spec, n_rights, itm,
         weights = (ex > 0).astype(dtype) if itm else None
         conts = [jnp.zeros((n_paths,), dtype)]  # C^0 ≡ 0
         for k in range(1, n_rights + 1):
+            # Q2's zero-floor is only valid for nonnegative cashflows;
+            # forward-kind values are signed (forced OTM takes)
             cont, _ = fit_continuation_with_coeffs(
-                S_t, c_t * Y[k], spec, weights)
+                S_t, c_t * Y[k], spec, weights,
+                clamp=payoff_kind == "option")
             conts.append(cont)
         newY = [Y[0]]
+        # dates t..n_steps inclusive remain when the scan sits at t
+        dates_remaining = n_steps - t + 1
         for k in range(1, n_rights + 1):
-            hit = (ex > 0) & (ex + conts[k - 1] > conts[k])
+            want = ex + conts[k - 1] > conts[k]
+            if payoff_kind == "option":
+                want = (ex > 0) & want
+            if obligations(k) > 0:
+                hit = want | (dates_remaining <= obligations(k))
+            else:
+                hit = want
             newY.append(jnp.where(hit, ex * inv_c_t + Y[k - 1], Y[k]))
         return jnp.stack(newY), None
 
-    ts = jnp.arange(n_steps, dtype=dtype)
+    ts = jnp.arange(n_steps, dtype=jnp.int32)
     Y, _ = lax.scan(step, Y0, (paths_tm[:n_steps], ts), reverse=True)
     discounted = jnp.exp(-rdt * n_steps) * Y[n_rights]
     if antithetic:
@@ -169,6 +230,8 @@ def price_swing_option(
     spec: RegressionSpec = RegressionSpec(),
     sim: SimConfig = SimConfig(),
     engine: str = "xla",
+    payoff_kind: str = "option",
+    n_min: int = 0,
 ) -> LSMCResult:
     """Price a swing option with ``n_rights`` exercise rights (≤ 1 per
     date) on the ``product`` vanilla payoff. ``n_rights=1`` reproduces the
@@ -188,6 +251,16 @@ def price_swing_option(
     if not product.is_american:
         raise ValueError("a European swing is n_rights * european price; "
                          "use exercise='american'")
+    if payoff_kind not in ("option", "forward"):
+        raise ValueError(f"unknown payoff_kind {payoff_kind!r}")
+    if not 0 <= n_min <= n_rights:
+        raise ValueError("need 0 <= n_min <= n_rights")
+    if n_min > sim.n_steps + 1:
+        raise ValueError("n_min exceeds the number of exercise dates")
+    if engine == "mega" and (payoff_kind != "option" or n_min != 0):
+        raise ValueError("constrained/forward swing runs on engine='xla'; "
+                         "the one-kernel engine prices the unconstrained "
+                         "option ladder")
     phi = 1.0 if product.option_type == "call" else -1.0
     dtype = sim.jnp_dtype
     if engine == "mega":
@@ -221,7 +294,8 @@ def price_swing_option(
     price, stderr = _swing_engine_impl(
         paths, jnp.asarray(market.r * product.T / sim.n_steps, dtype),
         jnp.asarray(product.K, dtype), phi, spec, int(n_rights),
-        spec.regress_on == "itm", sim.antithetic)
+        spec.regress_on == "itm", sim.antithetic,
+        payoff_kind=payoff_kind, n_min=int(n_min))
     return LSMCResult(price, stderr, None, None, None)
 
 
@@ -267,3 +341,92 @@ def price_swing_option_curves(
         itm_weights=spec.regress_on == "itm", mean_t=mean_t,
         inv_std_t=inv_std_t, antithetic=sim.antithetic)
     return LSMCResult(price, stderr, None, None, None)
+
+
+@dataclasses.dataclass(frozen=True)
+class SwingContractResult:
+    """Decomposed value of a volume-constrained swing contract:
+    ``price = q_take_min·strip_value + (q_take_max−q_take_min)·upswing_value``.
+    ``m_min``/``m_max`` are the up-swing exercise-count bounds implied by
+    the global volume constraints (rounded INWARD when not integral — a
+    conservative lower bound, exact when the volume bounds sit on the
+    take grid, the usual contract convention)."""
+
+    price: float
+    stderr: float
+    strip_value: float
+    upswing_value: float
+    upswing_stderr: float
+    m_min: int
+    m_max: int
+
+
+def price_swing_contract(
+    key: jax.Array,
+    market: MarketParams,
+    K: float,
+    T: float,
+    q_take_min: float,
+    q_take_max: float,
+    Q_min: float,
+    Q_max: float,
+    option_type: str = "call",
+    spec: RegressionSpec = RegressionSpec(),
+    sim: SimConfig = SimConfig(),
+) -> SwingContractResult:
+    """Volume-constrained swing (Jaillet-Ronn-Tompaidis): at each of the
+    ``sim.n_steps+1`` grid dates the holder takes a volume
+    ``u ∈ [q_take_min, q_take_max]`` paying the SIGNED ``φ(S_t − K)`` per
+    unit, subject to ``Q_min ≤ Σu ≤ Q_max`` over the contract.
+
+    Because the date payoff is linear in the take and the value function is
+    concave in cumulative volume, the optimal policy is bang-bang
+    (take q_min or q_max — JRT 2004), so the contract decomposes EXACTLY
+    into
+
+    - an obligatory base strip ``q_take_min · Σ_t e^{−r t}E[φ(S_t − K)]``
+      (closed form under GBM: ``Σ_t φ(S0 e^{−q t} − K e^{−r t})``), plus
+    - ``(q_take_max − q_take_min)`` units of an up-swing: a forward-kind
+      multiple-stopping option with at most ``m_max`` and at least
+      ``m_min`` exercises (`price_swing_option(payoff_kind="forward",
+      n_min=m_min)`).
+
+    Validate against ``q_take_min·strip + Δq·crr_swing_price(
+    n_rights=m_max, n_min=m_min, payoff_kind="forward")``.
+    """
+    n_dates = sim.n_steps + 1
+    if not 0.0 <= q_take_min <= q_take_max:
+        raise ValueError("need 0 <= q_take_min <= q_take_max")
+    if Q_min > Q_max:
+        raise ValueError("need Q_min <= Q_max")
+    if Q_min > n_dates * q_take_max + 1e-12:
+        raise ValueError("Q_min unreachable even taking q_take_max always")
+    if Q_max < n_dates * q_take_min - 1e-12:
+        raise ValueError("Q_max below the obligatory base volume")
+    phi = 1.0 if option_type == "call" else -1.0
+    dt = T / sim.n_steps
+    t = np.arange(n_dates, dtype=np.float64) * dt
+    strip = float(np.sum(phi * (float(market.S0) * np.exp(-float(market.q) * t)
+                                - float(K) * np.exp(-float(market.r) * t))))
+    dq = q_take_max - q_take_min
+    if dq <= 1e-14:
+        return SwingContractResult(q_take_min * strip, 0.0, strip, 0.0, 0.0,
+                                   0, 0)
+    m_min = int(np.ceil((Q_min - n_dates * q_take_min) / dq - 1e-9))
+    m_max = int(np.floor((Q_max - n_dates * q_take_min) / dq + 1e-9))
+    m_min = max(m_min, 0)
+    m_max = min(m_max, n_dates)
+    if m_max < m_min:
+        raise ValueError("volume constraints admit no feasible take counts "
+                         "on the bang-bang grid")
+    if m_max == 0:
+        return SwingContractResult(q_take_min * strip, 0.0, strip, 0.0, 0.0,
+                                   0, 0)
+    res = price_swing_option(
+        key, market,
+        ProductSpec(K=K, T=T, option_type=option_type, exercise="american"),
+        n_rights=m_max, spec=spec, sim=sim, engine="xla",
+        payoff_kind="forward", n_min=m_min)
+    up, up_se = float(res.price), float(res.stderr)
+    return SwingContractResult(q_take_min * strip + dq * up, dq * up_se,
+                               strip, up, up_se, m_min, m_max)

@@ -163,3 +163,118 @@ def test_swing_under_rate_curve():
     scal = crr_swing_price(100.0, 105.0, 1.0, 0.05, 0.25, 2,
                            n_steps=N_STEPS, n_sub=10)
     np.testing.assert_allclose(flat, scal, rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Constrained (take-or-pay / volume) swing
+# ---------------------------------------------------------------------------
+
+KPUT = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american")
+FSPEC = RegressionSpec(degree=5)  # signed payoffs: fit on all paths
+FSIM = SimConfig(n_paths=131_072, n_steps=8, antithetic=True)
+
+
+def test_forward_swing_vs_lattice():
+    lat = crr_swing_price(100.0, 100.0, 1.0, 0.05, 0.25, 2, n_steps=8,
+                          n_sub=100, option_type="put",
+                          payoff_kind="forward")
+    res = price_swing_option(jax.random.key(0), M, KPUT, 2, FSPEC, FSIM,
+                             payoff_kind="forward")
+    assert abs(float(res.price) - lat) < 3.5 * float(res.stderr) + 0.01
+
+
+def test_must_exercise_once_is_zero():
+    # e^{-rt}(K−S_t) is a strict supermartingale at S0=K → optimal forced
+    # single take is at t=0, value exactly 0 (lattice agrees to f64)
+    lat = crr_swing_price(100.0, 100.0, 1.0, 0.05, 0.25, 1, n_steps=8,
+                          n_sub=100, option_type="put",
+                          payoff_kind="forward", n_min=1)
+    assert abs(lat) < 1e-10
+    res = price_swing_option(jax.random.key(1), M, KPUT, 1, FSPEC, FSIM,
+                             payoff_kind="forward", n_min=1)
+    assert abs(float(res.price)) < 1e-6
+
+
+def test_take_or_pay_vs_lattice():
+    lat = crr_swing_price(100.0, 100.0, 1.0, 0.05, 0.25, 3, n_steps=8,
+                          n_sub=100, option_type="put",
+                          payoff_kind="forward", n_min=2)
+    res = price_swing_option(jax.random.key(2), M, KPUT, 3, FSPEC, FSIM,
+                             payoff_kind="forward", n_min=2)
+    assert abs(float(res.price) - lat) < 3.5 * float(res.stderr) + 0.02
+
+
+def test_fully_forced_swing_is_forward_strip():
+    # n_min = n_rights = every date: no optionality left — the value is the
+    # closed-form discounted forward strip Σ_t (K e^{-rt} − S0)
+    n = FSIM.n_steps + 1
+    t = np.arange(n) * (1.0 / FSIM.n_steps)
+    strip = float(np.sum(100.0 * np.exp(-0.05 * t) - 100.0))
+    lat = crr_swing_price(100.0, 100.0, 1.0, 0.05, 0.25, n, n_steps=8,
+                          n_sub=100, option_type="put",
+                          payoff_kind="forward", n_min=n)
+    np.testing.assert_allclose(lat, strip, atol=1e-8)
+    res = price_swing_option(jax.random.key(3), M, KPUT, n, FSPEC, FSIM,
+                             payoff_kind="forward", n_min=n)
+    assert abs(float(res.price) - strip) < 3.5 * float(res.stderr) + 0.01
+
+
+def test_option_kind_unaffected_by_obligation_plumbing():
+    # n_min=0 + option payoff must reproduce the original ladder estimator
+    res_old = price_swing_option(jax.random.key(5), M, PUT, 2, SPEC, SIM)
+    res_new = price_swing_option(jax.random.key(5), M, PUT, 2, SPEC, SIM,
+                                 payoff_kind="option", n_min=0)
+    np.testing.assert_allclose(float(res_old.price), float(res_new.price),
+                               rtol=1e-12)
+
+
+def test_swing_contract_vs_lattice_composition():
+    from amcx.swing import price_swing_contract
+
+    c = price_swing_contract(jax.random.key(7), M, 100.0, 1.0,
+                             q_take_min=0.5, q_take_max=1.0,
+                             Q_min=6.0, Q_max=7.5, option_type="put",
+                             spec=FSPEC, sim=FSIM)
+    # bang-bang counts: base 9×0.5 = 4.5 → m ∈ [ceil(3), floor(6)] = [3, 6]
+    assert (c.m_min, c.m_max) == (3, 6)
+    lat_up = crr_swing_price(100.0, 100.0, 1.0, 0.05, 0.25, c.m_max,
+                             n_steps=8, n_sub=100, option_type="put",
+                             payoff_kind="forward", n_min=c.m_min)
+    composed = 0.5 * c.strip_value + 0.5 * lat_up
+    assert abs(c.price - composed) < 3.5 * c.stderr + 0.02, (c.price, composed)
+
+
+def test_swing_contract_monotone_in_volume_bounds():
+    from amcx.swing import price_swing_contract
+
+    base = dict(q_take_min=0.5, q_take_max=1.0, option_type="put",
+                spec=FSPEC, sim=FSIM)
+    mid = price_swing_contract(jax.random.key(8), M, 100.0, 1.0,
+                               Q_min=6.0, Q_max=7.5, **base)
+    looser_min = price_swing_contract(jax.random.key(8), M, 100.0, 1.0,
+                                      Q_min=4.5, Q_max=7.5, **base)
+    tighter_max = price_swing_contract(jax.random.key(8), M, 100.0, 1.0,
+                                       Q_min=6.0, Q_max=6.5, **base)
+    assert looser_min.price >= mid.price - 1e-9
+    assert tighter_max.price <= mid.price + 1e-9
+
+
+def test_swing_contract_validation():
+    from amcx.swing import price_swing_contract
+
+    with pytest.raises(ValueError, match="unreachable"):
+        price_swing_contract(jax.random.key(0), M, 100.0, 1.0, 0.0, 1.0,
+                             Q_min=50.0, Q_max=60.0, sim=FSIM)
+    with pytest.raises(ValueError, match="base volume"):
+        price_swing_contract(jax.random.key(0), M, 100.0, 1.0, 1.0, 1.0,
+                             Q_min=0.0, Q_max=2.0, sim=FSIM)
+    with pytest.raises(ValueError, match="engine='xla'"):
+        price_swing_option(jax.random.key(0), M, KPUT, 2, FSPEC, FSIM,
+                           engine="mega", payoff_kind="forward")
+    # degenerate q_min == q_max: pure strip, no MC
+    from amcx.swing import SwingContractResult
+
+    c = price_swing_contract(jax.random.key(0), M, 100.0, 1.0, 1.0, 1.0,
+                             Q_min=0.0, Q_max=9.0, option_type="put",
+                             sim=FSIM)
+    assert isinstance(c, SwingContractResult) and c.stderr == 0.0
