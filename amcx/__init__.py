@@ -49,6 +49,8 @@ from .book import (price_strike_grid, price_mixed_book, BookResult,
                    book_ccr_exposures, book_greeks)
 from .models.asian import (price_asian_option, geometric_asian_price,
                            running_average)
+from .models.basket import (price_basket_option, geometric_basket_price,
+                            basket_level)
 from .dynamics import (HestonParams, simulate_heston, simulate_local_vol,
                        heston_price_cf, price_option_heston)
 from .qmc import simulate_gbm_qmc, sobol_normals
@@ -139,6 +141,9 @@ __all__ = [
     "BookResult",
     "simulate_gbm_qmc",
     "sobol_normals",
+    "price_basket_option",
+    "geometric_basket_price",
+    "basket_level",
     "SVISurface",
     "fit_svi_surface",
     "fit_svi_slice",

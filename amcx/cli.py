@@ -29,6 +29,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import numpy as np
 
 
 def _market_product_args(p: argparse.ArgumentParser):
@@ -535,6 +536,49 @@ def cmd_calibrate(args):
     return payload
 
 
+def cmd_basket(args):
+    """Basket option on correlated GBM assets; geometric Europeans check
+    against the exact lognormal oracle."""
+    from .models.basket import geometric_basket_price, price_basket_option
+    from .types import RegressionSpec, SimConfig
+
+    s0 = [float(x) for x in args.s0.split(",")]
+    n = len(s0)
+    weights = ([1.0 / n] * n if args.weights is None
+               else [float(x) for x in args.weights.split(",")])
+    corr = None
+    if args.corr is not None:
+        rho = float(args.corr)
+        corr = jnp.full((n, n), rho) + (1.0 - rho) * jnp.eye(n)
+    spec = RegressionSpec(basis=args.basis, degree=args.degree)
+    sim = SimConfig(n_paths=args.paths, n_steps=args.steps,
+                    antithetic=args.antithetic)
+    res = price_basket_option(
+        jax.random.key(args.seed), s0, weights, args.k, args.t, args.r,
+        args.sigma, q=args.q, corr=corr, option_type=args.option_type,
+        exercise=args.exercise, averaging=args.averaging, spec=spec,
+        sim=sim, engine=args.engine)
+    payload = {
+        "price": round(float(res.price), 4),
+        "stderr": round(float(res.stderr), 4),
+        "n_assets": n,
+    }
+    if args.averaging == "geo" and args.exercise == "european":
+        payload["oracle"] = round(geometric_basket_price(
+            s0, weights, args.k, args.t, args.r, args.sigma,
+            corr=None if corr is None else np.asarray(corr), q=args.q,
+            option_type=args.option_type), 4)
+    if not args.json:
+        line = (f"{args.averaging} basket {args.exercise} "
+                f"{args.option_type} on {n} assets: {payload['price']:.4f} "
+                f"± {payload['stderr']:.4f}")
+        if "oracle" in payload:
+            line += f"  (exact: {payload['oracle']:.4f})"
+        print(line)
+    _emit(payload, args.json)
+    return payload
+
+
 def cmd_preset(args):
     from .presets import get_preset
 
@@ -902,6 +946,36 @@ def build_parser():
     ph.add_argument("--seed", type=int, default=42)
     ph.add_argument("--json", action="store_true")
     ph.set_defaults(fn=cmd_heston)
+
+    pk2 = sub.add_parser(
+        "basket", help="basket option on correlated GBM assets")
+    pk2.add_argument("--s0", default="100,95,105",
+                     help="comma-separated spots (defines n_assets)")
+    pk2.add_argument("--weights", default=None,
+                     help="comma-separated weights summing to 1 "
+                          "(default equal)")
+    pk2.add_argument("--corr", default=None,
+                     help="single pairwise correlation (default 0 = "
+                          "independent)")
+    pk2.add_argument("--k", type=float, default=100.0)
+    pk2.add_argument("--t", type=float, default=1.0)
+    pk2.add_argument("--r", type=float, default=0.05)
+    pk2.add_argument("--q", type=float, default=0.0)
+    pk2.add_argument("--sigma", type=float, default=0.25)
+    pk2.add_argument("--option-type", choices=["put", "call"], default="put")
+    pk2.add_argument("--exercise", choices=["european", "american"],
+                     default="american")
+    pk2.add_argument("--averaging", choices=["arith", "geo"],
+                     default="arith")
+    pk2.add_argument("--basis", default="chebyshev")
+    pk2.add_argument("--degree", type=int, default=2)
+    pk2.add_argument("--paths", type=int, default=100_000)
+    pk2.add_argument("--steps", type=int, default=50)
+    pk2.add_argument("--antithetic", action="store_true")
+    pk2.add_argument("--engine", choices=["xla", "fused"], default="xla")
+    pk2.add_argument("--seed", type=int, default=42)
+    pk2.add_argument("--json", action="store_true")
+    pk2.set_defaults(fn=cmd_basket)
 
     pc = sub.add_parser(
         "calibrate",

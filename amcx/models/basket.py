@@ -1,0 +1,157 @@
+"""Basket options on correlated multi-asset GBM.
+
+The reference prices single-asset products only
+(`/root/reference/american_monte_carlo.py:72-81` — scalar GBM). Baskets are
+the standard multi-asset desk product: the payoff reads a weighted average
+of the assets, and American exercise regresses the continuation on the full
+asset state (the basket level alone is NOT Markov — weights/vols move the
+boundary), reusing the total-degree cross-term machinery already built for
+the Bermudan max-call (`amcx.models.maxcall`).
+
+Two averaging conventions:
+
+- ``averaging="arith"``: B_t = Σ w_i S_i,t (no closed form; validated by
+  the geometric twin, put-call parity, and degenerate limits),
+- ``averaging="geo"``:  B_t = Π S_i,t^{w_i} — a product of lognormals is
+  lognormal, so the EUROPEAN geometric basket has an exact Black-Scholes
+  price (:func:`geometric_basket_price`): the standing oracle for the whole
+  module, same role as `amcx.models.asian.geometric_asian_price`.
+
+Engines: ``xla`` (scan engine + `max_call_fit` cross basis, any weights)
+and ``fused`` (the two fused multi-asset Pallas kernels per step with
+``payoff_kind="basket"|"geobasket"`` — equal weights, which is what the
+asset-symmetric kernel payoff computes).
+
+Degenerate-limit tests (tests/test_basket.py): corr→1 with identical assets
+collapses every basket to the single-asset product priced by the scalar
+engines; weights (1, 0, ..) collapse to asset 0; geometric European matches
+the closed form; arithmetic ≥ geometric (AM-GM, same paths).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..engine import LSMCResult, backward_induction
+from ..types import RegressionSpec, SimConfig
+
+__all__ = ["price_basket_option", "geometric_basket_price", "basket_level"]
+
+
+def basket_level(S, weights, averaging: str = "arith"):
+    """Weighted basket level along the LAST axis of ``S``; ``geo`` averages
+    in log space."""
+    w = jnp.asarray(weights, S.dtype)
+    if averaging == "arith":
+        return jnp.sum(S * w, axis=-1)
+    if averaging == "geo":
+        return jnp.exp(jnp.sum(jnp.log(S) * w, axis=-1))
+    raise ValueError(f"averaging must be 'arith' or 'geo', got {averaging!r}")
+
+
+def geometric_basket_price(S0, weights, K, T, r, sigma, corr=None, q=0.0,
+                           option_type: str = "call") -> float:
+    """Exact European price of the GEOMETRIC basket option (host f64).
+
+    ``G_T = Π S_i^{w_i}`` is lognormal: ``ln G_T ~ N(Σ w_i[ln S0_i +
+    (r − q_i − σ_i²/2)T], w'Σw·T)`` with ``Σ_ij = σ_i σ_j ρ_ij`` — Black's
+    formula on the forward ``F = E[G_T]``. The module's standing oracle
+    (cf. the exact geometric-Asian oracle, `amcx.models.asian`).
+    """
+    S0 = np.atleast_1d(np.asarray(S0, np.float64))
+    n = S0.shape[0]
+    w = np.broadcast_to(np.asarray(weights, np.float64), (n,))
+    sig = np.broadcast_to(np.asarray(sigma, np.float64), (n,))
+    qv = np.broadcast_to(np.asarray(q, np.float64), (n,))
+    C = np.eye(n) if corr is None else np.asarray(corr, np.float64)
+    mu = float(np.sum(w * (np.log(S0) + (r - qv - 0.5 * sig**2) * T)))
+    var = float(w @ (np.outer(sig, sig) * C) @ w) * T
+    F = np.exp(mu + 0.5 * var)
+    sq = max(np.sqrt(var), 1e-12)
+    d1 = (np.log(F / K) + 0.5 * var) / sq
+    d2 = d1 - sq
+    phi = 1.0 if option_type == "call" else -1.0
+    from scipy.stats import norm
+
+    return float(np.exp(-r * T) * phi * (F * norm.cdf(phi * d1)
+                                         - K * norm.cdf(phi * d2)))
+
+
+def price_basket_option(
+    key: jax.Array,
+    S0,
+    weights,
+    K,
+    T,
+    r,
+    sigma,
+    q=0.0,
+    corr: Optional[jnp.ndarray] = None,
+    option_type: str = "put",
+    exercise: str = "american",
+    averaging: str = "arith",
+    spec: RegressionSpec = RegressionSpec(basis="chebyshev", degree=2),
+    sim: SimConfig = SimConfig(),
+    basis_mode: str = "total",
+    return_surface: bool = False,
+    engine: str = "xla",
+) -> LSMCResult:
+    """American/European basket option on correlated GBM assets.
+
+    The regression state is the FULL asset vector (total-degree cross-term
+    basis via `amcx.models.maxcall.max_call_fit`); the payoff reads the
+    weighted basket level. ``engine="fused"`` runs the two fused
+    multi-asset Pallas kernels per step (equal weights only — the kernel
+    payoff is asset-symmetric; n_paths divisible by 4096).
+    """
+    from ..paths import simulate_gbm_multi
+    from .maxcall import max_call_fit
+
+    if averaging not in ("arith", "geo"):
+        raise ValueError(f"averaging must be 'arith' or 'geo', got "
+                         f"{averaging!r}")
+    S0 = jnp.atleast_1d(jnp.asarray(S0, sim.jnp_dtype))
+    n_assets = S0.shape[0]
+    w = np.broadcast_to(np.asarray(weights, np.float64), (n_assets,))
+    if abs(float(w.sum()) - 1.0) > 1e-6:
+        raise ValueError("basket weights must sum to 1")
+    phi = 1.0 if option_type == "call" else -1.0
+    X = simulate_gbm_multi(key, S0, r, sigma, T, sim, q=q, corr=corr)
+    dt = T / sim.n_steps
+    if engine == "fused":
+        if exercise != "american":
+            raise ValueError("engine='fused' prices American baskets only "
+                             "(Europeans need no induction)")
+        if return_surface:
+            raise ValueError("engine='fused' emits no continuation surface")
+        if np.max(np.abs(w - 1.0 / n_assets)) > 1e-9:
+            raise ValueError("engine='fused' supports equal weights only; "
+                             "use engine='xla' for weighted baskets")
+        from .maxcall import backward_induction_fused_maxcall
+
+        return backward_induction_fused_maxcall(
+            X, K, r, dt, spec, basis_mode=basis_mode, exercise_from_step=0,
+            payoff_kind="basket" if averaging == "arith" else "geobasket",
+            phi=phi,
+        )
+    if engine != "xla":
+        raise ValueError(f"engine must be 'xla' or 'fused', got {engine!r}")
+    knocked = jnp.ones(X.shape[:-1], dtype=bool)
+    w_j = jnp.asarray(w, sim.jnp_dtype)
+
+    def payoff(state):
+        return jnp.maximum(
+            phi * (basket_level(state, w_j, averaging) - K), 0.0)
+
+    fit_fn = partial(max_call_fit, mode=basis_mode)
+    return backward_induction(
+        X, knocked, r, dt, payoff, spec,
+        american=exercise == "american", return_surface=return_surface,
+        fit_fn=fit_fn, fit_fn_returns_coeffs=True,
+    )

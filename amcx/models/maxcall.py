@@ -226,6 +226,15 @@ def backward_induction_fused_maxcall(
         cf0 = jnp.maximum(
             phi * (paths_tm[n_steps, :, 0] - paths_tm[n_steps, :, 1]), 0.0
         ).reshape(rows, LANES)
+    elif payoff_kind == "basket":
+        cf0 = jnp.maximum(
+            phi * (jnp.mean(paths_tm[n_steps], axis=-1) - K_), 0.0
+        ).reshape(rows, LANES)
+    elif payoff_kind == "geobasket":
+        cf0 = jnp.maximum(
+            phi * (jnp.exp(jnp.mean(jnp.log(paths_tm[n_steps]), axis=-1))
+                   - K_), 0.0
+        ).reshape(rows, LANES)
     else:
         raise ValueError(f"unknown payoff_kind {payoff_kind!r}")
     tau0 = jnp.full((rows, LANES), float(n_steps), dtype)

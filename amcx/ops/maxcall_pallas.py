@@ -97,7 +97,10 @@ def _payoff_for(planes, K, payoff_kind, phi):
     planes (extra planes are regression features, not payoff inputs);
     ``second`` = φ·(planes[1] − K) — fixed-strike Asian on the (S, A)
     state where plane 1 carries the running average; ``spread`` =
-    φ·(planes[0] − planes[1]) — floating-strike (average-strike) Asian."""
+    φ·(planes[0] − planes[1]) — floating-strike (average-strike) Asian;
+    ``basket`` = φ·(mean(planes) − K) equal-weight arithmetic basket;
+    ``geobasket`` = φ·(Πplanes^{1/A} − K) geometric basket (exact
+    lognormal European oracle — see `amcx.models.basket`)."""
     if payoff_kind == "maxcall":
         ex = planes[0]
         for p in planes[1:]:
@@ -109,6 +112,16 @@ def _payoff_for(planes, K, payoff_kind, phi):
         return jnp.maximum(phi * (planes[1] - K), 0.0)
     if payoff_kind == "spread":
         return jnp.maximum(phi * (planes[0] - planes[1]), 0.0)
+    if payoff_kind == "basket":
+        acc = planes[0]
+        for p in planes[1:]:
+            acc = acc + p
+        return jnp.maximum(phi * (acc / float(len(planes)) - K), 0.0)
+    if payoff_kind == "geobasket":
+        acc = jnp.log(planes[0])
+        for p in planes[1:]:
+            acc = acc + jnp.log(p)
+        return jnp.maximum(phi * (jnp.exp(acc / float(len(planes))) - K), 0.0)
     raise ValueError(f"unknown payoff_kind {payoff_kind!r}")
 
 

@@ -1,0 +1,157 @@
+"""Basket options: exact geometric oracle, degenerate limits, engine parity.
+
+Validation methodology mirrors the reference's oracle-anchored tests
+(`unit_test.py:21`) with the self-hosted closed forms of
+`amcx.models.basket`.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from amcx import MarketParams, ProductSpec, RegressionSpec, SimConfig, price_option
+from amcx.models.basket import (basket_level, geometric_basket_price,
+                                price_basket_option)
+from amcx.oracle import bs_price, crr_price
+
+CORR = np.array([[1.0, 0.3, 0.3],
+                 [0.3, 1.0, 0.3],
+                 [0.3, 0.3, 1.0]])
+S0 = [100.0, 95.0, 105.0]
+W = [1 / 3, 1 / 3, 1 / 3]
+SPEC = RegressionSpec(basis="chebyshev", degree=2)
+SIM = SimConfig(n_paths=65_536, n_steps=20, antithetic=True)
+
+
+def test_geometric_basket_oracle_single_asset_limit():
+    # one asset: geometric basket == vanilla Black-Scholes
+    got = geometric_basket_price([100.0], [1.0], 95.0, 1.0, 0.05, 0.2,
+                                 option_type="call")
+    # bs_price runs on-device in f32; the oracle is host f64
+    ref = float(bs_price(100.0, 95.0, 1.0, 0.05, 0.2, 0.0, "call"))
+    assert abs(got - ref) < 5e-5
+
+
+def test_geometric_european_matches_closed_form():
+    res = price_basket_option(jax.random.key(0), S0, W, 100.0, 1.0, 0.05,
+                              0.25, corr=CORR, option_type="call",
+                              exercise="european", averaging="geo",
+                              spec=SPEC, sim=SIM)
+    ref = geometric_basket_price(S0, W, 100.0, 1.0, 0.05, 0.25, corr=CORR,
+                                 option_type="call")
+    assert abs(float(res.price) - ref) < 3.5 * float(res.stderr) + 0.01, (
+        float(res.price), ref)
+
+
+def test_arithmetic_dominates_geometric_same_paths():
+    # AM-GM: Σw S ≥ Π S^w pathwise → call price ordering on shared key
+    arith = price_basket_option(jax.random.key(1), S0, W, 100.0, 1.0, 0.05,
+                                0.25, corr=CORR, option_type="call",
+                                exercise="european", averaging="arith",
+                                spec=SPEC, sim=SIM)
+    geo = price_basket_option(jax.random.key(1), S0, W, 100.0, 1.0, 0.05,
+                              0.25, corr=CORR, option_type="call",
+                              exercise="european", averaging="geo",
+                              spec=SPEC, sim=SIM)
+    assert float(arith.price) >= float(geo.price)
+
+
+def test_identical_assets_full_corr_is_single_asset():
+    # corr → 1 with identical assets: every basket IS the single asset
+    # (0.9999 off-diagonal — exactly 1 is singular and Cholesky NaNs)
+    ones = np.full((3, 3), 0.9999) + 0.0001 * np.eye(3)
+    res = price_basket_option(jax.random.key(2), [100.0] * 3, W, 100.0, 1.0,
+                              0.05, 0.2, corr=ones, option_type="put",
+                              exercise="american", averaging="arith",
+                              spec=RegressionSpec(basis="chebyshev", degree=4),
+                              sim=SIM)
+    crr = float(crr_price(100.0, 100.0, 1.0, 0.05, 0.2, 2000,
+                          option_type="put", american=True))
+    assert abs(float(res.price) - crr) < 3.5 * float(res.stderr) + 0.05, (
+        float(res.price), crr)
+
+
+def test_degenerate_weights_select_single_asset():
+    res = price_basket_option(jax.random.key(3), S0, [1.0, 0.0, 0.0], 100.0,
+                              1.0, 0.05, 0.2, corr=CORR, option_type="put",
+                              exercise="european", averaging="arith",
+                              spec=SPEC, sim=SIM)
+    ref = float(bs_price(100.0, 100.0, 1.0, 0.05, 0.2, 0.0, "put"))
+    assert abs(float(res.price) - ref) < 3.5 * float(res.stderr) + 0.01
+
+
+def test_american_geq_european():
+    eu = price_basket_option(jax.random.key(4), S0, W, 105.0, 1.0, 0.05,
+                             0.25, corr=CORR, option_type="put",
+                             exercise="european", averaging="arith",
+                             spec=SPEC, sim=SIM)
+    am = price_basket_option(jax.random.key(4), S0, W, 105.0, 1.0, 0.05,
+                             0.25, corr=CORR, option_type="put",
+                             exercise="american", averaging="arith",
+                             spec=SPEC, sim=SIM)
+    assert float(am.price) >= float(eu.price) - 2.0 * float(eu.stderr)
+
+
+def test_fused_engine_matches_xla():
+    # same paths, same regression family → engines agree to policy noise
+    sim = SimConfig(n_paths=32_768, n_steps=10, antithetic=True)
+    kw = dict(corr=CORR, option_type="put", exercise="american",
+              averaging="arith", spec=SPEC, sim=sim)
+    res_x = price_basket_option(jax.random.key(5), S0, W, 105.0, 1.0, 0.05,
+                                0.25, engine="xla", **kw)
+    res_f = price_basket_option(jax.random.key(5), S0, W, 105.0, 1.0, 0.05,
+                                0.25, engine="fused", **kw)
+    assert abs(float(res_x.price) - float(res_f.price)) < 0.03, (
+        float(res_x.price), float(res_f.price))
+
+
+def test_fused_geobasket_runs_and_bounds_european():
+    sim = SimConfig(n_paths=32_768, n_steps=10, antithetic=True)
+    res = price_basket_option(jax.random.key(6), S0, W, 100.0, 1.0, 0.05,
+                              0.25, corr=CORR, option_type="put",
+                              exercise="american", averaging="geo",
+                              spec=SPEC, sim=sim, engine="fused")
+    eu = geometric_basket_price(S0, W, 100.0, 1.0, 0.05, 0.25, corr=CORR,
+                                option_type="put")
+    assert float(res.price) >= eu - 3.5 * float(res.stderr)
+
+
+def test_basket_validation_errors():
+    with pytest.raises(ValueError, match="sum to 1"):
+        price_basket_option(jax.random.key(0), S0, [0.5, 0.5, 0.5], 100.0,
+                            1.0, 0.05, 0.2, sim=SIM)
+    with pytest.raises(ValueError, match="equal weights"):
+        price_basket_option(jax.random.key(0), S0, [0.5, 0.25, 0.25], 100.0,
+                            1.0, 0.05, 0.2, corr=CORR, engine="fused",
+                            sim=SimConfig(n_paths=8192, n_steps=4))
+    with pytest.raises(ValueError, match="averaging"):
+        price_basket_option(jax.random.key(0), S0, W, 100.0, 1.0, 0.05, 0.2,
+                            averaging="harmonic", sim=SIM)
+    with pytest.raises(ValueError, match="American"):
+        price_basket_option(jax.random.key(0), S0, W, 100.0, 1.0, 0.05, 0.2,
+                            corr=CORR, engine="fused", exercise="european",
+                            sim=SimConfig(n_paths=8192, n_steps=4))
+
+
+def test_basket_level_shapes():
+    S = jnp.ones((5, 7, 3)) * jnp.asarray([1.0, 2.0, 4.0])
+    arith = basket_level(S, [1 / 3, 1 / 3, 1 / 3], "arith")
+    geo = basket_level(S, [1 / 3, 1 / 3, 1 / 3], "geo")
+    assert arith.shape == (5, 7) and geo.shape == (5, 7)
+    np.testing.assert_allclose(np.asarray(arith), 7.0 / 3.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(geo), 2.0, rtol=1e-6)
+
+
+def test_cli_basket_geo_european(capsys):
+    import json as _json
+
+    from amcx.cli import main
+
+    main(["basket", "--averaging", "geo", "--exercise", "european",
+          "--corr", "0.3", "--paths", "16384", "--steps", "10",
+          "--antithetic", "--json"])
+    payload = _json.loads(capsys.readouterr().out)
+    assert payload["n_assets"] == 3
+    assert abs(payload["price"] - payload["oracle"]) < \
+        4.0 * max(payload["stderr"], 1e-4) + 0.02
