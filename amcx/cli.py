@@ -750,12 +750,8 @@ def cmd_swing(args):
     spec = RegressionSpec(degree=args.degree, regress_on=args.regress_on)
     sim = SimConfig(n_paths=args.paths, n_steps=args.steps,
                     antithetic=args.antithetic, backend=args.backend)
-    engine = args.engine
-    if engine == "mega" and (args.payoff_kind != "option"
-                             or args.min_rights > 0):
-        engine = "xla"  # one-kernel engine prices the unconstrained ladder
     res = price_swing_option(jax.random.key(args.seed), market, product,
-                             args.rights, spec, sim, engine=engine,
+                             args.rights, spec, sim, engine=args.engine,
                              payoff_kind=args.payoff_kind,
                              n_min=args.min_rights)
     oracle = crr_swing_price(args.s0, args.k, args.t, args.r, args.sigma,
@@ -1056,8 +1052,7 @@ def build_parser():
     pw.add_argument("--min-rights", type=int, default=0,
                     help="take-or-pay minimum exercise count")
     pw.add_argument("--engine", choices=["xla", "mega"], default="mega",
-                    help="mega = whole rights ladder in one Pallas kernel "
-                         "(constrained/forward swings run on xla)")
+                    help="mega = whole rights ladder in one Pallas kernel")
     pw.add_argument("--backend", choices=["xla", "pallas"], default="xla")
     pw.add_argument("--seed", type=int, default=42)
     pw.add_argument("--json", action="store_true")

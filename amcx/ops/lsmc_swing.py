@@ -48,11 +48,12 @@ __all__ = ["lsmc_price_swing"]
 
 def _swing_kernel(scal_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, macc,
                   *, n_steps, n_rows, chunk_rows, basis, degree, n_rights,
-                  itm_weights, antithetic):
+                  itm_weights, antithetic, payoff_kind="option", n_min=0):
     k = degree + 1
     pairs = _pairs(k)
     nP = len(pairs)
     R = n_rights
+    forward = payoff_kind == "forward"
     i = pl.program_id(0)
     t = n_steps - i
 
@@ -63,17 +64,29 @@ def _swing_kernel(scal_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, macc,
     inv_c_t = stats_ref[3 * (n_steps + 1) + t]
     n_chunks = n_rows // chunk_rows
 
+    def obligations(kk):
+        # kk rights remaining ⇒ R − kk already exercised (static per plane)
+        return max(0, n_min - (R - kk))
+
+    def take(S):
+        signed = phi * (S - K)
+        return signed if forward else jnp.maximum(signed, 0.0)
+
     @pl.when(i == 0)
     def _maturity():
         # maturity is an exercise date: exactly one right is usable
-        # (V^k_T = payoff for every k ≥ 1), matching the rights lattice
+        # (V^k_T = payoff for every k ≥ 1), matching the rights lattice;
+        # an outstanding obligation forces the (possibly negative) take
         def body(c, _):
             sl = pl.ds(c * chunk_rows, chunk_rows)
             S = s_ref[0, sl, :]
-            pay = jnp.maximum(phi * (S - K), 0.0)
+            pay = take(S)
             V[0, sl, :] = jnp.zeros_like(pay)
             for kk in range(1, R + 1):
-                V[kk, sl, :] = pay
+                if obligations(kk) >= 1:
+                    V[kk, sl, :] = pay + V[kk - 1, sl, :]
+                else:
+                    V[kk, sl, :] = jnp.maximum(pay, 0.0)
             return 0
 
         jax.lax.fori_loop(0, n_chunks, body, 0)
@@ -90,7 +103,7 @@ def _swing_kernel(scal_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, macc,
             xhat = (S - mean) * inv_std
             cols = _basis_cols(xhat, basis, degree)
             if itm_weights:
-                w = (jnp.maximum(phi * (S - K), 0.0) > 0.0).astype(jnp.float32)
+                w = (phi * (S - K) > 0.0).astype(jnp.float32)
                 cols_w = [c_ * w for c_ in cols]
             else:
                 w = None
@@ -126,13 +139,22 @@ def _swing_kernel(scal_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, macc,
                 fitted = cols[0] * coeffs[kk][0]
                 for a in range(1, k):
                     fitted = fitted + cols[a] * coeffs[kk][a]
-                conts.append(jnp.maximum(fitted, 0.0))  # Q2 clamp, per k
-            ex = jnp.maximum(phi * (S - K), 0.0)
+                # Q2 clamp only for nonnegative (option) cashflows — a
+                # floored SIGNED continuation disables OTM forced takes
+                conts.append(fitted if forward
+                             else jnp.maximum(fitted, 0.0))
+            ex = take(S)
             itm = ex > 0.0
+            # dates t..n_steps inclusive remain at grid position t
+            dates_remaining = n_steps - t + 1
             for kk in range(R, 0, -1):  # descending: V[kk-1] pre-update
                 cont_k = conts[kk - 1]
                 cont_km1 = conts[kk - 2] if kk >= 2 else 0.0
-                hit = itm & (ex + cont_km1 > cont_k)
+                hit = ex + cont_km1 > cont_k
+                if not forward:
+                    hit = itm & hit
+                if obligations(kk) > 0:
+                    hit = hit | (dates_remaining <= obligations(kk))
                 V[kk, sl, :] = jnp.where(
                     hit, ex * inv_c_t + V[kk - 1, sl, :], V[kk, sl, :])
             return 0
@@ -154,10 +176,12 @@ def _swing_kernel(scal_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, macc,
 @functools.partial(
     jax.jit,
     static_argnames=("n_steps", "n_rows", "basis", "degree", "n_rights",
-                     "itm_weights", "antithetic", "interpret"),
+                     "itm_weights", "antithetic", "interpret",
+                     "payoff_kind", "n_min"),
 )
 def _run_swing(scalars, stats, paths_blocks, n_steps, n_rows, basis, degree,
-               n_rights, itm_weights, antithetic, interpret):
+               n_rights, itm_weights, antithetic, interpret,
+               payoff_kind="option", n_min=0):
     k = degree + 1
     P = len(_pairs(k)) + n_rights * k
     kernel = functools.partial(
@@ -170,6 +194,8 @@ def _run_swing(scalars, stats, paths_blocks, n_steps, n_rows, basis, degree,
         n_rights=n_rights,
         itm_weights=itm_weights,
         antithetic=antithetic,
+        payoff_kind=payoff_kind,
+        n_min=n_min,
     )
     scalar_shape = jax.ShapeDtypeStruct((1, 1), jnp.float32)
     scalar_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
@@ -214,20 +240,29 @@ def lsmc_price_swing(
     inv_std_t=None,
     interpret=None,
     antithetic: bool = False,
+    payoff_kind: str = "option",
+    n_min: int = 0,
 ):
     """Swing price (``n_rights`` exercises, ≤ 1 per date) in one kernel.
 
     Same input contract as `lsmc_price_megakernel`: time-major paths
     (``(n_steps+1, n_paths)`` or pre-blocked 3-D), optional precomputed
     standardization rows, ``r`` a scalar or an ``(n_steps,)`` short-rate
-    curve. Returns ``(price, stderr)``. Validated against the XLA swing
-    engine (`amcx.swing`) and the exact rights lattice
+    curve. ``payoff_kind="forward"`` / ``n_min`` price the constrained
+    (take-or-pay) swing — same semantics as `amcx.swing._swing_engine_impl`
+    (signed takes, unclamped continuations, forced-exercise region).
+    Returns ``(price, stderr)``. Validated against the XLA swing engine
+    (`amcx.swing`) and the exact rights lattice
     (`amcx.swing.crr_swing_price`).
     """
     if n_rights < 1:
         raise ValueError("n_rights must be >= 1")
     if n_rights > 12:
         raise ValueError("n_rights > 12 exceeds the VMEM plane budget")
+    if payoff_kind not in ("option", "forward"):
+        raise ValueError(f"unknown payoff_kind {payoff_kind!r}")
+    if not 0 <= n_min <= n_rights:
+        raise ValueError("need 0 <= n_min <= n_rights")
     n_steps = paths_tm.shape[0] - 1
     n_paths = (paths_tm.shape[1] if paths_tm.ndim == 2
                else paths_tm.shape[1] * paths_tm.shape[2])
@@ -266,7 +301,8 @@ def lsmc_price_swing(
     blocks = (paths_tm if paths_tm.ndim == 3
               else paths_tm.reshape(n_steps + 1, n_rows, LANES))
     sums = _run_swing(scalars, stats, blocks, n_steps, n_rows, basis, degree,
-                      int(n_rights), itm_weights, antithetic, interpret)
+                      int(n_rights), itm_weights, antithetic, interpret,
+                      payoff_kind=payoff_kind, n_min=int(n_min))
     price = sums[0] / n_paths
     n_eff = n_paths // 2 if antithetic else n_paths
     var = jnp.maximum(sums[1] / n_eff - price * price, 0.0)

@@ -257,10 +257,6 @@ def price_swing_option(
         raise ValueError("need 0 <= n_min <= n_rights")
     if n_min > sim.n_steps + 1:
         raise ValueError("n_min exceeds the number of exercise dates")
-    if engine == "mega" and (payoff_kind != "option" or n_min != 0):
-        raise ValueError("constrained/forward swing runs on engine='xla'; "
-                         "the one-kernel engine prices the unconstrained "
-                         "option ladder")
     phi = 1.0 if product.option_type == "call" else -1.0
     dtype = sim.jnp_dtype
     if engine == "mega":
@@ -284,7 +280,8 @@ def price_swing_option(
             paths, product.K, market.r, product.T / sim.n_steps, phi,
             int(n_rights), basis=spec.basis, degree=spec.degree,
             rcond=spec.rcond, itm_weights=spec.regress_on == "itm",
-            mean_t=mean_t, inv_std_t=inv_std_t, antithetic=sim.antithetic)
+            mean_t=mean_t, inv_std_t=inv_std_t, antithetic=sim.antithetic,
+            payoff_kind=payoff_kind, n_min=int(n_min))
         return LSMCResult(price, stderr, None, None, None)
     if engine != "xla":
         raise ValueError(f"engine must be 'xla' or 'mega', got {engine!r}")
@@ -373,6 +370,7 @@ def price_swing_contract(
     option_type: str = "call",
     spec: RegressionSpec = RegressionSpec(),
     sim: SimConfig = SimConfig(),
+    engine: str = "xla",
 ) -> SwingContractResult:
     """Volume-constrained swing (Jaillet-Ronn-Tompaidis): at each of the
     ``sim.n_steps+1`` grid dates the holder takes a volume
@@ -425,7 +423,7 @@ def price_swing_contract(
     res = price_swing_option(
         key, market,
         ProductSpec(K=K, T=T, option_type=option_type, exercise="american"),
-        n_rights=m_max, spec=spec, sim=sim, engine="xla",
+        n_rights=m_max, spec=spec, sim=sim, engine=engine,
         payoff_kind="forward", n_min=m_min)
     up, up_se = float(res.price), float(res.stderr)
     return SwingContractResult(q_take_min * strip + dq * up, dq * up_se,

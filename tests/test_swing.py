@@ -268,9 +268,6 @@ def test_swing_contract_validation():
     with pytest.raises(ValueError, match="base volume"):
         price_swing_contract(jax.random.key(0), M, 100.0, 1.0, 1.0, 1.0,
                              Q_min=0.0, Q_max=2.0, sim=FSIM)
-    with pytest.raises(ValueError, match="engine='xla'"):
-        price_swing_option(jax.random.key(0), M, KPUT, 2, FSPEC, FSIM,
-                           engine="mega", payoff_kind="forward")
     # degenerate q_min == q_max: pure strip, no MC
     from amcx.swing import SwingContractResult
 
@@ -278,3 +275,30 @@ def test_swing_contract_validation():
                              Q_min=0.0, Q_max=9.0, option_type="put",
                              sim=FSIM)
     assert isinstance(c, SwingContractResult) and c.stderr == 0.0
+
+
+def test_constrained_swing_mega_kernel_matches_xla():
+    # forward takes + obligations through the ONE-kernel engine: same
+    # paths, same regression math → near-identical to the XLA ladder
+    sim = SimConfig(n_paths=65_536, n_steps=8, antithetic=True)
+    kw = dict(payoff_kind="forward", n_min=2)
+    res_x = price_swing_option(jax.random.key(11), M, KPUT, 3, FSPEC, sim,
+                               engine="xla", **kw)
+    res_m = price_swing_option(jax.random.key(11), M, KPUT, 3, FSPEC, sim,
+                               engine="mega", **kw)
+    assert abs(float(res_x.price) - float(res_m.price)) < 2.5e-3, (
+        float(res_x.price), float(res_m.price))
+    lat = crr_swing_price(100.0, 100.0, 1.0, 0.05, 0.25, 3, n_steps=8,
+                          n_sub=100, option_type="put",
+                          payoff_kind="forward", n_min=2)
+    assert abs(float(res_m.price) - lat) < 3.5 * float(res_m.stderr) + 0.02
+
+
+def test_fully_forced_mega_matches_strip():
+    n = 9
+    sim = SimConfig(n_paths=65_536, n_steps=8, antithetic=True)
+    t = np.arange(n) * (1.0 / 8)
+    strip = float(np.sum(100.0 * np.exp(-0.05 * t) - 100.0))
+    res = price_swing_option(jax.random.key(12), M, KPUT, n, FSPEC, sim,
+                             engine="mega", payoff_kind="forward", n_min=n)
+    assert abs(float(res.price) - strip) < 3.5 * float(res.stderr) + 0.01
