@@ -107,8 +107,8 @@ def price_basket_option(
     The regression state is the FULL asset vector (total-degree cross-term
     basis via `amcx.models.maxcall.max_call_fit`); the payoff reads the
     weighted basket level. ``engine="fused"`` runs the two fused
-    multi-asset Pallas kernels per step (equal weights only — the kernel
-    payoff is asset-symmetric; n_paths divisible by 4096).
+    multi-asset Pallas kernels per step (weights are baked static into the
+    in-register payoff; n_paths divisible by 4096).
     """
     from ..paths import simulate_gbm_multi
     from .maxcall import max_call_fit
@@ -130,15 +130,12 @@ def price_basket_option(
                              "(Europeans need no induction)")
         if return_surface:
             raise ValueError("engine='fused' emits no continuation surface")
-        if np.max(np.abs(w - 1.0 / n_assets)) > 1e-9:
-            raise ValueError("engine='fused' supports equal weights only; "
-                             "use engine='xla' for weighted baskets")
         from .maxcall import backward_induction_fused_maxcall
 
         return backward_induction_fused_maxcall(
             X, K, r, dt, spec, basis_mode=basis_mode, exercise_from_step=0,
             payoff_kind="basket" if averaging == "arith" else "geobasket",
-            phi=phi,
+            phi=phi, weights=tuple(float(x) for x in w),
         )
     if engine != "xla":
         raise ValueError(f"engine must be 'xla' or 'fused', got {engine!r}")

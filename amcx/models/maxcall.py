@@ -172,6 +172,7 @@ def backward_induction_fused_maxcall(
     interpret=None,
     payoff_kind: str = "maxcall",
     phi: float = 1.0,
+    weights=None,
 ) -> LSMCResult:
     """Multi-asset LSMC on the fused Pallas kernel path (VERDICT r1 #9).
 
@@ -227,25 +228,31 @@ def backward_induction_fused_maxcall(
             phi * (paths_tm[n_steps, :, 0] - paths_tm[n_steps, :, 1]), 0.0
         ).reshape(rows, LANES)
     elif payoff_kind == "basket":
+        w_vec = (jnp.full((n_assets,), 1.0 / n_assets, dtype) if weights
+                 is None else jnp.asarray(weights, dtype))
         cf0 = jnp.maximum(
-            phi * (jnp.mean(paths_tm[n_steps], axis=-1) - K_), 0.0
+            phi * (jnp.sum(paths_tm[n_steps] * w_vec, axis=-1) - K_), 0.0
         ).reshape(rows, LANES)
     elif payoff_kind == "geobasket":
+        w_vec = (jnp.full((n_assets,), 1.0 / n_assets, dtype) if weights
+                 is None else jnp.asarray(weights, dtype))
         cf0 = jnp.maximum(
-            phi * (jnp.exp(jnp.mean(jnp.log(paths_tm[n_steps]), axis=-1))
-                   - K_), 0.0
+            phi * (jnp.exp(jnp.sum(jnp.log(paths_tm[n_steps]) * w_vec,
+                                   axis=-1)) - K_), 0.0
         ).reshape(rows, LANES)
     else:
         raise ValueError(f"unknown payoff_kind {payoff_kind!r}")
     tau0 = jnp.full((rows, LANES), float(n_steps), dtype)
 
+    w_stat = None if weights is None else tuple(float(x) for x in weights)
     moments = partial(ma_step_moments, n_assets=n_assets, basis=spec.basis,
                       degree=spec.degree, mode=mode, sorted_basis=sorted_basis,
                       itm_weights=itm, interpret=interpret,
-                      payoff_kind=payoff_kind, phi=phi)
+                      payoff_kind=payoff_kind, phi=phi, weights=w_stat)
     apply_ = partial(ma_step_apply, n_assets=n_assets, basis=spec.basis,
                      degree=spec.degree, mode=mode, sorted_basis=sorted_basis,
-                     interpret=interpret, payoff_kind=payoff_kind, phi=phi)
+                     interpret=interpret, payoff_kind=payoff_kind, phi=phi,
+                     weights=w_stat)
 
     def step(carry, xs):
         cf, tau = carry

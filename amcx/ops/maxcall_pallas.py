@@ -90,7 +90,7 @@ def _columns(planes, stats_ref, basis, degree, mode, sorted_basis, n_steps_off):
     return out
 
 
-def _payoff_for(planes, K, payoff_kind, phi):
+def _payoff_for(planes, K, payoff_kind, phi, weights=None):
     """Static payoff select: ``maxcall`` = max-of-basket call; ``first`` =
     vanilla φ·(planes[0] − K) on the first plane only — the (S, v) Heston
     state prices vanilla American puts/calls while regressing on both
@@ -113,21 +113,23 @@ def _payoff_for(planes, K, payoff_kind, phi):
     if payoff_kind == "spread":
         return jnp.maximum(phi * (planes[0] - planes[1]), 0.0)
     if payoff_kind == "basket":
-        acc = planes[0]
-        for p in planes[1:]:
-            acc = acc + p
-        return jnp.maximum(phi * (acc / float(len(planes)) - K), 0.0)
+        w = weights or (1.0 / len(planes),) * len(planes)
+        acc = planes[0] * float(w[0])
+        for p, wi in zip(planes[1:], w[1:]):
+            acc = acc + p * float(wi)
+        return jnp.maximum(phi * (acc - K), 0.0)
     if payoff_kind == "geobasket":
-        acc = jnp.log(planes[0])
-        for p in planes[1:]:
-            acc = acc + jnp.log(p)
-        return jnp.maximum(phi * (jnp.exp(acc / float(len(planes))) - K), 0.0)
+        w = weights or (1.0 / len(planes),) * len(planes)
+        acc = jnp.log(planes[0]) * float(w[0])
+        for p, wi in zip(planes[1:], w[1:]):
+            acc = acc + jnp.log(p) * float(wi)
+        return jnp.maximum(phi * (jnp.exp(acc) - K), 0.0)
     raise ValueError(f"unknown payoff_kind {payoff_kind!r}")
 
 
 def _ma_moments_kernel(scal_ref, s_ref, cf_ref, tau_ref, out_ref, acc,
                        *, n_assets, basis, degree, mode, sorted_basis,
-                       itm_weights, payoff_kind, phi, direct_y=False):
+                       itm_weights, payoff_kind, phi, weights=None, direct_y=False):
     m = len(_multi_index_set(n_assets, degree, mode))
     pairs = _pairs(m)
     P = len(pairs) + m
@@ -156,7 +158,8 @@ def _ma_moments_kernel(scal_ref, s_ref, cf_ref, tau_ref, out_ref, acc,
     cols = _columns(planes, scal_ref, basis, degree, mode, sorted_basis, 3)
 
     if itm_weights:
-        w = (_payoff_for(planes, K, payoff_kind, phi) > 0.0).astype(jnp.float32)
+        w = (_payoff_for(planes, K, payoff_kind, phi, weights)
+             > 0.0).astype(jnp.float32)
         cols_w = [c * w for c in cols]
         y = y * w
     else:
@@ -176,7 +179,7 @@ def _ma_moments_kernel(scal_ref, s_ref, cf_ref, tau_ref, out_ref, acc,
     jax.jit,
     static_argnames=("n_assets", "basis", "degree", "mode", "sorted_basis",
                      "itm_weights", "interpret", "payoff_kind", "phi",
-                     "direct_y"),
+                     "weights", "direct_y"),
 )
 def ma_step_moments(
     scalars: jnp.ndarray,   # (3 + 2A,) f32: [t, r*dt, K, mean_a..., inv_std_a...]
@@ -193,6 +196,7 @@ def ma_step_moments(
     interpret: bool = False,
     payoff_kind: str = "maxcall",
     phi: float = 1.0,
+    weights: Optional[tuple] = None,
     direct_y: bool = False,
 ) -> jnp.ndarray:
     """Packed cross-term moment vector for one backward step.
@@ -210,7 +214,8 @@ def ma_step_moments(
     kernel = functools.partial(
         _ma_moments_kernel, n_assets=n_assets, basis=basis, degree=degree,
         mode=mode, sorted_basis=sorted_basis, itm_weights=itm_weights,
-        payoff_kind=payoff_kind, phi=phi, direct_y=direct_y,
+        payoff_kind=payoff_kind, phi=phi, weights=weights,
+        direct_y=direct_y,
     )
     out = pl.pallas_call(
         kernel,
@@ -226,7 +231,7 @@ def ma_step_moments(
 
 def _ma_apply_kernel(scal_ref, coef_ref, s_ref, cf_in_ref, tau_in_ref,
                      cf_out_ref, tau_out_ref, *, n_assets, basis, degree,
-                     mode, sorted_basis, payoff_kind, phi):
+                     mode, sorted_basis, payoff_kind, phi, weights=None):
     t = scal_ref[0]
     K = scal_ref[2]
     allow = scal_ref[3 + 2 * n_assets]  # 1.0 once t >= exercise_from_step
@@ -241,7 +246,7 @@ def _ma_apply_kernel(scal_ref, coef_ref, s_ref, cf_in_ref, tau_in_ref,
         fitted = fitted + cols[i] * coef_ref[i]
     cont = jnp.maximum(fitted, 0.0)  # SURVEY Q2
 
-    ex = _payoff_for(planes, K, payoff_kind, phi)
+    ex = _payoff_for(planes, K, payoff_kind, phi, weights)
     mask = (ex > 0.0) & (ex > cont) & (allow > 0.0)
     cf_out_ref[...] = jnp.where(mask, ex, cf)
     tau_out_ref[...] = jnp.where(mask, t, tau)
@@ -250,7 +255,7 @@ def _ma_apply_kernel(scal_ref, coef_ref, s_ref, cf_in_ref, tau_in_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("n_assets", "basis", "degree", "mode", "sorted_basis",
-                     "interpret", "payoff_kind", "phi"),
+                     "interpret", "payoff_kind", "phi", "weights"),
 )
 def ma_step_apply(
     scalars: jnp.ndarray,
@@ -267,6 +272,7 @@ def ma_step_apply(
     interpret: bool = False,
     payoff_kind: str = "maxcall",
     phi: float = 1.0,
+    weights: Optional[tuple] = None,
 ):
     """One fused pass: cross-term fitted continuation → exercise select."""
     rows = cf_rows.shape[0]
@@ -277,7 +283,7 @@ def ma_step_apply(
     kernel = functools.partial(
         _ma_apply_kernel, n_assets=n_assets, basis=basis, degree=degree,
         mode=mode, sorted_basis=sorted_basis,
-        payoff_kind=payoff_kind, phi=phi,
+        payoff_kind=payoff_kind, phi=phi, weights=weights,
     )
     shape = jax.ShapeDtypeStruct(cf_rows.shape, jnp.float32)
     out = pl.pallas_call(

@@ -121,10 +121,6 @@ def test_basket_validation_errors():
     with pytest.raises(ValueError, match="sum to 1"):
         price_basket_option(jax.random.key(0), S0, [0.5, 0.5, 0.5], 100.0,
                             1.0, 0.05, 0.2, sim=SIM)
-    with pytest.raises(ValueError, match="equal weights"):
-        price_basket_option(jax.random.key(0), S0, [0.5, 0.25, 0.25], 100.0,
-                            1.0, 0.05, 0.2, corr=CORR, engine="fused",
-                            sim=SimConfig(n_paths=8192, n_steps=4))
     with pytest.raises(ValueError, match="averaging"):
         price_basket_option(jax.random.key(0), S0, W, 100.0, 1.0, 0.05, 0.2,
                             averaging="harmonic", sim=SIM)
@@ -155,3 +151,17 @@ def test_cli_basket_geo_european(capsys):
     assert payload["n_assets"] == 3
     assert abs(payload["price"] - payload["oracle"]) < \
         4.0 * max(payload["stderr"], 1e-4) + 0.02
+
+
+def test_fused_weighted_basket_matches_xla():
+    # non-equal weights baked static into the in-register kernel payoff
+    sim = SimConfig(n_paths=32_768, n_steps=10, antithetic=True)
+    wts = [0.5, 0.3, 0.2]
+    kw = dict(corr=CORR, option_type="put", exercise="american",
+              averaging="arith", spec=SPEC, sim=sim)
+    res_x = price_basket_option(jax.random.key(8), S0, wts, 105.0, 1.0, 0.05,
+                                0.25, engine="xla", **kw)
+    res_f = price_basket_option(jax.random.key(8), S0, wts, 105.0, 1.0, 0.05,
+                                0.25, engine="fused", **kw)
+    assert abs(float(res_x.price) - float(res_f.price)) < 0.03, (
+        float(res_x.price), float(res_f.price))
