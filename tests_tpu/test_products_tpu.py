@@ -1,0 +1,116 @@
+"""On-chip gates for the round-3 third-session products.
+
+Real-TPU-only: (1) Mosaic lowering of the new kernel payoff kinds
+(`basket`/`geobasket` use in-kernel log/exp; the constrained swing uses a
+scalar forced-exercise predicate per plane) — the CPU interpreter cannot
+prove lowering; (2) hardware-PRNG statistics for the lattice/closed-form
+anchors. Mirrors tests_tpu/test_lsmc_kernels_tpu.py conventions.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from amcx import (MarketParams, ProductSpec, RegressionSpec, SimConfig,
+                  crr_swing_price, price_basket_option, price_swing_option)
+from amcx.models.basket import geometric_basket_price
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() == "cpu", reason="real-TPU suite")
+
+CORR = np.array([[1.0, 0.3, 0.3],
+                 [0.3, 1.0, 0.3],
+                 [0.3, 0.3, 1.0]])
+S0 = [100.0, 95.0, 105.0]
+W = [1 / 3, 1 / 3, 1 / 3]
+
+
+def test_fused_basket_onchip():
+    """Arithmetic-basket payoff kind lowers and matches the XLA engine at
+    scale (shared paths, same regression family)."""
+    sim = SimConfig(n_paths=262_144, n_steps=50, antithetic=True)
+    kw = dict(corr=CORR, option_type="put", exercise="american",
+              averaging="arith", spec=RegressionSpec(basis="chebyshev",
+                                                     degree=2), sim=sim)
+    res_x = price_basket_option(jax.random.key(5), S0, W, 105.0, 1.0, 0.05,
+                                0.25, engine="xla", **kw)
+    res_f = price_basket_option(jax.random.key(5), S0, W, 105.0, 1.0, 0.05,
+                                0.25, engine="fused", **kw)
+    assert abs(float(res_x.price) - float(res_f.price)) < 0.02, (
+        float(res_x.price), float(res_f.price))
+
+
+def test_fused_geobasket_onchip():
+    """geobasket (in-kernel log/exp) lowers; the American lower-bounds the
+    exact geometric European and sits within LSMC distance of it."""
+    sim = SimConfig(n_paths=262_144, n_steps=50, antithetic=True)
+    res = price_basket_option(jax.random.key(6), S0, W, 100.0, 1.0, 0.05,
+                              0.25, corr=CORR, option_type="put",
+                              exercise="american", averaging="geo",
+                              spec=RegressionSpec(basis="chebyshev",
+                                                  degree=2),
+                              sim=sim, engine="fused")
+    eu = geometric_basket_price(S0, W, 100.0, 1.0, 0.05, 0.25, corr=CORR,
+                                option_type="put")
+    assert float(res.price) >= eu - 3.0 * float(res.stderr)
+    assert float(res.price) <= eu + 2.0  # sanity ceiling
+
+
+def test_constrained_swing_mega_onchip():
+    """Forward takes + take-or-pay obligations in the one-kernel swing
+    engine at 1M×100 vs the exact f64 rights lattice."""
+    m = MarketParams(100.0, 0.05, 0.25)
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put",
+                       exercise="american")
+    res = price_swing_option(
+        jax.random.key(7), m, prod, 3, RegressionSpec(degree=5),
+        SimConfig(n_paths=1_048_576, n_steps=100, backend="pallas",
+                  antithetic=True),
+        engine="mega", payoff_kind="forward", n_min=2)
+    lat = crr_swing_price(100.0, 100.0, 1.0, 0.05, 0.25, 3, n_steps=100,
+                          n_sub=20, option_type="put",
+                          payoff_kind="forward", n_min=2)
+    assert abs(float(res.price) - lat) < 3.5 * float(res.stderr) + 5e-3, (
+        float(res.price), lat)
+
+
+def test_fully_forced_swing_mega_onchip():
+    """No-optionality sanity at scale: n_min = n_rights = every date equals
+    the closed-form discounted strip."""
+    m = MarketParams(100.0, 0.05, 0.25)
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put",
+                       exercise="american")
+    n_steps = 20
+    n = n_steps + 1
+    res = price_swing_option(
+        jax.random.key(8), m, prod, n, RegressionSpec(degree=4),
+        SimConfig(n_paths=524_288, n_steps=n_steps, antithetic=True),
+        engine="mega", payoff_kind="forward", n_min=n)
+    t = np.arange(n) * (1.0 / n_steps)
+    strip = float(np.sum(100.0 * np.exp(-0.05 * t) - 100.0))
+    assert abs(float(res.price) - strip) < 3.5 * float(res.stderr) + 5e-3, (
+        float(res.price), strip)
+
+
+def test_calibrated_local_vol_onchip():
+    """quotes → SVI → Dupire → LSMC American on hardware; flat smile
+    collapses to the CRR anchor."""
+    from amcx.calibrate import dupire_local_vol, fit_svi_surface
+    from amcx.dynamics import price_option_local_vol
+    from amcx.oracle import crr_price
+
+    mats = np.array([0.5, 1.0])
+    strikes = np.tile(np.array([85.0, 95.0, 100.0, 105.0, 115.0]), (2, 1))
+    surf = fit_svi_surface(100.0, 0.05, 0.0, mats, strikes,
+                           np.full_like(strikes, 0.2))
+    lv = dupire_local_vol(surf, 100.0, 0.05, 0.0)
+    res = price_option_local_vol(
+        jax.random.key(9), 100.0, 0.05, 0.0, lv,
+        ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american"),
+        RegressionSpec(degree=4),
+        SimConfig(n_paths=262_144, n_steps=50, antithetic=True))
+    crr = float(crr_price(100.0, 100.0, 1.0, 0.05, 0.2, 2000,
+                          option_type="put", american=True))
+    assert abs(float(res.price) - crr) < 3.5 * float(res.stderr) + 0.05, (
+        float(res.price), crr)
