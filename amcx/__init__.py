@@ -50,9 +50,10 @@ from .book import (price_strike_grid, price_mixed_book, BookResult,
 from .models.asian import (price_asian_option, geometric_asian_price,
                            running_average)
 from .models.basket import (price_basket_option, geometric_basket_price,
-                            basket_level)
+                            basket_level, basket_greeks)
 from .dynamics import (HestonParams, simulate_heston, simulate_local_vol,
-                       heston_price_cf, price_option_heston)
+                       heston_price_cf, price_option_heston,
+                       price_option_local_vol)
 from .qmc import simulate_gbm_qmc, sobol_normals
 from .calibrate import (SVISurface, fit_svi_surface, fit_svi_slice,
                         svi_total_variance, dupire_local_vol,
@@ -138,12 +139,14 @@ __all__ = [
     "simulate_local_vol",
     "heston_price_cf",
     "price_option_heston",
+    "price_option_local_vol",
     "BookResult",
     "simulate_gbm_qmc",
     "sobol_normals",
     "price_basket_option",
     "geometric_basket_price",
     "basket_level",
+    "basket_greeks",
     "SVISurface",
     "fit_svi_surface",
     "fit_svi_slice",

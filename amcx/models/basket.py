@@ -17,10 +17,10 @@ Two averaging conventions:
   price (:func:`geometric_basket_price`): the standing oracle for the whole
   module, same role as `amcx.models.asian.geometric_asian_price`.
 
-Engines: ``xla`` (scan engine + `max_call_fit` cross basis, any weights)
-and ``fused`` (the two fused multi-asset Pallas kernels per step with
-``payoff_kind="basket"|"geobasket"`` — equal weights, which is what the
-asset-symmetric kernel payoff computes).
+Engines: ``xla`` (scan engine + `max_call_fit` cross basis) and ``fused``
+(the two fused multi-asset Pallas kernels per step with
+``payoff_kind="basket"|"geobasket"``; the weight vector is baked static
+into the in-register payoff). Both take arbitrary weights.
 
 Degenerate-limit tests (tests/test_basket.py): corr→1 with identical assets
 collapses every basket to the single-asset product priced by the scalar
@@ -41,7 +41,8 @@ import jax.numpy as jnp
 from ..engine import LSMCResult, backward_induction
 from ..types import RegressionSpec, SimConfig
 
-__all__ = ["price_basket_option", "geometric_basket_price", "basket_level"]
+__all__ = ["price_basket_option", "geometric_basket_price", "basket_level",
+           "basket_greeks"]
 
 
 def basket_level(S, weights, averaging: str = "arith"):
@@ -152,3 +153,43 @@ def price_basket_option(
         american=exercise == "american", return_surface=return_surface,
         fit_fn=fit_fn, fit_fn_returns_coeffs=True,
     )
+
+
+def basket_greeks(
+    key: jax.Array,
+    S0,
+    weights,
+    K,
+    T,
+    r,
+    sigma,
+    q=0.0,
+    corr: Optional[jnp.ndarray] = None,
+    option_type: str = "put",
+    exercise: str = "american",
+    averaging: str = "arith",
+    spec: RegressionSpec = RegressionSpec(basis="chebyshev", degree=2),
+    sim: SimConfig = SimConfig(),
+):
+    """Pathwise basket Greeks by ``jax.grad`` through the full pipeline:
+    per-asset deltas, per-asset vegas, and rho (fixed-boundary pathwise
+    estimator — exercise decisions enter only through boolean masks, the
+    same estimator as `amcx.models.maxcall.max_call_greeks`).
+
+    Returns ``(price, {"delta": (n_assets,), "vega": (n_assets,),
+    "rho": scalar})``.
+    """
+    S0 = jnp.atleast_1d(jnp.asarray(S0, jnp.float32))
+    n_assets = S0.shape[0]
+    sig = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (n_assets,))
+
+    def price(S0v, sigv, rr):
+        res = price_basket_option(
+            key, S0v, weights, K, T, rr, sigv, q=q, corr=corr,
+            option_type=option_type, exercise=exercise, averaging=averaging,
+            spec=spec, sim=sim, engine="xla")
+        return res.price
+
+    p, (delta, vega, rho) = jax.value_and_grad(price, argnums=(0, 1, 2))(
+        S0, sig, jnp.float32(r))
+    return p, {"delta": delta, "vega": vega, "rho": rho}

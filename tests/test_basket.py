@@ -165,3 +165,26 @@ def test_fused_weighted_basket_matches_xla():
                                 0.25, engine="fused", **kw)
     assert abs(float(res_x.price) - float(res_f.price)) < 0.03, (
         float(res_x.price), float(res_f.price))
+
+
+def test_basket_greeks_match_closed_form():
+    # geometric European: autodiff delta/vega/rho vs FD on the EXACT oracle
+    from amcx.models.basket import basket_greeks
+
+    sim = SimConfig(n_paths=65_536, n_steps=20, antithetic=True)
+    p, g = basket_greeks(jax.random.key(0), S0, W, 100.0, 1.0, 0.05, 0.25,
+                         corr=CORR, option_type="call", exercise="european",
+                         averaging="geo", sim=sim)
+
+    def oracle(s0_0, sig, r):
+        return geometric_basket_price([s0_0, 95.0, 105.0], W, 100.0, 1.0, r,
+                                      sig, corr=CORR, option_type="call")
+
+    eps = 0.25
+    d0 = (oracle(100.0 + eps, 0.25, 0.05) - oracle(100.0 - eps, 0.25, 0.05)) / (2 * eps)
+    v = (oracle(100.0, 0.25 + 1e-3, 0.05) - oracle(100.0, 0.25 - 1e-3, 0.05)) / 2e-3
+    rho = (oracle(100.0, 0.25, 0.05 + 1e-3) - oracle(100.0, 0.25, 0.05 - 1e-3)) / 2e-3
+    assert abs(float(g["delta"][0]) - d0) < 0.01, (float(g["delta"][0]), d0)
+    # per-asset vegas sum ≈ total sigma sensitivity
+    assert abs(float(jnp.sum(g["vega"])) - v) < 0.6, (float(jnp.sum(g["vega"])), v)
+    assert abs(float(g["rho"]) - rho) < 1.2, (float(g["rho"]), rho)
