@@ -5,8 +5,11 @@ import jax
 import numpy as np
 import pytest
 
-from amcx import MarketParams, ProductSpec, RegressionSpec, SimConfig, simulate_gbm
-from amcx.oracle import crr_price
+import jax.numpy as jnp
+
+from amcx import (MarketParams, ProductSpec, RegressionSpec, SimConfig,
+                  lsmc_option_pricing, simulate_gbm)
+from amcx.oracle import bs_price, crr_price
 from amcx.variates import control_variate_price
 
 M = MarketParams(100.0, 0.05, 0.2)
@@ -104,3 +107,69 @@ def test_antithetic_stderr_consistent_across_engines():
                                        return_stats=True, antithetic=True)
     assert abs(float(rx.stderr) - float(rf.stderr)) < 2e-4
     assert abs(float(rx.stderr) - float(se_mega)) < 2e-4
+
+
+# ---------------------------------------------------------------------------
+# Rasmussen martingale control variate (European value at the exercise time)
+# ---------------------------------------------------------------------------
+
+
+def test_martingale_cv_large_variance_reduction():
+    from amcx.variates import martingale_control_variate
+
+    m = MarketParams(100.0, 0.05, 0.2)
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put",
+                       exercise="american")
+    sim = SimConfig(n_paths=65_536, n_steps=50, antithetic=True)
+    paths = simulate_gbm(jax.random.key(0), m, 1.0, sim)
+    res = lsmc_option_pricing(paths, prod, m.r, RegressionSpec(degree=4))
+    cv = martingale_control_variate(res.cashflows, res.exercise_times,
+                                    paths, m, prod, antithetic=True)
+    # measured ~200x at this config; assert a conservative floor
+    assert float(cv.variance_ratio) > 20.0, float(cv.variance_ratio)
+    # same estimand: the CV price sits inside the raw confidence band
+    assert abs(float(cv.price) - float(cv.raw_price)) < \
+        4.0 * float(cv.raw_stderr)
+    # beta = 0 returns the raw estimator exactly
+    cv0 = martingale_control_variate(res.cashflows, res.exercise_times,
+                                     paths, m, prod, antithetic=True,
+                                     beta=0.0)
+    np.testing.assert_allclose(float(cv0.price), float(cv0.raw_price),
+                               rtol=1e-6)
+
+
+def test_martingale_cv_european_exercise_is_exact():
+    # European product: tau == n_steps everywhere, so the control IS the
+    # discounted payoff — the CV estimator collapses to the closed form
+    from amcx.variates import martingale_control_variate
+
+    m = MarketParams(100.0, 0.05, 0.2)
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put",
+                       exercise="european")
+    sim = SimConfig(n_paths=32_768, n_steps=20)
+    paths = simulate_gbm(jax.random.key(1), m, 1.0, sim)
+    res = lsmc_option_pricing(paths, prod, m.r, RegressionSpec(degree=4))
+    cv = martingale_control_variate(res.cashflows, res.exercise_times,
+                                    paths, m, prod)
+    ref = float(bs_price(100.0, 100.0, 1.0, 0.05, 0.2, 0.0, "put"))
+    assert float(cv.variance_ratio) > 1e4
+    assert abs(float(cv.price) - ref) < 1e-3, (float(cv.price), ref)
+
+
+def test_martingale_cv_composes_with_mega_engine():
+    from amcx import price_option
+    from amcx.variates import martingale_control_variate
+
+    m = MarketParams(100.0, 0.05, 0.2)
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put",
+                       exercise="american")
+    sim = SimConfig(n_paths=32_768, n_steps=20)
+    res = price_option(jax.random.key(2), m, prod, RegressionSpec(degree=4),
+                       sim, engine="mega", return_cf_tau=True)
+    paths = simulate_gbm(jax.random.key(2), m, 1.0, sim)
+    cv = martingale_control_variate(
+        jnp.asarray(res.cashflows).reshape(-1),
+        jnp.asarray(res.exercise_times).reshape(-1), paths, m, prod)
+    assert float(cv.variance_ratio) > 10.0
+    assert abs(float(cv.price) - float(res.price)) < \
+        4.0 * float(res.stderr) + 1e-3
