@@ -26,6 +26,7 @@ from .oracle import (
     crr_barrier_price,
     oracle_price,
     implied_vol,
+    american_implied_vol,
 )
 from .boundary import exercise_boundary
 from .policy import (reprice_with_coeffs, price_out_of_sample, OOSResult,
@@ -90,6 +91,7 @@ __all__ = [
     "crr_down_in_price",
     "oracle_price",
     "implied_vol",
+    "american_implied_vol",
     "exercise_boundary",
     "reprice_with_coeffs",
     "price_out_of_sample",

@@ -65,3 +65,48 @@ def test_american_put_exercise_boundary_shape_and_monotonicity():
     diffs = np.diff(mid)
     assert np.quantile(diffs, 0.2) > -1.0
     assert mid[-1] > mid[0]
+
+
+def test_american_implied_vol_roundtrip():
+    from amcx.oracle import american_implied_vol, crr_price
+
+    sig = np.array([0.15, 0.25, 0.4])
+    px = np.array([float(crr_price(100.0, 100.0, 1.0, 0.05, s, 500,
+                                   option_type="put", american=True))
+                   for s in sig])
+    iv = np.asarray(american_implied_vol(px, 100.0, 100.0, 1.0, 0.05,
+                                         option_type="put"))
+    np.testing.assert_allclose(iv, sig, atol=3e-4)
+
+
+def test_american_implied_vol_broadcasts_and_bands():
+    from amcx.oracle import american_implied_vol, crr_price
+
+    # 2x2 grid of strikes x maturities at one vol
+    K = np.array([[90.0, 110.0]])
+    T = np.array([[0.5], [1.0]])
+    px = np.array([[float(crr_price(100.0, k, t, 0.05, 0.3, 400,
+                                    option_type="put", american=True))
+                    for k in K[0]] for t in T[:, 0]])
+    iv = np.asarray(american_implied_vol(px, 100.0, K, T, 0.05,
+                                         option_type="put", n_steps=400))
+    np.testing.assert_allclose(iv, 0.3, atol=5e-4)
+    # at-intrinsic deep ITM quote → NaN (outside the no-arbitrage band)
+    bad = american_implied_vol(50.0, 100.0, 150.0, 1.0, 0.05,
+                               option_type="put")
+    assert np.isnan(float(bad))
+
+
+def test_american_iv_exceeds_european_iv_for_puts():
+    from amcx.oracle import american_implied_vol, crr_price, implied_vol
+
+    # one American price, read through both inverters: the European
+    # inverter must overstate vol (it attributes the EEP to volatility)
+    px = float(crr_price(100.0, 100.0, 1.0, 0.08, 0.2, 500,
+                         option_type="put", american=True))
+    iv_am = float(american_implied_vol(px, 100.0, 100.0, 1.0, 0.08,
+                                       option_type="put"))
+    iv_eu = float(implied_vol(px, 100.0, 100.0, 1.0, 0.08,
+                              option_type="put"))
+    assert iv_eu > iv_am + 0.005
+    assert abs(iv_am - 0.2) < 5e-4
