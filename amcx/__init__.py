@@ -57,6 +57,7 @@ from .dynamics import (HestonParams, simulate_heston, simulate_local_vol,
                        heston_price_cf, price_option_heston,
                        price_option_local_vol)
 from .qmc import simulate_gbm_qmc, sobol_normals
+from .scenarios import ScenarioGrid, scenario_ladder
 from .calibrate import (SVISurface, fit_svi_surface, fit_svi_slice,
                         svi_total_variance, dupire_local_vol,
                         calibrate_heston, implied_vol_np)
@@ -158,4 +159,6 @@ __all__ = [
     "dupire_local_vol",
     "calibrate_heston",
     "implied_vol_np",
+    "ScenarioGrid",
+    "scenario_ladder",
 ]
