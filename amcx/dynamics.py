@@ -250,7 +250,8 @@ def price_option_heston(
     ``engine="fused"`` runs the two fused multi-asset Pallas kernels per
     step (`amcx.ops.maxcall_pallas` with ``payoff_kind="first"``: the v
     plane is a regression feature, not a payoff input) — American only,
-    price/cf/τ outputs, n_paths divisible by 4096.
+    price/cf/τ outputs, n_paths divisible by 4096. ``engine="mega"`` runs
+    the WHOLE (S, v) induction in one kernel (`amcx.ops.lsmc_ma_mega`).
     """
     from .models.maxcall import max_call_fit
 
@@ -261,13 +262,23 @@ def price_option_heston(
     X = jnp.stack([S, v], axis=-1)  # (T+1, n, 2) regression state
     n_steps = sim.n_steps
     dt = product.T / n_steps
-    if engine == "fused":
+    if engine in ("fused", "mega"):
         if not product.is_american:
-            raise ValueError("engine='fused' Heston prices American only "
-                             "(European needs no induction — use the CF "
-                             "oracle or engine='xla')")
+            raise ValueError(f"engine={engine!r} Heston prices American "
+                             "only (European needs no induction — use the "
+                             "CF oracle or engine='xla')")
         if return_surface:
-            raise ValueError("engine='fused' emits no continuation surface")
+            raise ValueError(f"engine={engine!r} emits no continuation "
+                             "surface")
+        if engine == "mega":
+            from .ops.lsmc_ma_mega import lsmc_price_ma_mega
+
+            price, stderr = lsmc_price_ma_mega(
+                X, product.K, hp.r, dt, phi=phi, payoff_kind="first",
+                basis=spec.basis, degree=spec.degree, mode="total",
+                rcond=spec.rcond, itm_weights=spec.regress_on == "itm",
+                exercise_from_step=0, antithetic=sim.antithetic)
+            return LSMCResult(price, stderr, None, None, None)
         from .models.maxcall import backward_induction_fused_maxcall
 
         return backward_induction_fused_maxcall(
@@ -275,7 +286,8 @@ def price_option_heston(
             exercise_from_step=0, payoff_kind="first", phi=phi,
         )
     if engine != "xla":
-        raise ValueError(f"engine must be 'xla' or 'fused', got {engine!r}")
+        raise ValueError(f"engine must be 'xla', 'fused', or 'mega', "
+                         f"got {engine!r}")
     knocked = jnp.ones(S.shape, dtype=bool)
     payoff = lambda st: intrinsic_value(st[..., 0], product.K, product.option_type)
     fit_fn = partial(max_call_fit, mode="total")

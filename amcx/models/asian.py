@@ -89,6 +89,29 @@ def geometric_asian_price(S0, K, T, r, sigma, n_obs: int, q=0.0,
 
 @partial(jax.jit, static_argnames=("spec", "sim", "option_type", "exercise",
                                    "averaging", "strike_type"))
+def _price_asian_mega_impl(key, S0, r, sigma, q, K, T, spec, sim, option_type,
+                           exercise, averaging, strike_type):
+    """Asian (S, A) pricing in ONE kernel (`amcx.ops.lsmc_ma_mega`) — the
+    whole induction, not two kernels per step."""
+    from ..ops.lsmc_ma_mega import lsmc_price_ma_mega
+
+    market = MarketParams(S0, r, sigma, q)
+    paths = simulate_gbm(key, market, T, sim)
+    A = running_average(paths, averaging)
+    X = jnp.stack([paths, A], axis=-1)
+    phi = 1.0 if option_type == "call" else -1.0
+    payoff_kind = "second" if strike_type == "fixed" else "spread"
+    from_step = 1 if exercise == "american" else sim.n_steps + 1
+    price, stderr = lsmc_price_ma_mega(
+        X, K, r, T / sim.n_steps, phi=phi, payoff_kind=payoff_kind,
+        basis=spec.basis, degree=spec.degree, mode="total",
+        rcond=spec.rcond, itm_weights=spec.regress_on == "itm",
+        exercise_from_step=from_step, antithetic=sim.antithetic)
+    return LSMCResult(price, stderr, None, None, None)
+
+
+@partial(jax.jit, static_argnames=("spec", "sim", "option_type", "exercise",
+                                   "averaging", "strike_type"))
 def _price_asian_fused_impl(key, S0, r, sigma, q, K, T, spec, sim, option_type,
                             exercise, averaging, strike_type):
     """Asian (S, A) pricing on the fused 2-state Pallas kernel path: the
@@ -184,10 +207,12 @@ def price_asian_option(
         raise ValueError(f"unknown averaging {averaging!r}")
     if strike_type not in ("fixed", "floating"):
         raise ValueError(f"unknown strike_type {strike_type!r}")
-    if engine not in ("xla", "fused"):
-        raise ValueError(f"engine must be xla|fused, got {engine!r}")
+    if engine not in ("xla", "fused", "mega"):
+        raise ValueError(f"engine must be xla|fused|mega, got {engine!r}")
     dtype = sim.jnp_dtype
-    impl = _price_asian_fused_impl if engine == "fused" else _price_asian_impl
+    impl = {"fused": _price_asian_fused_impl,
+            "mega": _price_asian_mega_impl,
+            "xla": _price_asian_impl}[engine]
     return impl(
         key,
         jnp.asarray(market.S0, dtype),

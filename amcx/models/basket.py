@@ -125,21 +125,34 @@ def price_basket_option(
     phi = 1.0 if option_type == "call" else -1.0
     X = simulate_gbm_multi(key, S0, r, sigma, T, sim, q=q, corr=corr)
     dt = T / sim.n_steps
-    if engine == "fused":
+    if engine in ("fused", "mega"):
         if exercise != "american":
-            raise ValueError("engine='fused' prices American baskets only "
-                             "(Europeans need no induction)")
+            raise ValueError(f"engine={engine!r} prices American baskets "
+                             "only (Europeans need no induction)")
         if return_surface:
-            raise ValueError("engine='fused' emits no continuation surface")
+            raise ValueError(f"engine={engine!r} emits no continuation "
+                             "surface")
+        kind = "basket" if averaging == "arith" else "geobasket"
+        if engine == "mega":
+            from ..ops.lsmc_ma_mega import lsmc_price_ma_mega
+
+            price, stderr = lsmc_price_ma_mega(
+                X, K, r, dt, phi=phi, payoff_kind=kind, basis=spec.basis,
+                degree=spec.degree, mode=basis_mode, rcond=spec.rcond,
+                itm_weights=spec.regress_on == "itm",
+                weights=tuple(float(x) for x in w), exercise_from_step=0,
+                antithetic=sim.antithetic)
+            return LSMCResult(price, stderr, None, None, None)
         from .maxcall import backward_induction_fused_maxcall
 
         return backward_induction_fused_maxcall(
             X, K, r, dt, spec, basis_mode=basis_mode, exercise_from_step=0,
-            payoff_kind="basket" if averaging == "arith" else "geobasket",
-            phi=phi, weights=tuple(float(x) for x in w),
+            payoff_kind=kind, phi=phi,
+            weights=tuple(float(x) for x in w),
         )
     if engine != "xla":
-        raise ValueError(f"engine must be 'xla' or 'fused', got {engine!r}")
+        raise ValueError(
+            f"engine must be 'xla', 'fused', or 'mega', got {engine!r}")
     knocked = jnp.ones(X.shape[:-1], dtype=bool)
     w_j = jnp.asarray(w, sim.jnp_dtype)
 

@@ -334,8 +334,26 @@ def price_max_call(
             corr_arr, jnp.float32(K), jnp.float32(T), spec, sim, basis_mode,
         )
         return (res, paths) if return_paths else res
+    if engine == "mega":
+        # ONE kernel for the whole induction (amcx.ops.lsmc_ma_mega)
+        if return_surface or return_coeffs:
+            raise ValueError("engine='mega' max-call is price-only")
+        from ..ops.lsmc_ma_mega import lsmc_price_ma_mega
+
+        paths = simulate_gbm_multi(key, S0, jnp.float32(r),
+                                   jnp.float32(sigma), jnp.float32(T), sim,
+                                   q=jnp.float32(q), corr=corr_arr)
+        price, stderr = lsmc_price_ma_mega(
+            paths, K, r, T / sim.n_steps, phi=1.0, payoff_kind="maxcall",
+            basis=spec.basis, degree=spec.degree, mode="total",
+            sorted_basis=basis_mode == "sorted", rcond=spec.rcond,
+            itm_weights=spec.regress_on == "itm", exercise_from_step=1,
+            antithetic=sim.antithetic)
+        res = LSMCResult(price, stderr, None, None, None)
+        return (res, paths) if return_paths else res
     if engine != "xla":
-        raise ValueError(f"engine must be 'xla' or 'fused', got {engine!r}")
+        raise ValueError(
+            f"engine must be 'xla', 'fused', or 'mega', got {engine!r}")
     res, paths = _price_max_call_impl(
         key,
         S0,

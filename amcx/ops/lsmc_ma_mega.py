@@ -1,0 +1,355 @@
+"""Multi-asset mega-kernel: the WHOLE multi-state LSMC in one kernel.
+
+`amcx.ops.maxcall_pallas` brought multi-asset products onto the fused
+kernel path — two `pallas_call`s per backward step (moments, then apply)
+with the tiny solve on the host between them. This module is the
+multi-asset twin of `amcx.ops.lsmc_megakernel._mega_kernel`: ONE
+`pallas_call` for the entire backward induction. Per grid step it
+
+1. streams this step's ``(A, rows, 512)`` asset planes from HBM (Mosaic
+   double-buffers the grid input; the value plane V stays VMEM-resident in
+   TIME-T UNITS — the carry discipline every amcx kernel shares),
+2. accumulates the packed cross-term Gram/moment vector over row chunks
+   (columns built in-register via the per-asset recurrences + static
+   total-degree cross products; optional static sort network for the
+   order-statistics basis),
+3. solves the m×m system in-kernel (equilibrated ridge-Cholesky with
+   un-ridged iterative refinement — `lsmc_megakernel`'s solver, generic in
+   m), and
+4. applies the exercise select for any of the multi-asset payoff kinds
+   (`maxcall` / `first` (Heston (S,v)) / `second`·`spread` (Asian (S,A)) /
+   `basket`·`geobasket` with static weights).
+
+What the one-kernel form buys over the per-step pair (measured on the
+univariate twin, CLAUDE.md ledger): no per-step kernel-launch/HBM
+round-trip for cashflow/τ planes — V never leaves VMEM — and no host
+sync per step for the solve.
+
+Sizing: VMEM = A·(rows·512·4) double-buffered input + one resident V plane
++ the (P, 512) accumulator; at 1M paths A=2 fits easily, A=5 is ~45 MB
+(inside the 64 MB budget). The moment head P = m(m+1)/2 + m for m
+cross-term columns (A=2, total degree 2 → m=6, P=27; A=5, d=2 → m=21,
+P=252).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..basis import _multi_index_set
+from .lsmc_megakernel import (
+    LANES,
+    _chunk_rows_for,
+    _pairs,
+    _solve_equilibrated_ridge,
+)
+from .maxcall_pallas import _payoff_for, _sort_desc
+from .lsmc_pallas import TILE_ROWS as _TILE_ROWS  # noqa: F401 (layout doc)
+
+__all__ = ["lsmc_price_ma_mega"]
+
+
+def _ma_cols(planes, stats_ref, t, n_assets, T1, basis, degree, mode,
+             sorted_basis):
+    """Cross-term basis columns for one row chunk, standardized with the
+    per-asset per-step stats from SMEM (same column order as
+    `amcx.basis.multi_asset_design_matrix`)."""
+    from ..basis import BASIS_FAMILIES, _first_order
+
+    A = n_assets
+    feats = _sort_desc(planes) if sorted_basis else list(planes)
+    rec = BASIS_FAMILIES[basis]
+    uni = []
+    for a in range(A):
+        mean = stats_ref[a * T1 + t]
+        inv_std = stats_ref[(A + a) * T1 + t]
+        x = (feats[a] - mean) * inv_std
+        cols = [jnp.ones_like(x)]
+        if degree >= 1:
+            cols.append(_first_order(basis, x))
+        for n in range(2, degree + 1):
+            cols.append(rec(x, cols[-1], cols[-2], float(n)))
+        uni.append(cols)
+    out = []
+    for alpha in _multi_index_set(A, degree, mode):
+        term = None
+        for a, d in enumerate(alpha):
+            if d == 0:
+                continue
+            f = uni[a][d]
+            term = f if term is None else term * f
+        if term is None:
+            term = jnp.ones_like(feats[0])
+        out.append(term)
+    return out
+
+
+def _ma_mega_kernel(scal_ref, stats_ref, s_ref, *refs, n_steps, n_rows,
+                    chunk_rows, n_assets, basis, degree, mode, sorted_basis,
+                    itm_weights, payoff_kind, weights, antithetic,
+                    emit_cf_tau):
+    it = iter(refs)
+    out_ref, out_sq_ref = next(it), next(it)
+    cf_ref = tau_ref = None
+    if emit_cf_tau:
+        cf_ref, tau_ref = next(it), next(it)
+    V, macc = next(it), next(it)
+
+    A = n_assets
+    m = len(_multi_index_set(A, degree, mode))
+    pairs = _pairs(m)
+    T1 = n_steps + 1
+    i = pl.program_id(0)
+    t = n_steps - i
+
+    K = scal_ref[1]
+    phi = scal_ref[2]
+    rcond = scal_ref[3]
+    # V carried in TIME-T UNITS (see lsmc_megakernel._mega_kernel)
+    c_t = stats_ref[2 * A * T1 + t]
+    inv_c_t = stats_ref[(2 * A + 1) * T1 + t]
+    allow = stats_ref[(2 * A + 2) * T1 + t]  # 1.0 = exercise date
+
+    n_chunks = n_rows // chunk_rows
+
+    def payoff(planes):
+        return _payoff_for(planes, K, payoff_kind, phi, weights)
+
+    @pl.when(i == 0)
+    def _maturity():
+        def body(c, _):
+            sl = pl.ds(c * chunk_rows, chunk_rows)
+            planes = [s_ref[0, a, sl, :] for a in range(A)]
+            pay = payoff(planes)
+            V[sl, :] = pay
+            if emit_cf_tau:
+                cf_ref[sl, :] = pay
+                tau_ref[sl, :] = jnp.full((chunk_rows, LANES),
+                                          float(n_steps), jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    @pl.when(i > 0)
+    def _step():
+        macc[...] = jnp.zeros_like(macc)
+
+        def pass1(c, _):
+            sl = pl.ds(c * chunk_rows, chunk_rows)
+            planes = [s_ref[0, a, sl, :] for a in range(A)]
+            y = c_t * V[sl, :]
+            cols = _ma_cols(planes, stats_ref, t, A, T1, basis, degree,
+                            mode, sorted_basis)
+            if itm_weights:
+                w = (payoff(planes) > 0.0).astype(jnp.float32)
+                cols_w = [c_ * w for c_ in cols]
+                yw = y * w
+            else:
+                cols_w = cols
+                yw = y
+            for p, (a, b_) in enumerate(pairs):
+                macc[p, :] += jnp.sum(cols_w[a] * cols[b_], axis=0)
+            for a in range(m):
+                macc[len(pairs) + a, :] += jnp.sum(cols[a] * yw, axis=0)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, pass1, 0)
+        packed = jnp.sum(macc[...], axis=1)
+        coeffs = _solve_equilibrated_ridge(packed, m, rcond, "pairs", basis)
+
+        def pass2(c, _):
+            sl = pl.ds(c * chunk_rows, chunk_rows)
+            planes = [s_ref[0, a, sl, :] for a in range(A)]
+            cols = _ma_cols(planes, stats_ref, t, A, T1, basis, degree,
+                            mode, sorted_basis)
+            fitted = cols[0] * coeffs[0]
+            for a in range(1, m):
+                fitted = fitted + cols[a] * coeffs[a]
+            cont = jnp.maximum(fitted, 0.0)  # SURVEY Q2
+            ex = payoff(planes)
+            mask = (ex > cont) & (allow > 0.0)
+            V[sl, :] = jnp.where(mask, ex * inv_c_t, V[sl, :])
+            if emit_cf_tau:
+                cf_ref[sl, :] = jnp.where(mask, ex, cf_ref[sl, :])
+                tau_ref[sl, :] = jnp.where(mask, t.astype(jnp.float32),
+                                           tau_ref[sl, :])
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, pass2, 0)
+
+    @pl.when(i == n_steps)
+    def _emit():
+        v = c_t * V[...]  # t == 0: discount time-T units to time 0
+        out_ref[...] = jnp.sum(v).reshape(1, 1)
+        if antithetic:
+            half = n_rows // 2
+            fold = 0.5 * (v[:half, :] + v[half:, :])
+            out_sq_ref[...] = jnp.sum(fold * fold).reshape(1, 1)
+        else:
+            out_sq_ref[...] = jnp.sum(v * v).reshape(1, 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_steps", "n_rows", "n_assets", "basis", "degree",
+                     "mode", "sorted_basis", "itm_weights", "payoff_kind",
+                     "weights", "antithetic", "emit_cf_tau", "interpret"),
+)
+def _run_ma_mega(scalars, stats, planes_blocked, n_steps, n_rows, n_assets,
+                 basis, degree, mode, sorted_basis, itm_weights, payoff_kind,
+                 weights, antithetic, emit_cf_tau, interpret):
+    m = len(_multi_index_set(n_assets, degree, mode))
+    P = len(_pairs(m)) + m
+    kernel = functools.partial(
+        _ma_mega_kernel,
+        n_steps=n_steps, n_rows=n_rows,
+        chunk_rows=_chunk_rows_for(n_rows), n_assets=n_assets, basis=basis,
+        degree=degree, mode=mode, sorted_basis=sorted_basis,
+        itm_weights=itm_weights, payoff_kind=payoff_kind, weights=weights,
+        antithetic=antithetic, emit_cf_tau=emit_cf_tau,
+    )
+    scalar_shape = jax.ShapeDtypeStruct((1, 1), jnp.float32)
+    scalar_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+    out_shapes = [scalar_shape, scalar_shape]
+    out_specs = [scalar_spec, scalar_spec]
+    if emit_cf_tau:
+        plane_shape = jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)
+        plane_spec = pl.BlockSpec((n_rows, LANES), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+        out_shapes += [plane_shape, plane_shape]
+        out_specs += [plane_spec, plane_spec]
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shapes),
+        grid=(n_steps + 1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, n_assets, n_rows, LANES),
+                lambda i: (n_steps - i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=tuple(out_specs),
+        scratch_shapes=[
+            pltpu.VMEM((n_rows, LANES), jnp.float32),
+            pltpu.VMEM((P, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(scalars, stats, planes_blocked)
+    price_sum, sq_sum = outs[0], outs[1]
+    head = jnp.stack([price_sum[0, 0], sq_sum[0, 0]])
+    if emit_cf_tau:
+        return head, outs[2], outs[3]
+    return head, None, None
+
+
+def lsmc_price_ma_mega(
+    paths_tm: jnp.ndarray,
+    K,
+    r,
+    dt,
+    phi: float = 1.0,
+    payoff_kind: str = "maxcall",
+    basis: str = "chebyshev",
+    degree: int = 2,
+    mode: str = "total",
+    sorted_basis: bool = False,
+    weights=None,
+    rcond: float = 1e-6,
+    itm_weights: bool = False,
+    exercise_from_step: int = 0,
+    antithetic: bool = False,
+    return_cf_tau: bool = False,
+    interpret=None,
+):
+    """Whole multi-asset LSMC induction in ONE kernel.
+
+    ``paths_tm``: ``(n_steps+1, n_paths, n_assets)`` (time-major, as from
+    `amcx.paths.simulate_gbm_multi`) or pre-blocked
+    ``(n_steps+1, A, rows, 512)``. ``r`` is a scalar or an ``(n_steps,)``
+    short-rate curve (discounting rides per-step stats rows, exactly as
+    the univariate mega kernel). Returns ``(price, stderr)`` or, with
+    ``return_cf_tau``, ``(price, stderr, cashflows, exercise_steps)``
+    flattened per path (same contract as `lsmc_price_megakernel`).
+
+    Validated against `amcx.models.maxcall.backward_induction_fused_maxcall`
+    (same math, per-step kernel pair) and the XLA engines per payoff kind
+    (tests/test_ma_mega.py); payoff kinds documented in
+    `amcx.ops.maxcall_pallas._payoff_for`.
+    """
+    n_steps = paths_tm.shape[0] - 1
+    if paths_tm.ndim == 3:
+        n_paths, n_assets = paths_tm.shape[1], paths_tm.shape[2]
+    elif paths_tm.ndim == 4:
+        n_assets, n_paths = paths_tm.shape[1], paths_tm.shape[2] * LANES
+    else:
+        raise ValueError("paths_tm must be (T+1, n, A) or blocked 4-D")
+    if n_paths % (8 * LANES):
+        raise ValueError(
+            f"ma-mega kernel needs n_paths divisible by {8 * LANES}")
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if interpret is True:
+        interpret = pltpu.InterpretParams()
+    n_rows = n_paths // LANES
+    if paths_tm.ndim == 3:
+        blocked = jnp.moveaxis(paths_tm, -1, 1).reshape(
+            n_steps + 1, n_assets, n_rows, LANES)
+    else:
+        blocked = paths_tm
+
+    from ..models.maxcall import maxcall_standardization
+
+    if paths_tm.ndim == 3:
+        mean_t, inv_std_t = maxcall_standardization(
+            paths_tm, "sorted" if sorted_basis else mode)
+    else:
+        X = jnp.moveaxis(blocked.reshape(n_steps + 1, n_assets, n_paths),
+                         1, 2)
+        mean_t, inv_std_t = maxcall_standardization(
+            X, "sorted" if sorted_basis else mode)
+
+    r_arr = jnp.asarray(r, jnp.float32)
+    scalars = jnp.stack([
+        jnp.asarray(jnp.mean(r_arr) * dt, jnp.float32),
+        jnp.asarray(K, jnp.float32),
+        jnp.asarray(phi, jnp.float32),
+        jnp.asarray(rcond, jnp.float32),
+    ])
+    if r_arr.ndim == 0:
+        rem = n_steps - jnp.arange(n_steps + 1, dtype=jnp.float32)
+        r_rem = r_arr * jnp.asarray(dt, jnp.float32) * rem
+    else:
+        r_rem = jnp.concatenate(
+            [jnp.cumsum((r_arr * jnp.asarray(dt, jnp.float32))[::-1])[::-1],
+             jnp.zeros((1,), jnp.float32)])
+    allow = (jnp.arange(n_steps + 1) >= exercise_from_step).astype(
+        jnp.float32)
+    stats = jnp.concatenate([
+        mean_t.T.reshape(-1).astype(jnp.float32),      # A rows of (T+1,)
+        inv_std_t.T.reshape(-1).astype(jnp.float32),
+        jnp.exp(-r_rem), jnp.exp(r_rem), allow,
+    ])
+    w_stat = None if weights is None else tuple(float(x) for x in weights)
+    head, cf, tau = _run_ma_mega(
+        scalars, stats, blocked, n_steps, n_rows, int(n_assets), basis,
+        int(degree), mode, bool(sorted_basis), bool(itm_weights),
+        payoff_kind, w_stat, bool(antithetic), bool(return_cf_tau),
+        interpret)
+    price = head[0] / n_paths
+    n_eff = n_paths // 2 if antithetic else n_paths
+    var = jnp.maximum(head[1] / n_eff - price * price, 0.0)
+    stderr = jnp.sqrt(var / n_eff)
+    if return_cf_tau:
+        return price, stderr, cf.reshape(-1), tau.reshape(-1)
+    return price, stderr

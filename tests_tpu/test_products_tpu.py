@@ -114,3 +114,44 @@ def test_calibrated_local_vol_onchip():
                           option_type="put", american=True))
     assert abs(float(res.price) - crr) < 3.5 * float(res.stderr) + 0.05, (
         float(res.price), crr)
+
+
+def test_ma_mega_lowers_and_matches_fused_onchip():
+    """The multi-asset mega-kernel (one kernel for the whole (S,X)
+    induction) must lower on real Mosaic and match the two-kernel-per-step
+    path at scale."""
+    from amcx.models.maxcall import backward_induction_fused_maxcall
+    from amcx.ops.lsmc_ma_mega import lsmc_price_ma_mega
+    from amcx.paths import simulate_gbm_multi
+
+    sim = SimConfig(n_paths=262_144, n_steps=9)
+    paths = simulate_gbm_multi(jax.random.key(0),
+                               jnp.array([100.0, 100.0]), 0.05, 0.2, 3.0,
+                               sim, q=0.1, corr=jnp.eye(2))
+    spec = RegressionSpec(basis="chebyshev", degree=2)
+    res = backward_induction_fused_maxcall(
+        paths, 100.0, 0.05, 3.0 / 9, spec, basis_mode="sorted",
+        exercise_from_step=1)
+    p, se = lsmc_price_ma_mega(
+        paths, 100.0, 0.05, 3.0 / 9, phi=1.0, payoff_kind="maxcall",
+        degree=2, sorted_basis=True, exercise_from_step=1)
+    assert abs(float(p) - float(res.price)) < 5e-3, (float(p),
+                                                     float(res.price))
+    # Andersen-Broadie 2-asset bracket ~[13.90, 13.93]
+    assert abs(float(p) - 13.90) < 0.15
+
+
+def test_ma_mega_heston_onchip():
+    from amcx.dynamics import HestonParams, price_option_heston
+
+    hp = HestonParams(S0=100.0, r=0.03, v0=0.04, kappa=1.5, theta=0.04,
+                      xi=0.5, rho=-0.7)
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put",
+                       exercise="american")
+    sim = SimConfig(n_paths=262_144, n_steps=50, antithetic=True)
+    r_f = price_option_heston(jax.random.key(1), hp, prod,
+                              RegressionSpec(degree=2), sim, engine="fused")
+    r_m = price_option_heston(jax.random.key(1), hp, prod,
+                              RegressionSpec(degree=2), sim, engine="mega")
+    assert abs(float(r_f.price) - float(r_m.price)) < 5e-3, (
+        float(r_f.price), float(r_m.price))
