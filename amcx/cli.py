@@ -29,7 +29,6 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
-import numpy as np
 
 
 def _market_product_args(p: argparse.ArgumentParser):
@@ -376,7 +375,8 @@ def cmd_heston(args):
     spec = RegressionSpec(basis=args.basis, degree=args.degree)
     sim = SimConfig(n_paths=args.paths, n_steps=args.steps,
                     antithetic=args.antithetic)
-    res = price_option_heston(jax.random.key(args.seed), hp, product, spec, sim)
+    res = price_option_heston(jax.random.key(args.seed), hp, product, spec,
+                              sim, engine=args.engine)
     payload = {
         "price": round(float(res.price), 4),
         "stderr": round(float(res.stderr), 4),
@@ -403,7 +403,8 @@ def cmd_asian(args):
                     antithetic=args.antithetic)
     res = price_asian_option(jax.random.key(args.seed), market, args.k,
                              args.t, args.option_type, args.exercise,
-                             args.averaging, args.strike_type, spec, sim)
+                             args.averaging, args.strike_type, spec, sim,
+                             engine=args.engine)
     payload = {
         "price": round(float(res.price), 4),
         "stderr": round(float(res.stderr), 4),
@@ -915,6 +916,9 @@ def build_parser():
     pa.add_argument("--paths", type=int, default=100_000)
     pa.add_argument("--steps", type=int, default=50)
     pa.add_argument("--antithetic", action="store_true")
+    pa.add_argument("--engine", choices=["xla", "fused", "mega"],
+                    default="xla",
+                    help="fused = 2 kernels/step; mega = ONE kernel total")
     pa.add_argument("--seed", type=int, default=42)
     pa.add_argument("--json", action="store_true")
     pa.set_defaults(fn=cmd_asian)
@@ -939,6 +943,9 @@ def build_parser():
     ph.add_argument("--paths", type=int, default=100_000)
     ph.add_argument("--steps", type=int, default=100)
     ph.add_argument("--antithetic", action="store_true")
+    ph.add_argument("--engine", choices=["xla", "fused", "mega"],
+                    default="xla",
+                    help="fused = 2 kernels/step; mega = ONE kernel total")
     ph.add_argument("--seed", type=int, default=42)
     ph.add_argument("--json", action="store_true")
     ph.set_defaults(fn=cmd_heston)
@@ -968,7 +975,8 @@ def build_parser():
     pk2.add_argument("--paths", type=int, default=100_000)
     pk2.add_argument("--steps", type=int, default=50)
     pk2.add_argument("--antithetic", action="store_true")
-    pk2.add_argument("--engine", choices=["xla", "fused"], default="xla")
+    pk2.add_argument("--engine", choices=["xla", "fused", "mega"],
+                     default="xla")
     pk2.add_argument("--seed", type=int, default=42)
     pk2.add_argument("--json", action="store_true")
     pk2.set_defaults(fn=cmd_basket)
