@@ -329,25 +329,40 @@ def price_option_hw(
 
     ``engine="fused"``: the (S, r) induction runs on the fused multi-asset
     Pallas kernels with the pathwise-discount ``direct_y`` mode (American
-    only; no surface; n_paths divisible by 4096)."""
+    only; no surface; n_paths divisible by 4096). ``engine="mega"``: the
+    same induction in ONE kernel (`amcx.ops.lsmc_ma_mega` with per-path
+    discount planes streamed alongside the state planes)."""
     if product.has_barrier:
         raise ValueError("hybrid barrier pricing is not implemented")
     S, r, df = simulate_hybrid_hw(key, hw, product.T, sim)
     phi = 1.0 if product.option_type == "call" else -1.0
     dtype = sim.jnp_dtype
-    if engine == "fused":
+    if engine in ("fused", "mega"):
         if not product.is_american or return_surface:
-            raise ValueError("engine='fused' prices American only and "
+            raise ValueError(f"engine={engine!r} prices American only and "
                              "emits no surface (use engine='xla')")
         if sim.n_paths % 4096:
-            raise ValueError("engine='fused' needs n_paths divisible by "
-                             f"4096, got {sim.n_paths}")
+            raise ValueError(f"engine={engine!r} needs n_paths divisible "
+                             f"by 4096, got {sim.n_paths}")
+        if engine == "mega":
+            from .ops.lsmc_ma_mega import lsmc_price_ma_mega
+
+            price, stderr = lsmc_price_ma_mega(
+                jnp.stack([S, r], axis=-1), product.K, 0.0,
+                product.T / sim.n_steps, phi=float(phi),
+                payoff_kind="first", basis=spec.basis, degree=spec.degree,
+                mode="total", rcond=spec.rcond,
+                itm_weights=spec.regress_on == "itm",
+                discount_planes=df, exercise_from_step=0,
+                antithetic=sim.antithetic)
+            return LSMCResult(price, stderr, None, None, None)
         price, stderr = _hw_engine_fused_impl(
             S, r, df, jnp.asarray(product.K, dtype), float(phi), spec,
             spec.regress_on == "itm", sim.antithetic)
         return LSMCResult(price, stderr, None, None, None)
     if engine != "xla":
-        raise ValueError(f"engine must be 'xla' or 'fused', got {engine!r}")
+        raise ValueError(f"engine must be 'xla', 'fused', or 'mega', "
+                         f"got {engine!r}")
     price, stderr, surf = _hw_engine_impl(
         S, r, df, jnp.asarray(product.K, dtype), phi, spec,
         product.is_american, spec.regress_on == "itm", sim.antithetic,

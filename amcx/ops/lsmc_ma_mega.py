@@ -92,8 +92,9 @@ def _ma_cols(planes, stats_ref, t, n_assets, T1, basis, degree, mode,
 def _ma_mega_kernel(scal_ref, stats_ref, s_ref, *refs, n_steps, n_rows,
                     chunk_rows, n_assets, basis, degree, mode, sorted_basis,
                     itm_weights, payoff_kind, weights, antithetic,
-                    emit_cf_tau):
+                    emit_cf_tau, direct_y=False):
     it = iter(refs)
+    df_ref = next(it) if direct_y else None
     out_ref, out_sq_ref = next(it), next(it)
     cf_ref = tau_ref = None
     if emit_cf_tau:
@@ -110,7 +111,11 @@ def _ma_mega_kernel(scal_ref, stats_ref, s_ref, *refs, n_steps, n_rows,
     K = scal_ref[1]
     phi = scal_ref[2]
     rcond = scal_ref[3]
-    # V carried in TIME-T UNITS (see lsmc_megakernel._mega_kernel)
+    # Scalar/curve rates: V carried in TIME-T UNITS (see
+    # lsmc_megakernel._mega_kernel). direct_y (pathwise discounting,
+    # stochastic rates): V carries TIME-t VALUES and every step applies the
+    # per-path discount plane — the per-step carry multiply is inherent to
+    # per-path rates (same estimator as amcx.hybrid's engines).
     c_t = stats_ref[2 * A * T1 + t]
     inv_c_t = stats_ref[(2 * A + 1) * T1 + t]
     allow = stats_ref[(2 * A + 2) * T1 + t]  # 1.0 = exercise date
@@ -142,7 +147,10 @@ def _ma_mega_kernel(scal_ref, stats_ref, s_ref, *refs, n_steps, n_rows,
         def pass1(c, _):
             sl = pl.ds(c * chunk_rows, chunk_rows)
             planes = [s_ref[0, a, sl, :] for a in range(A)]
-            y = c_t * V[sl, :]
+            if direct_y:
+                y = df_ref[0, sl, :] * V[sl, :]
+            else:
+                y = c_t * V[sl, :]
             cols = _ma_cols(planes, stats_ref, t, A, T1, basis, degree,
                             mode, sorted_basis)
             if itm_weights:
@@ -173,7 +181,11 @@ def _ma_mega_kernel(scal_ref, stats_ref, s_ref, *refs, n_steps, n_rows,
             cont = jnp.maximum(fitted, 0.0)  # SURVEY Q2
             ex = payoff(planes)
             mask = (ex > cont) & (allow > 0.0)
-            V[sl, :] = jnp.where(mask, ex * inv_c_t, V[sl, :])
+            if direct_y:
+                # V_t = exercised value or discounted roll-back of V_{t+1}
+                V[sl, :] = jnp.where(mask, ex, df_ref[0, sl, :] * V[sl, :])
+            else:
+                V[sl, :] = jnp.where(mask, ex * inv_c_t, V[sl, :])
             if emit_cf_tau:
                 cf_ref[sl, :] = jnp.where(mask, ex, cf_ref[sl, :])
                 tau_ref[sl, :] = jnp.where(mask, t.astype(jnp.float32),
@@ -184,7 +196,10 @@ def _ma_mega_kernel(scal_ref, stats_ref, s_ref, *refs, n_steps, n_rows,
 
     @pl.when(i == n_steps)
     def _emit():
-        v = c_t * V[...]  # t == 0: discount time-T units to time 0
+        if direct_y:
+            v = V[...]  # already time-0 values (pathwise discounting)
+        else:
+            v = c_t * V[...]  # t == 0: discount time-T units to time 0
         out_ref[...] = jnp.sum(v).reshape(1, 1)
         if antithetic:
             half = n_rows // 2
@@ -202,16 +217,18 @@ def _ma_mega_kernel(scal_ref, stats_ref, s_ref, *refs, n_steps, n_rows,
 )
 def _run_ma_mega(scalars, stats, planes_blocked, n_steps, n_rows, n_assets,
                  basis, degree, mode, sorted_basis, itm_weights, payoff_kind,
-                 weights, antithetic, emit_cf_tau, interpret):
+                 weights, antithetic, emit_cf_tau, interpret,
+                 df_blocked=None):
     m = len(_multi_index_set(n_assets, degree, mode))
     P = len(_pairs(m)) + m
+    direct_y = df_blocked is not None
     kernel = functools.partial(
         _ma_mega_kernel,
         n_steps=n_steps, n_rows=n_rows,
         chunk_rows=_chunk_rows_for(n_rows), n_assets=n_assets, basis=basis,
         degree=degree, mode=mode, sorted_basis=sorted_basis,
         itm_weights=itm_weights, payoff_kind=payoff_kind, weights=weights,
-        antithetic=antithetic, emit_cf_tau=emit_cf_tau,
+        antithetic=antithetic, emit_cf_tau=emit_cf_tau, direct_y=direct_y,
     )
     scalar_shape = jax.ShapeDtypeStruct((1, 1), jnp.float32)
     scalar_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
@@ -224,19 +241,28 @@ def _run_ma_mega(scalars, stats, planes_blocked, n_steps, n_rows, n_assets,
                                   memory_space=pltpu.VMEM)
         out_shapes += [plane_shape, plane_shape]
         out_specs += [plane_spec, plane_spec]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(
+            (1, n_assets, n_rows, LANES),
+            lambda i: (n_steps - i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    operands = [scalars, stats, planes_blocked]
+    if direct_y:
+        # df padded to (n_steps+1) step rows; the maturity step reads the
+        # dummy last row and never uses it
+        in_specs.append(pl.BlockSpec(
+            (1, n_rows, LANES), lambda i: (n_steps - i, 0, 0),
+            memory_space=pltpu.VMEM))
+        operands.append(df_blocked)
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shapes),
         grid=(n_steps + 1,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (1, n_assets, n_rows, LANES),
-                lambda i: (n_steps - i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((n_rows, LANES), jnp.float32),
@@ -245,7 +271,7 @@ def _run_ma_mega(scalars, stats, planes_blocked, n_steps, n_rows, n_assets,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(scalars, stats, planes_blocked)
+    )(*operands)
     price_sum, sq_sum = outs[0], outs[1]
     head = jnp.stack([price_sum[0, 0], sq_sum[0, 0]])
     if emit_cf_tau:
@@ -270,6 +296,7 @@ def lsmc_price_ma_mega(
     exercise_from_step: int = 0,
     antithetic: bool = False,
     return_cf_tau: bool = False,
+    discount_planes=None,
     interpret=None,
 ):
     """Whole multi-asset LSMC induction in ONE kernel.
@@ -281,6 +308,12 @@ def lsmc_price_ma_mega(
     the univariate mega kernel). Returns ``(price, stderr)`` or, with
     ``return_cf_tau``, ``(price, stderr, cashflows, exercise_steps)``
     flattened per path (same contract as `lsmc_price_megakernel`).
+
+    ``discount_planes``: optional ``(n_steps, n_paths)`` per-path one-step
+    discount factors (stochastic rates — `amcx.hybrid`): switches the
+    kernel to pathwise discounting (``direct_y``), where ``r``/``dt`` are
+    ignored for the carry and the value plane rolls back through the
+    per-path planes every step.
 
     Validated against `amcx.models.maxcall.backward_induction_fused_maxcall`
     (same math, per-step kernel pair) and the XLA engines per payoff kind
@@ -341,11 +374,20 @@ def lsmc_price_ma_mega(
         jnp.exp(-r_rem), jnp.exp(r_rem), allow,
     ])
     w_stat = None if weights is None else tuple(float(x) for x in weights)
+    df_blocked = None
+    if discount_planes is not None:
+        if discount_planes.shape != (n_steps, n_paths):
+            raise ValueError("discount_planes must be (n_steps, n_paths)")
+        # pad a dummy maturity row so the grid's i=0 block index is valid
+        df_blocked = jnp.concatenate(
+            [discount_planes.astype(jnp.float32),
+             jnp.ones((1, n_paths), jnp.float32)]).reshape(
+            n_steps + 1, n_rows, LANES)
     head, cf, tau = _run_ma_mega(
         scalars, stats, blocked, n_steps, n_rows, int(n_assets), basis,
         int(degree), mode, bool(sorted_basis), bool(itm_weights),
         payoff_kind, w_stat, bool(antithetic), bool(return_cf_tau),
-        interpret)
+        interpret, df_blocked=df_blocked)
     price = head[0] / n_paths
     n_eff = n_paths // 2 if antithetic else n_paths
     var = jnp.maximum(head[1] / n_eff - price * price, 0.0)

@@ -128,3 +128,26 @@ def test_ma_mega_validation():
         lsmc_price_ma_mega(jnp.ones((5, 1000, 2)), 100.0, 0.05, 0.25)
     with pytest.raises(ValueError, match="blocked"):
         lsmc_price_ma_mega(jnp.ones((5, 4096)), 100.0, 0.05, 0.25)
+
+
+def test_ma_mega_hybrid_direct_y_matches_fused():
+    # stochastic short rate: pathwise discount planes through the one-
+    # kernel engine vs the fused (S, r) pair — identical estimator
+    from amcx.hybrid import HullWhiteParams, price_option_hw
+
+    hw = HullWhiteParams(100.0, 0.04, 0.2, kappa=0.8, sigma_r=0.02,
+                         rho=-0.4)
+    prod = ProductSpec(K=105.0, T=1.0, option_type="put",
+                       exercise="american")
+    sim = SimConfig(n_paths=32_768, n_steps=20, antithetic=True)
+    spec = RegressionSpec(degree=3)
+    r_f = price_option_hw(jax.random.key(0), hw, prod, spec, sim,
+                          engine="fused")
+    r_m = price_option_hw(jax.random.key(0), hw, prod, spec, sim,
+                          engine="mega")
+    assert abs(float(r_f.price) - float(r_m.price)) < 2e-3, (
+        float(r_f.price), float(r_m.price))
+    # both must sit near the XLA reference too
+    r_x = price_option_hw(jax.random.key(0), hw, prod, spec, sim,
+                          engine="xla")
+    assert abs(float(r_m.price) - float(r_x.price)) < 0.02
