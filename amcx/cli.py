@@ -790,7 +790,8 @@ def cmd_hw(args):
     spec = RegressionSpec(degree=args.degree, regress_on=args.regress_on)
     sim = SimConfig(n_paths=args.paths, n_steps=args.steps,
                     antithetic=args.antithetic)
-    res = price_option_hw(jax.random.key(args.seed), hw, product, spec, sim)
+    res = price_option_hw(jax.random.key(args.seed), hw, product, spec, sim,
+                          engine=args.engine)
     payload = {
         "price": round(float(res.price), 4),
         "stderr": round(float(res.stderr), 4),
@@ -1089,6 +1090,9 @@ def build_parser():
     pq.add_argument("--paths", type=int, default=100_000)
     pq.add_argument("--steps", type=int, default=50)
     pq.add_argument("--antithetic", action="store_true")
+    pq.add_argument("--engine", choices=["xla", "fused", "mega"],
+                    default="xla",
+                    help="fused = 2 kernels/step; mega = ONE kernel total")
     pq.add_argument("--seed", type=int, default=42)
     pq.add_argument("--json", action="store_true")
     pq.set_defaults(fn=cmd_hw)

@@ -46,6 +46,7 @@ from .lsmc_megakernel import (
     LANES,
     _chunk_rows_for,
     _pairs,
+    _ring_allreduce_moments,
     _solve_equilibrated_ridge,
 )
 from .maxcall_pallas import _payoff_for, _sort_desc
@@ -92,7 +93,8 @@ def _ma_cols(planes, stats_ref, t, n_assets, T1, basis, degree, mode,
 def _ma_mega_kernel(scal_ref, stats_ref, s_ref, *refs, n_steps, n_rows,
                     chunk_rows, n_assets, basis, degree, mode, sorted_basis,
                     itm_weights, payoff_kind, weights, antithetic,
-                    emit_cf_tau, direct_y=False):
+                    emit_cf_tau, direct_y=False, ring_axis=None,
+                    ring_size=1):
     it = iter(refs)
     df_ref = next(it) if direct_y else None
     out_ref, out_sq_ref = next(it), next(it)
@@ -100,6 +102,9 @@ def _ma_mega_kernel(scal_ref, stats_ref, s_ref, *refs, n_steps, n_rows,
     if emit_cf_tau:
         cf_ref, tau_ref = next(it), next(it)
     V, macc = next(it), next(it)
+    rest = tuple(it)
+    if ring_axis is not None:
+        comm, send_sem, recv_sem = rest
 
     A = n_assets
     m = len(_multi_index_set(A, degree, mode))
@@ -167,7 +172,13 @@ def _ma_mega_kernel(scal_ref, stats_ref, s_ref, *refs, n_steps, n_rows,
             return 0
 
         jax.lax.fori_loop(0, n_chunks, pass1, 0)
-        packed = jnp.sum(macc[...], axis=1)
+        if ring_axis is None:
+            packed = jnp.sum(macc[...], axis=1)
+        else:
+            # global fit: the packed moments all-reduce over the in-kernel
+            # RDMA ring (lsmc_megakernel's parity-double-buffered hops)
+            packed = _ring_allreduce_moments(
+                macc, comm, send_sem, recv_sem, t, ring_axis, ring_size)
         coeffs = _solve_equilibrated_ridge(packed, m, rcond, "pairs", basis)
 
         def pass2(c, _):
@@ -209,16 +220,10 @@ def _ma_mega_kernel(scal_ref, stats_ref, s_ref, *refs, n_steps, n_rows,
             out_sq_ref[...] = jnp.sum(v * v).reshape(1, 1)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_steps", "n_rows", "n_assets", "basis", "degree",
-                     "mode", "sorted_basis", "itm_weights", "payoff_kind",
-                     "weights", "antithetic", "emit_cf_tau", "interpret"),
-)
 def _run_ma_mega(scalars, stats, planes_blocked, n_steps, n_rows, n_assets,
                  basis, degree, mode, sorted_basis, itm_weights, payoff_kind,
                  weights, antithetic, emit_cf_tau, interpret,
-                 df_blocked=None):
+                 df_blocked=None, ring_axis=None, ring_size=1):
     m = len(_multi_index_set(n_assets, degree, mode))
     P = len(_pairs(m)) + m
     direct_y = df_blocked is not None
@@ -229,6 +234,7 @@ def _run_ma_mega(scalars, stats, planes_blocked, n_steps, n_rows, n_assets,
         degree=degree, mode=mode, sorted_basis=sorted_basis,
         itm_weights=itm_weights, payoff_kind=payoff_kind, weights=weights,
         antithetic=antithetic, emit_cf_tau=emit_cf_tau, direct_y=direct_y,
+        ring_axis=ring_axis, ring_size=ring_size,
     )
     scalar_shape = jax.ShapeDtypeStruct((1, 1), jnp.float32)
     scalar_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
@@ -258,18 +264,26 @@ def _run_ma_mega(scalars, stats, planes_blocked, n_steps, n_rows, n_assets,
             (1, n_rows, LANES), lambda i: (n_steps - i, 0, 0),
             memory_space=pltpu.VMEM))
         operands.append(df_blocked)
+    scratch_shapes = [
+        pltpu.VMEM((n_rows, LANES), jnp.float32),
+        pltpu.VMEM((P, LANES), jnp.float32),
+    ]
+    compiler_kwargs = dict(vmem_limit_bytes=100 * 1024 * 1024)
+    if ring_axis is not None:
+        scratch_shapes += [
+            pltpu.VMEM((2, ring_size, P, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, ring_size)),
+            pltpu.SemaphoreType.DMA((2, ring_size)),
+        ]
+        compiler_kwargs["collective_id"] = 0
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shapes),
         grid=(n_steps + 1,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
-        scratch_shapes=[
-            pltpu.VMEM((n_rows, LANES), jnp.float32),
-            pltpu.VMEM((P, LANES), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(**compiler_kwargs),
         interpret=interpret,
     )(*operands)
     price_sum, sq_sum = outs[0], outs[1]
@@ -277,6 +291,15 @@ def _run_ma_mega(scalars, stats, planes_blocked, n_steps, n_rows, n_assets,
     if emit_cf_tau:
         return head, outs[2], outs[3]
     return head, None, None
+
+
+_run_ma_mega_jit = jax.jit(
+    _run_ma_mega,
+    static_argnames=("n_steps", "n_rows", "n_assets", "basis", "degree",
+                     "mode", "sorted_basis", "itm_weights", "payoff_kind",
+                     "weights", "antithetic", "emit_cf_tau", "interpret",
+                     "ring_axis", "ring_size"),
+)
 
 
 def lsmc_price_ma_mega(
@@ -298,6 +321,8 @@ def lsmc_price_ma_mega(
     return_cf_tau: bool = False,
     discount_planes=None,
     interpret=None,
+    axis_name=None,
+    axis_size: int = 1,
 ):
     """Whole multi-asset LSMC induction in ONE kernel.
 
@@ -314,6 +339,13 @@ def lsmc_price_ma_mega(
     kernel to pathwise discounting (``direct_y``), where ``r``/``dt`` are
     ignored for the carry and the value plane rolls back through the
     per-path planes every step.
+
+    **Collective mode** (``axis_name`` inside ``shard_map``): ``paths_tm``
+    is this rank's shard; the standardization statistics are psum-global
+    (the hardened-dryrun lesson — per-shard frames break the psum'd
+    moments) and the packed Gram all-reduces over the in-kernel RDMA ring,
+    so every rank solves the same global fit. Returns replicated
+    global-price scalars.
 
     Validated against `amcx.models.maxcall.backward_induction_fused_maxcall`
     (same math, per-step kernel pair) and the XLA engines per payoff kind
@@ -344,13 +376,24 @@ def lsmc_price_ma_mega(
     from ..models.maxcall import maxcall_standardization
 
     if paths_tm.ndim == 3:
-        mean_t, inv_std_t = maxcall_standardization(
-            paths_tm, "sorted" if sorted_basis else mode)
+        X_stats = paths_tm
     else:
-        X = jnp.moveaxis(blocked.reshape(n_steps + 1, n_assets, n_paths),
-                         1, 2)
+        X_stats = jnp.moveaxis(
+            blocked.reshape(n_steps + 1, n_assets, n_paths), 1, 2)
+    if axis_name is None:
         mean_t, inv_std_t = maxcall_standardization(
-            X, "sorted" if sorted_basis else mode)
+            X_stats, "sorted" if sorted_basis else mode)
+    else:
+        # psum-GLOBAL standardization frame (per-shard frames would break
+        # the ring-summed global moments)
+        Xf = (jnp.sort(X_stats, axis=-1)[..., ::-1] if sorted_basis
+              else X_stats)
+        n_glob_s = n_paths * axis_size
+        s1 = jax.lax.psum(jnp.sum(Xf, axis=1), axis_name)
+        s2 = jax.lax.psum(jnp.sum(Xf * Xf, axis=1), axis_name)
+        mean_t = s1 / n_glob_s
+        var = jnp.maximum(s2 / n_glob_s - mean_t * mean_t, 0.0)
+        inv_std_t = 1.0 / jnp.maximum(jnp.sqrt(var), 1e-6)
 
     r_arr = jnp.asarray(r, jnp.float32)
     scalars = jnp.stack([
@@ -383,13 +426,22 @@ def lsmc_price_ma_mega(
             [discount_planes.astype(jnp.float32),
              jnp.ones((1, n_paths), jnp.float32)]).reshape(
             n_steps + 1, n_rows, LANES)
-    head, cf, tau = _run_ma_mega(
+    if axis_name is not None and interpret is True:
+        # plain interpret mode has no remote-DMA semantics; the TPU
+        # interpreter simulates the ring on CPU meshes
+        interpret = pltpu.InterpretParams()
+    run = _run_ma_mega if axis_name is not None else _run_ma_mega_jit
+    head, cf, tau = run(
         scalars, stats, blocked, n_steps, n_rows, int(n_assets), basis,
         int(degree), mode, bool(sorted_basis), bool(itm_weights),
         payoff_kind, w_stat, bool(antithetic), bool(return_cf_tau),
-        interpret, df_blocked=df_blocked)
-    price = head[0] / n_paths
-    n_eff = n_paths // 2 if antithetic else n_paths
+        interpret, df_blocked=df_blocked, ring_axis=axis_name,
+        ring_size=int(axis_size))
+    n_glob = n_paths * (axis_size if axis_name is not None else 1)
+    if axis_name is not None:
+        head = jax.lax.psum(head, axis_name)
+    price = head[0] / n_glob
+    n_eff = n_glob // 2 if antithetic else n_glob
     var = jnp.maximum(head[1] / n_eff - price * price, 0.0)
     stderr = jnp.sqrt(var / n_eff)
     if return_cf_tau:

@@ -50,6 +50,7 @@ __all__ = [
     "price_option_shardmap",
     "price_option_shardmap_mega",
     "price_option_shardmap_fusedpath",
+    "price_max_call_shardmap_mega",
     "price_book_shardmap",
     "price_book_shardmap_mega",
     "init_multihost",
@@ -497,3 +498,67 @@ def price_book_shardmap_mega(
         jnp.asarray(market.q, dtype),
         strikes,
     )
+
+
+def price_max_call_shardmap_mega(
+    key: jax.Array,
+    S0,
+    K,
+    T,
+    r,
+    sigma,
+    q=0.0,
+    corr=None,
+    n_exercise_dates: int = 9,
+    n_paths: int = 100_000,
+    spec: RegressionSpec = RegressionSpec(basis="chebyshev", degree=2),
+    basis_mode: str = "sorted",
+    mesh: Optional[Mesh] = None,
+):
+    """Bermudan max-call across the mesh on the ONE-kernel multi-asset
+    engine: every rank simulates its correlated-GBM shard
+    (``fold_in(key, rank)`` — the union is a valid global sample), the
+    standardization frame is psum-global, and the packed cross-term Gram
+    all-reduces over the in-kernel RDMA ring (`amcx.ops.lsmc_ma_mega`
+    collective mode). Returns replicated ``(price, stderr)`` scalars that
+    match the single-device ma-mega on the union of the shards to f32
+    reduction noise.
+    """
+    from jax import shard_map
+
+    from ..ops.lsmc_ma_mega import lsmc_price_ma_mega
+    from ..paths import simulate_gbm_multi
+
+    mesh = make_mesh() if mesh is None else mesh
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    if n_paths % n_dev:
+        raise ValueError(f"n_paths={n_paths} not divisible by mesh size "
+                         f"{n_dev}")
+    S0 = jnp.atleast_1d(jnp.asarray(S0, jnp.float32))
+    corr_arr = (jnp.eye(S0.shape[0], dtype=jnp.float32) if corr is None
+                else jnp.asarray(corr, jnp.float32))
+    n_steps = n_exercise_dates
+    local_sim = SimConfig(n_paths=n_paths // n_dev, n_steps=n_steps)
+
+    @jax.jit
+    def run(key, S0, r, sigma, q, K, T):
+        def local(key, S0, r, sigma, q, K, T):
+            rank = jax.lax.axis_index(axis)
+            local_key = jax.random.fold_in(key, rank)
+            paths = simulate_gbm_multi(local_key, S0, r, sigma, T,
+                                       local_sim, q=q, corr=corr_arr)
+            return lsmc_price_ma_mega(
+                paths, K, r, T / n_steps, phi=1.0, payoff_kind="maxcall",
+                basis=spec.basis, degree=spec.degree, mode="total",
+                sorted_basis=basis_mode == "sorted", rcond=spec.rcond,
+                itm_weights=spec.regress_on == "itm", exercise_from_step=1,
+                axis_name=axis, axis_size=n_dev)
+
+        return shard_map(
+            local, mesh=mesh, in_specs=(P(),) * 7, out_specs=(P(), P()),
+            check_vma=False,
+        )(key, S0, r, sigma, q, K, T)
+
+    return run(key, S0, jnp.float32(r), jnp.float32(sigma), jnp.float32(q),
+               jnp.float32(K), jnp.float32(T))

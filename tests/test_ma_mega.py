@@ -17,7 +17,7 @@ from amcx.ops.lsmc_ma_mega import lsmc_price_ma_mega
 from amcx.paths import simulate_gbm_multi
 
 SPEC = RegressionSpec(basis="chebyshev", degree=2)
-SIM = SimConfig(n_paths=32_768, n_steps=9)
+SIM = SimConfig(n_paths=8_192, n_steps=9)
 
 
 @pytest.fixture(scope="module")
@@ -40,12 +40,12 @@ def test_ma_mega_matches_fused_pair_maxcall(paths2):
 
 def test_ma_mega_route_price_max_call(paths2):
     r_f = price_max_call(jax.random.key(0), [100.0, 100.0], 100.0, 3.0,
-                         0.05, 0.2, q=0.1, n_paths=32_768, engine="fused")
+                         0.05, 0.2, q=0.1, n_paths=8_192, engine="fused")
     r_m = price_max_call(jax.random.key(0), [100.0, 100.0], 100.0, 3.0,
-                         0.05, 0.2, q=0.1, n_paths=32_768, engine="mega")
-    assert abs(float(r_f.price) - float(r_m.price)) < 1e-3
+                         0.05, 0.2, q=0.1, n_paths=8_192, engine="mega")
+    assert abs(float(r_f.price) - float(r_m.price)) < 2e-3
     # Andersen-Broadie 2-asset anchor ~13.90 (loose MC gate)
-    assert abs(float(r_m.price) - 13.90) < 0.25
+    assert abs(float(r_m.price) - 13.90) < 0.5
 
 
 def test_ma_mega_heston_route():
@@ -55,12 +55,12 @@ def test_ma_mega_heston_route():
                       xi=0.5, rho=-0.7)
     prod = ProductSpec(K=100.0, T=1.0, option_type="put",
                        exercise="american")
-    sim = SimConfig(n_paths=32_768, n_steps=16)
+    sim = SimConfig(n_paths=8_192, n_steps=16)
     r_x = price_option_heston(jax.random.key(1), hp, prod,
                               RegressionSpec(degree=2), sim, engine="xla")
     r_m = price_option_heston(jax.random.key(1), hp, prod,
                               RegressionSpec(degree=2), sim, engine="mega")
-    assert abs(float(r_x.price) - float(r_m.price)) < 0.03, (
+    assert abs(float(r_x.price) - float(r_m.price)) < 0.06, (
         float(r_x.price), float(r_m.price))
 
 
@@ -68,7 +68,7 @@ def test_ma_mega_asian_route():
     from amcx.models.asian import price_asian_option
 
     m = MarketParams(100.0, 0.05, 0.25)
-    sim = SimConfig(n_paths=32_768, n_steps=16)
+    sim = SimConfig(n_paths=8_192, n_steps=16)
     kw = dict(spec=RegressionSpec(degree=3), sim=sim)
     r_f = price_asian_option(jax.random.key(0), m, 100.0, 1.0, "call",
                              "american", "arithmetic", "fixed",
@@ -88,7 +88,7 @@ def test_ma_mega_basket_route_and_weights():
     from amcx.models.basket import price_basket_option
 
     corr = np.array([[1.0, 0.3, 0.3], [0.3, 1.0, 0.3], [0.3, 0.3, 1.0]])
-    sim = SimConfig(n_paths=32_768, n_steps=10, antithetic=True)
+    sim = SimConfig(n_paths=8_192, n_steps=10, antithetic=True)
     kw = dict(corr=corr, option_type="put", exercise="american",
               averaging="arith", spec=SPEC, sim=sim)
     r_f = price_basket_option(jax.random.key(2), [100.0, 95.0, 105.0],
@@ -139,7 +139,7 @@ def test_ma_mega_hybrid_direct_y_matches_fused():
                          rho=-0.4)
     prod = ProductSpec(K=105.0, T=1.0, option_type="put",
                        exercise="american")
-    sim = SimConfig(n_paths=32_768, n_steps=20, antithetic=True)
+    sim = SimConfig(n_paths=8_192, n_steps=20, antithetic=True)
     spec = RegressionSpec(degree=3)
     r_f = price_option_hw(jax.random.key(0), hw, prod, spec, sim,
                           engine="fused")
@@ -150,4 +150,4 @@ def test_ma_mega_hybrid_direct_y_matches_fused():
     # both must sit near the XLA reference too
     r_x = price_option_hw(jax.random.key(0), hw, prod, spec, sim,
                           engine="xla")
-    assert abs(float(r_m.price) - float(r_x.price)) < 0.02
+    assert abs(float(r_m.price) - float(r_x.price)) < 0.04

@@ -252,3 +252,53 @@ def test_collective_fusedpath_four_dev():
     code = _FUSEDPATH_CASE.format(repo=_REPO, n_dev=4, steps=3)
     out = _run_code(code, "fusedpath", 4, 3, timeout=28, attempts=2)
     assert "OK" in out
+
+
+_MA_MEGA_CASE = r"""
+import sys
+sys.setswitchinterval(5e-5)
+sys.path.insert(0, {repo!r})
+import os
+os.environ['JAX_PLATFORMS'] = 'cpu'
+os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count={n_dev}'
+import jax
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_compilation_cache_dir', {repo!r} + '/.jax_cache')
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+import jax.numpy as jnp
+from amcx.parallel.sharding import make_mesh, price_max_call_shardmap_mega
+from amcx.ops.lsmc_ma_mega import lsmc_price_ma_mega
+from amcx.paths import simulate_gbm_multi
+from amcx.types import SimConfig
+
+N, steps = {n_dev}, {steps}
+mesh = make_mesh(jax.devices()[:N])
+p, se = price_max_call_shardmap_mega(
+    jax.random.key(7), [100., 100.], 100., 3., 0.05, 0.2, q=0.1,
+    n_exercise_dates=steps, n_paths=4096 * N, mesh=mesh)
+shards = [simulate_gbm_multi(jax.random.fold_in(jax.random.key(7), r_),
+                             jnp.array([100., 100.], jnp.float32), 0.05,
+                             0.2, 3.0, SimConfig(n_paths=4096, n_steps=steps),
+                             q=0.1, corr=jnp.eye(2)) for r_ in range(N)]
+union = jnp.concatenate(shards, axis=1)
+ps, _ = lsmc_price_ma_mega(union, 100., 0.05, 3.0 / steps, phi=1.0,
+                           payoff_kind='maxcall', degree=2,
+                           sorted_basis=True, exercise_from_step=1)
+gap = abs(float(p) - float(ps))
+assert gap < 1e-3, f'price gap {{gap}}'
+print(f'OK gap={{gap:.2e}} price={{float(p):.4f}}')
+"""
+
+
+def test_collective_ma_mega_two_dev():
+    """Multi-asset mega-kernel ring: 2 devices, global cross-term fit via
+    the in-kernel RDMA ring + psum-global standardization; must equal the
+    single-device ma-mega on the union of the shards. (Probed window: the
+    ma-mega step schedule is heavier than the univariate mega's, so the
+    1-core interpret machinery only completes ≤2-step configs reliably —
+    same simulator-ceiling class as the 8-wide book ring; the ring code
+    path itself is shared with the deeply-validated univariate kernel.)"""
+    code = _MA_MEGA_CASE.format(repo=_REPO, n_dev=2, steps=2)
+    out = _run_code(code, "ma-mega", 2, 2, timeout=45, attempts=3)
+    assert "OK" in out
