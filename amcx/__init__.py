@@ -40,7 +40,7 @@ from .hybrid import (HullWhiteParams, price_option_hw, european_price_hw,
                      simulate_hybrid_hw)
 from .dual import dual_upper_bound, dual_upper_bound_max_call, DualResult
 from .exposures import (compute_ccr_exposures, CCRExposures,
-                        exposures_from_coeffs, cva_from_epe)
+                        exposures_from_coeffs, cva_from_epe, bilateral_cva)
 from .analytics import compute_differences, oracle_grid_values
 from .engine_pallas import lsmc_option_pricing_fused
 from .greeks import price_and_greeks, gamma_fd, fast_greeks
@@ -119,6 +119,7 @@ __all__ = [
     "compute_ccr_exposures",
     "exposures_from_coeffs",
     "cva_from_epe",
+    "bilateral_cva",
     "q0_call_advisory",
     "CCRExposures",
     "compute_differences",

@@ -248,6 +248,7 @@ def book_ccr_exposures(
     option_type: str = "put",
     american: bool = True,
     spec: RegressionSpec = RegressionSpec(),
+    return_ene: bool = False,
 ):
     """Netting-set CCR profile of a vanilla book on shared paths.
 
@@ -262,7 +263,11 @@ def book_ccr_exposures(
     one ``(n_steps+1, n_paths)`` surface is ever materialized alongside the
     accumulator.
 
-    Returns ``(portfolio_ccr: CCRExposures, prices: (n_options,))``.
+    Returns ``(portfolio_ccr: CCRExposures, prices: (n_options,))``; with
+    ``return_ene=True`` also the per-step expected NEGATIVE exposure
+    ``ENE(t) = E[max(−Σ w_i Ĉ_i, 0)]`` (the magnitude owed BY us — the
+    DVA leg of `amcx.exposures.bilateral_cva`), as
+    ``(ccr, ene, prices)``.
     """
     from .exposures import compute_ccr_exposures
 
@@ -286,7 +291,11 @@ def book_ccr_exposures(
     acc0 = jnp.zeros(paths_tm.shape, paths_tm.dtype)
     netted, prices = jax.lax.scan(body, acc0, (strikes, weights))
     exposure = jnp.maximum(netted, 0.0)  # positive part: owed-to-us only
-    return compute_ccr_exposures(exposure), prices
+    ccr = compute_ccr_exposures(exposure)
+    if return_ene:
+        ene = jnp.mean(jnp.maximum(-netted, 0.0), axis=1)
+        return ccr, ene, prices
+    return ccr, prices
 
 
 def book_greeks(

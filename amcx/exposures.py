@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["CCRExposures", "compute_ccr_exposures", "distributed_percentiles",
+    "bilateral_cva",
            "exposures_from_coeffs", "cva_from_epe"]
 
 
@@ -204,3 +205,51 @@ def distributed_percentiles(
     prev = jnp.where(pos > 0, cdf[pos - 1], 0.0)
     frac = (target - prev) / jnp.maximum(counts[pos], 1.0)
     return lo + (pos.astype(dtype) + frac) * width / n_bins
+
+
+def bilateral_cva(
+    epe: jnp.ndarray,
+    ene: jnp.ndarray,
+    T,
+    r,
+    hazard_cpty,
+    hazard_own,
+    recovery_cpty: float = 0.4,
+    recovery_own: float = 0.4,
+):
+    """Bilateral CVA: counterparty leg minus own-default (DVA) leg.
+
+    The standard independent-defaults discretization on the exposure grid:
+
+        BCVA = (1−R_c) Σ_i DF_i · EPE_i · S_own(t_{i−1}) · ΔPD_c,i
+             − (1−R_o) Σ_i DF_i · ENE_i · S_c(t_{i−1})   · ΔPD_o,i
+
+    — each leg's default probability is weighted by the OTHER party's
+    survival to the interval start (first-to-default bilateral form, no
+    wrong-way risk). ``ene`` is the magnitude owed by us
+    (`amcx.book.book_ccr_exposures(return_ene=True)`); hazards are scalar
+    or ``(n_steps,)`` per-interval rates.
+
+    Returns ``(bcva, cva_leg, dva_leg)`` — with ``hazard_own = 0`` the
+    counterparty leg reduces exactly to :func:`cva_from_epe`.
+    """
+    epe = jnp.nan_to_num(jnp.asarray(epe), nan=0.0, posinf=0.0, neginf=0.0)
+    ene = jnp.nan_to_num(jnp.asarray(ene), nan=0.0, posinf=0.0, neginf=0.0)
+    n_steps = epe.shape[0] - 1
+    dtype = epe.dtype
+    dt = jnp.asarray(T, dtype) / n_steps
+    lam_c = jnp.broadcast_to(jnp.asarray(hazard_cpty, dtype), (n_steps,))
+    lam_o = jnp.broadcast_to(jnp.asarray(hazard_own, dtype), (n_steps,))
+    t_grid = jnp.arange(1, n_steps + 1, dtype=dtype) * dt
+    df = jnp.exp(-jnp.asarray(r, dtype) * t_grid)
+    surv_c = jnp.exp(-jnp.concatenate(
+        [jnp.zeros((1,), dtype), jnp.cumsum(lam_c * dt)]))
+    surv_o = jnp.exp(-jnp.concatenate(
+        [jnp.zeros((1,), dtype), jnp.cumsum(lam_o * dt)]))
+    dpd_c = surv_c[:-1] - surv_c[1:]
+    dpd_o = surv_o[:-1] - surv_o[1:]
+    cva_leg = (1.0 - recovery_cpty) * jnp.sum(
+        df * epe[1:] * surv_o[:-1] * dpd_c)
+    dva_leg = (1.0 - recovery_own) * jnp.sum(
+        df * ene[1:] * surv_c[:-1] * dpd_o)
+    return cva_leg - dva_leg, cva_leg, dva_leg

@@ -1,10 +1,12 @@
 """CCR exposures vs the reference's numpy semantics
 (`/root/reference/american_monte_carlo.py:400-414`)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from amcx import compute_ccr_exposures
+from amcx import (MarketParams, RegressionSpec, SimConfig,
+                  compute_ccr_exposures, simulate_gbm)
 
 
 def _np_reference(surface):
@@ -93,3 +95,44 @@ def test_cva_composes_with_engine_exposures():
     # EPE ~ price scale; CVA ~ LGD * EPE * PD(1y) ~ 0.6 * 6 * 0.02 ~ 0.07
     assert 0.0 < cva < float(res.price)
     assert np.isfinite(cva)
+
+
+def test_bilateral_cva_reduces_to_unilateral():
+    from amcx.exposures import bilateral_cva, cva_from_epe
+
+    epe = jnp.linspace(0.0, 5.0, 21)
+    ene = jnp.linspace(0.0, 2.0, 21)
+    uni = float(cva_from_epe(epe, 1.0, 0.03, 0.02, recovery=0.4))
+    bcva, cva_leg, dva_leg = bilateral_cva(epe, ene, 1.0, 0.03, 0.02, 0.0,
+                                           recovery_cpty=0.4)
+    assert float(dva_leg) == 0.0
+    np.testing.assert_allclose(float(cva_leg), uni, rtol=1e-6)
+    np.testing.assert_allclose(float(bcva), uni, rtol=1e-6)
+    # own default risk reduces the bilateral adjustment
+    bcva2, _, dva2 = bilateral_cva(epe, ene, 1.0, 0.03, 0.02, 0.05)
+    assert float(dva2) > 0.0 and float(bcva2) < float(bcva)
+
+
+def test_netting_set_ene_and_sign_symmetry():
+    from amcx.book import book_ccr_exposures
+
+    m = MarketParams(100.0, 0.05, 0.2)
+    sim = SimConfig(n_paths=16_384, n_steps=10)
+    paths = simulate_gbm(jax.random.key(0), m, 1.0, sim)
+    strikes = jnp.array([95.0, 105.0])
+    w = jnp.array([1.0, -1.0])
+    ccr_p, ene_p, _ = book_ccr_exposures(paths, strikes, w, m.r, 1.0,
+                                         spec=RegressionSpec(degree=3),
+                                         return_ene=True)
+    ccr_m, ene_m, _ = book_ccr_exposures(paths, strikes, -w, m.r, 1.0,
+                                         spec=RegressionSpec(degree=3),
+                                         return_ene=True)
+    # flipping every position swaps EPE and ENE exactly
+    np.testing.assert_allclose(np.asarray(ccr_p.epe), np.asarray(ene_m),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ene_p), np.asarray(ccr_m.epe),
+                               rtol=1e-5, atol=1e-6)
+    # two-return form unchanged
+    ccr2, _ = book_ccr_exposures(paths, strikes, w, m.r, 1.0,
+                                 spec=RegressionSpec(degree=3))
+    np.testing.assert_allclose(np.asarray(ccr2.epe), np.asarray(ccr_p.epe))
