@@ -238,7 +238,8 @@ def price_mixed_book(
     return BookResult(jnp.asarray(prices), jnp.asarray(stderrs), None, None)
 
 
-@partial(jax.jit, static_argnames=("option_type", "american", "spec"))
+@partial(jax.jit, static_argnames=("option_type", "american", "spec",
+                                   "return_ene"))
 def book_ccr_exposures(
     paths_tm: jnp.ndarray,
     strikes: jnp.ndarray,
