@@ -56,7 +56,7 @@ from .models.basket import (price_basket_option, geometric_basket_price,
 from .dynamics import (HestonParams, simulate_heston, simulate_local_vol,
                        heston_price_cf, price_option_heston,
                        price_option_local_vol)
-from .qmc import simulate_gbm_qmc, sobol_normals
+from .qmc import simulate_gbm_qmc, simulate_gbm_multi_qmc, sobol_normals
 from .scenarios import ScenarioGrid, scenario_ladder
 from .calibrate import (SVISurface, fit_svi_surface, fit_svi_slice,
                         svi_total_variance, dupire_local_vol,
@@ -148,6 +148,7 @@ __all__ = [
     "price_option_local_vol",
     "BookResult",
     "simulate_gbm_qmc",
+    "simulate_gbm_multi_qmc",
     "sobol_normals",
     "price_basket_option",
     "geometric_basket_price",

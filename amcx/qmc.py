@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from .types import MarketParams, SimConfig
 
-__all__ = ["sobol_normals", "simulate_gbm_qmc", "brownian_bridge_matrix"]
+__all__ = ["sobol_normals", "simulate_gbm_qmc", "simulate_gbm_multi_qmc",
+           "brownian_bridge_matrix"]
 
 
 def brownian_bridge_matrix(n_steps: int, dt: float) -> np.ndarray:
@@ -117,3 +118,49 @@ def simulate_gbm_qmc(seed: int, market: MarketParams, T, sim: SimConfig,
     return S0 * jnp.exp(log_rel)
 
 
+
+
+def simulate_gbm_multi_qmc(seed: int, S0, r, sigma, T, sim: SimConfig,
+                           q=0.0, corr=None,
+                           brownian_bridge: bool = False) -> jnp.ndarray:
+    """Correlated multi-asset GBM from scrambled-Sobol points, time-major
+    ``(n_steps+1, n_paths, n_assets)`` (the `amcx.paths.simulate_gbm_multi`
+    layout — drops into the basket/max-call/Asian engines).
+
+    One Sobol dimension per (time step × asset); dimension order is
+    time-major so ``brownian_bridge=True`` assigns the lowest (best)
+    dimensions to the coarse time structure of EVERY asset (the bridge
+    matmul acts on the time axis per asset, then the asset axis is
+    correlated with the Cholesky factor — linear maps of jointly-QMC
+    normal coordinates preserve the marginals exactly).
+    """
+    dtype = sim.jnp_dtype
+    S0 = jnp.atleast_1d(jnp.asarray(S0, dtype))
+    A = S0.shape[0]
+
+    def vec(x):
+        return jnp.broadcast_to(jnp.asarray(x, dtype), (A,))
+
+    rv, qv, sv = vec(r), vec(q), vec(sigma)
+    chol = (jnp.eye(A, dtype=dtype) if corr is None
+            else jnp.linalg.cholesky(jnp.asarray(corr, dtype)))
+    Z = jnp.asarray(
+        sobol_normals(seed, sim.n_steps * A, sim.n_paths), dtype
+    ).reshape(sim.n_steps, A, sim.n_paths)
+    Zc = jnp.einsum("ab,tbn->tan", chol, Z)
+    dt = jnp.asarray(T, dtype) / sim.n_steps
+    drift = (rv - qv - 0.5 * sv * sv) * dt  # (A,)
+    if brownian_bridge:
+        B = jnp.asarray(
+            brownian_bridge_matrix(sim.n_steps, float(T) / sim.n_steps),
+            dtype)
+        W = jnp.einsum("ts,san->tan", B, Zc)  # Brownian levels per asset
+        t_idx = jnp.arange(1, sim.n_steps + 1, dtype=dtype)[:, None, None]
+        log_rel = drift[None, :, None] * t_idx + sv[None, :, None] * W
+    else:
+        log_inc = (drift[None, :, None]
+                   + sv[None, :, None] * jnp.sqrt(dt) * Zc)
+        log_rel = jnp.cumsum(log_inc, axis=0)
+    log_rel = jnp.concatenate(
+        [jnp.zeros((1, A, sim.n_paths), dtype), log_rel], axis=0)
+    return jnp.moveaxis(S0[None, :, None] * jnp.exp(log_rel), 1, 2)

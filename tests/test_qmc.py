@@ -1,5 +1,6 @@
 """Quasi-Monte Carlo paths: distribution + convergence advantage over MC."""
 
+import jax
 import numpy as np
 import pytest
 import jax.numpy as jnp
@@ -163,3 +164,46 @@ def test_device_bridge_kernel_matches_host():
     # same seed → same scrambled net (natural vs gray-code order is a block
     # permutation); compare sorted terminal values + Acklam-vs-scipy ppf noise
     np.testing.assert_allclose(np.sort(dev[-1]), np.sort(host[-1]), rtol=2e-4)
+
+
+def test_multi_asset_qmc_beats_mc_and_bridge_helps():
+    from amcx.models.basket import basket_level, geometric_basket_price
+    from amcx.paths import simulate_gbm_multi
+    from amcx.qmc import simulate_gbm_multi_qmc
+
+    corr = np.array([[1.0, 0.3, 0.3], [0.3, 1.0, 0.3], [0.3, 0.3, 1.0]])
+    S0, W = [100.0, 95.0, 105.0], [1 / 3] * 3
+    ref = geometric_basket_price(S0, W, 100.0, 1.0, 0.05, 0.25, corr=corr,
+                                 option_type="call")
+    sim = SimConfig(n_paths=2048, n_steps=16)
+
+    def price(paths):
+        G = basket_level(paths[-1], W, "geo")
+        return float(jnp.mean(jnp.maximum(G - 100.0, 0.0))
+                     * np.exp(-0.05))
+
+    e_mc, e_q, e_qb = [], [], []
+    for s in range(4):
+        e_mc.append(price(simulate_gbm_multi(
+            jax.random.key(s), jnp.asarray(S0), 0.05, 0.25, 1.0, sim,
+            corr=jnp.asarray(corr))) - ref)
+        e_q.append(price(simulate_gbm_multi_qmc(
+            s, S0, 0.05, 0.25, 1.0, sim, corr=corr)) - ref)
+        e_qb.append(price(simulate_gbm_multi_qmc(
+            s, S0, 0.05, 0.25, 1.0, sim, corr=corr,
+            brownian_bridge=True)) - ref)
+    rms = lambda e: float(np.sqrt(np.mean(np.square(e))))
+    # measured at this config: MC ~0.25, sobol ~0.05, bridge ~0.01
+    assert rms(e_q) < 0.5 * rms(e_mc), (rms(e_q), rms(e_mc))
+    assert rms(e_qb) < rms(e_q) + 1e-9
+
+
+def test_multi_asset_qmc_single_asset_limit():
+    from amcx.qmc import simulate_gbm_multi_qmc, simulate_gbm_qmc
+    from amcx import MarketParams
+
+    sim = SimConfig(n_paths=1024, n_steps=8)
+    single = simulate_gbm_qmc(3, MarketParams(100.0, 0.05, 0.2), 1.0, sim)
+    multi = simulate_gbm_multi_qmc(3, [100.0], 0.05, 0.2, 1.0, sim)
+    np.testing.assert_allclose(np.asarray(multi[..., 0]),
+                               np.asarray(single), rtol=1e-6)
