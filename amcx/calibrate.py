@@ -52,7 +52,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .oracle import bs_price
 from .dynamics import HestonParams, heston_price_cf
 
 __all__ = [

@@ -20,13 +20,12 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
-import jax
 import jax.numpy as jnp
 
 from .engine import lsmc_option_pricing
 from .oracle import bs_price
 from .payoff import intrinsic_value
-from .types import MarketParams, ProductSpec, RegressionSpec, SimConfig
+from .types import MarketParams, ProductSpec, RegressionSpec
 
 __all__ = ["ControlVariateResult", "control_variate_price",
            "martingale_control_variate"]
