@@ -80,6 +80,19 @@ def _ladder_impl(key, S0_grid, sig_grid, r, q, product, spec, sim, mode,
         s0, sig = s0_sig
         m = MarketParams(s0, r, sig, q)
         paths = simulate_gbm(key, m, product.T, sim)
+        if mode == "replay-mega":
+            # frozen policy replayed IN-KERNEL per scenario: the regression
+            # pass is skipped entirely (flagship revaluation speed)
+            from .ops.lsmc_megakernel import lsmc_price_megakernel
+
+            price, stderr = lsmc_price_megakernel(
+                paths, product.K, r, product.T / sim.n_steps,
+                1.0 if product.option_type == "call" else -1.0,
+                basis=spec.basis, degree=spec.degree, rcond=spec.rcond,
+                american=product.is_american, mean_t=mean_t,
+                inv_std_t=inv_std_t, return_stats=True,
+                antithetic=sim.antithetic, replay_coeffs=coeffs)
+            return None, (price, stderr)
         if mode == "replay":
             res = reprice_with_coeffs(paths, coeffs, product, r, mean_t,
                                       inv_std_t, spec,
@@ -108,10 +121,15 @@ def scenario_ladder(
     ``spot_shifts`` are relative (−0.05 = spot down 5%), ``vol_shifts``
     absolute vol points. Returns a :class:`ScenarioGrid`; the zero-shift
     cell equals the corresponding single pricing on the same key exactly
-    (same paths, same engine).
+    (same paths, same engine). ``mode="replay-mega"`` replays the frozen
+    base policy IN-KERNEL per scenario (`lsmc_price_megakernel
+    (replay_coeffs=...)` — no regression pass anywhere in the grid; the
+    measured single-option replay rate is ~39 G path-steps/s, so big
+    grids revalue at better-than-flagship speed per cell).
     """
-    if mode not in ("refit", "replay"):
-        raise ValueError(f"mode must be 'refit' or 'replay', got {mode!r}")
+    if mode not in ("refit", "replay", "replay-mega"):
+        raise ValueError(f"mode must be 'refit', 'replay', or "
+                         f"'replay-mega', got {mode!r}")
     spot_shifts = np.atleast_1d(np.asarray(spot_shifts, np.float64))
     vol_shifts = np.atleast_1d(np.asarray(vol_shifts, np.float64))
     ns, nv = spot_shifts.size, vol_shifts.size
@@ -120,7 +138,7 @@ def scenario_ladder(
     if np.any(SIGg <= 0):
         raise ValueError("a vol shift drives sigma non-positive")
     dtype = sim.jnp_dtype
-    if mode == "replay":
+    if mode in ("replay", "replay-mega"):
         # fit via the mega engine: its coefficient frame is the CLOSED-FORM
         # GBM standardization, recomputable here (the XLA engine's
         # per-step empirical frame is not exported — same routing as

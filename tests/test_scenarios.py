@@ -73,3 +73,15 @@ def test_scenario_validation():
                                spot_shifts=(-0.1, 0.0, 0.25),
                                vol_shifts=(0.0,))
         grid.ladder_delta_gamma(M.S0)
+
+
+def test_replay_mega_mode_matches_replay_walk():
+    # in-kernel frozen-policy replay per scenario == the XLA forward walk
+    kw = dict(spot_shifts=(-0.05, 0.0, 0.05), vol_shifts=(0.0,))
+    sim = SimConfig(n_paths=8192, n_steps=10, antithetic=True)
+    walk = scenario_ladder(jax.random.key(5), M, PUT, SPEC, sim,
+                           mode="replay", **kw)
+    mega = scenario_ladder(jax.random.key(5), M, PUT, SPEC, sim,
+                           mode="replay-mega", **kw)
+    np.testing.assert_allclose(np.asarray(mega.prices),
+                               np.asarray(walk.prices), atol=2e-3)
