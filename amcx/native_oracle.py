@@ -28,6 +28,7 @@ __all__ = [
     "crr_down_in_price",
     "bs_price_batch",
     "crr_price_batch",
+    "swing_price",
 ]
 
 _NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent / "native"
@@ -69,6 +70,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.amcx_crr_price.argtypes = [D, D, D, D, D, D, I, I, I]
     lib.amcx_crr_down_in_price.restype = D
     lib.amcx_crr_down_in_price.argtypes = [D, D, D, D, D, D, D, I, I, I]
+    lib.amcx_swing_price.restype = D
+    lib.amcx_swing_price.argtypes = [D, D, D, D, D, D, I, I, I, I, I, I]
     lib.amcx_bs_price_batch.restype = None
     lib.amcx_bs_price_batch.argtypes = [PD, PD, I64, D, D, D, D, I, PD]
     lib.amcx_crr_price_batch.restype = None
@@ -140,3 +143,15 @@ def crr_price_batch(S, tau, K, r, sigma, n_steps=100, q=0.0, option_type="call",
         _is_put(option_type), int(american), out.ravel(),
     )
     return out
+
+
+def swing_price(S0, K, T, r, sigma, n_rights, q=0.0, n_steps=100, n_sub=20,
+                option_type="put", payoff_kind="option", n_min=0) -> float:
+    """float64 C++ swing rights-lattice — the independent twin of
+    `amcx.swing.crr_swing_price` (same date-grid exercise semantics,
+    forward takes and take-or-pay obligations included)."""
+    lib = _req()
+    return float(lib.amcx_swing_price(
+        S0, K, T, r, sigma, q, int(n_rights), int(n_steps), int(n_sub),
+        int(option_type == "put"), int(payoff_kind == "forward"),
+        int(n_min)))

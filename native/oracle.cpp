@@ -113,6 +113,61 @@ double crr_impl(double S0, double K, double T, double r, double sigma,
 
 }  // namespace
 
+// Swing (multiple-stopping) rights lattice: the float64 C++ twin of
+// amcx.swing.crr_swing_price — n_rights value vectors rolled back jointly
+// on a CRR tree whose exercise dates sit at multiples of n_sub (exactly
+// the LSMC grid); payoff_forward=1 pays the SIGNED phi*(S-K) per take and
+// n_min take-or-pay obligations force exercise when the remaining dates
+// run out. Independent cross-check for both the numpy lattice and the
+// LSMC engines (tests/test_native_oracle.py).
+double swing_impl(double S0, double K, double T, double r, double sigma,
+                  double q, int n_rights, int n_steps, int n_sub, int is_put,
+                  int payoff_forward, int n_min) {
+  const int N = n_steps * n_sub;
+  const double ddt = T / N;
+  const double u = std::exp(sigma * std::sqrt(ddt));
+  const double d = 1.0 / u;
+  const double p = (std::exp((r - q) * ddt) - d) / (u - d);
+  const double df = std::exp(-r * ddt);
+  const double phi = phi_of(is_put);
+  auto take = [&](int step, int j) {
+    const double S = S0 * std::exp((2.0 * j - step) * sigma * std::sqrt(ddt));
+    const double signed_pay = phi * (S - K);
+    return payoff_forward ? signed_pay : std::max(signed_pay, 0.0);
+  };
+  auto obligations = [&](int k) { return std::max(0, n_min - (n_rights - k)); };
+  // V[k][j]: value with k rights remaining at node j of the current level
+  std::vector<std::vector<double>> V(
+      n_rights + 1, std::vector<double>(N + 1, 0.0));
+  for (int j = 0; j <= N; ++j) {
+    const double ex = take(N, j);
+    for (int k = 1; k <= n_rights; ++k) {
+      V[k][j] = obligations(k) >= 1 ? ex + V[k - 1][j] : std::max(ex, 0.0);
+    }
+  }
+  for (int step = N - 1; step >= 0; --step) {
+    for (int k = 0; k <= n_rights; ++k) {
+      for (int j = 0; j <= step; ++j) {
+        V[k][j] = df * (p * V[k][j + 1] + (1.0 - p) * V[k][j]);
+      }
+    }
+    if (step % n_sub == 0) {
+      const int dates_remaining = n_steps - step / n_sub + 1;
+      for (int j = 0; j <= step; ++j) {
+        const double ex = take(step, j);
+        for (int k = n_rights; k >= 1; --k) {  // descending: V[k-1] pre-update
+          if (obligations(k) >= dates_remaining) {
+            V[k][j] = ex + V[k - 1][j];
+          } else {
+            V[k][j] = std::max(V[k][j], ex + V[k - 1][j]);
+          }
+        }
+      }
+    }
+  }
+  return V[n_rights][0];
+}
+
 extern "C" {
 
 double amcx_bs_price(double S0, double K, double T, double r, double sigma,
@@ -154,6 +209,14 @@ void amcx_crr_price_batch(const double* S, const double* tau, int64_t n,
     out[i] = crr_impl(S[i], K, std::max(tau[i], 1e-12), r, sigma, q, n_steps,
                       is_put, american, 0.0);
   }
+}
+
+double amcx_swing_price(double S0, double K, double T, double r,
+                        double sigma, double q, int n_rights, int n_steps,
+                        int n_sub, int is_put, int payoff_forward,
+                        int n_min) {
+  return swing_impl(S0, K, T, r, sigma, q, n_rights, n_steps, n_sub, is_put,
+                    payoff_forward, n_min);
 }
 
 }  // extern "C"

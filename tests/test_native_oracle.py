@@ -66,3 +66,21 @@ def test_batch_grid_matches_scalar():
     out_crr = nt.crr_price_batch(S[:2], tau[:2], 100.0, 0.05, 0.2, n_steps=50,
                                  option_type="put", american=True)
     assert out_crr.shape == (2, 7) and np.isfinite(out_crr).all()
+
+
+def test_native_swing_lattice_matches_numpy():
+    from amcx.native_oracle import available, swing_price
+    from amcx.swing import crr_swing_price
+
+    if not available():
+        pytest.skip("native toolchain unavailable")
+    for nr, nm, pk in [(3, 0, "option"), (3, 2, "forward"),
+                       (5, 5, "forward"), (1, 1, "forward")]:
+        cpp = swing_price(100.0, 100.0, 1.0, 0.05, 0.25, nr, n_steps=10,
+                          n_sub=25, option_type="put", payoff_kind=pk,
+                          n_min=nm)
+        ref = crr_swing_price(100.0, 100.0, 1.0, 0.05, 0.25, nr,
+                              n_steps=10, n_sub=25, option_type="put",
+                              payoff_kind=pk, n_min=nm)
+        # two independent f64 implementations of the same recursion
+        assert abs(cpp - ref) < 1e-9, (nr, nm, pk, cpp, ref)
