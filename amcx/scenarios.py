@@ -130,6 +130,10 @@ def scenario_ladder(
     if mode not in ("refit", "replay", "replay-mega"):
         raise ValueError(f"mode must be 'refit', 'replay', or "
                          f"'replay-mega', got {mode!r}")
+    if mode == "replay-mega" and product.has_barrier:
+        raise ValueError("replay-mega scenarios do not thread the barrier "
+                         "state; use mode='refit' or 'replay' for barrier "
+                         "products")
     spot_shifts = np.atleast_1d(np.asarray(spot_shifts, np.float64))
     vol_shifts = np.atleast_1d(np.asarray(vol_shifts, np.float64))
     ns, nv = spot_shifts.size, vol_shifts.size

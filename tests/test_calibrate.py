@@ -205,3 +205,16 @@ def test_cli_calibrate_heston_prices(tmp_path, capsys):
     payload = _json.loads(capsys.readouterr().out)
     assert payload["max_price_err"] < 2e-3
     assert abs(payload["params"]["v0"] - 0.04) < 0.01
+
+
+def test_single_slice_surface_and_dupire():
+    # one maturity: proportional-in-T variance everywhere, constant sigma
+    surf = SVISurface(np.array([1.0]),
+                      np.array([[0.04, 0.0, 0.0, 0.0, 0.1]]))
+    for t in (0.2, 1.0, 1.7):
+        w, dwdt = surf.total_variance(jnp.asarray(0.05), jnp.asarray(t))
+        assert abs(float(w) - 0.04 * t) < 1e-7
+        assert abs(float(dwdt) - 0.04) < 1e-7
+    lv = dupire_local_vol(surf, 100.0, 0.03, 0.0)
+    got = jax.vmap(lambda s: lv(0.5, s))(jnp.array([80.0, 100.0, 120.0]))
+    np.testing.assert_allclose(np.asarray(got), 0.2, atol=2e-4)

@@ -85,3 +85,12 @@ def test_replay_mega_mode_matches_replay_walk():
                            mode="replay-mega", **kw)
     np.testing.assert_allclose(np.asarray(mega.prices),
                                np.asarray(walk.prices), atol=2e-3)
+
+
+def test_replay_mega_rejects_barriers():
+    bar = ProductSpec(K=100.0, T=1.0, option_type="put",
+                      exercise="american", barrier=80.0,
+                      barrier_type="down-in")
+    with pytest.raises(ValueError, match="barrier"):
+        scenario_ladder(jax.random.key(0), M, bar, SPEC, SIM,
+                        mode="replay-mega")
