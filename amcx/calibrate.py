@@ -281,13 +281,21 @@ class SVISurface:
         w_lo = jnp.maximum(self._slice_w(i, k), 1e-10)
         w_hi = jnp.maximum(self._slice_w(i + 1, k), 1e-10)
         slope = (w_hi - w_lo) / (t_hi - t_lo)
-        # proportional extrapolation t < T_0 (w → 0 linearly, slope w_0/T_0);
-        # linear continuation with the last interval's slope for t > T_last
+        # proportional extrapolation BOTH beyond the quoted range: below
+        # T_0 with slope w_0/T_0 (w(·, 0) = 0) and above T_last with slope
+        # w_last/T_last — both strictly positive, so the returned (w, dwdt)
+        # pair stays mutually consistent even when a noisy fit puts the
+        # last interior interval in (floored) calendar arbitrage.
         below = t < mats[0]
+        above = t > mats[-1]
         rate0 = w_lo / t_lo
+        rate_hi = w_hi / t_hi
         w_in = w_lo + slope * (t - t_lo)
-        w = jnp.where(below, rate0 * t, w_in)
-        dwdt = jnp.where(below, rate0, jnp.maximum(slope, 1e-10))
+        w = jnp.where(below, rate0 * t,
+                      jnp.where(above, rate_hi * t, w_in))
+        dwdt = jnp.where(below, rate0,
+                         jnp.where(above, rate_hi,
+                                   jnp.maximum(slope, 1e-10)))
         return jnp.maximum(w, 1e-12), dwdt
 
     def implied_vol(self, K, T, forward):
@@ -346,14 +354,17 @@ def dupire_local_vol(surface: SVISurface, S0, r, q=0.0,
         y = jnp.log(jnp.asarray(S) / F)
 
         def w_of_y(yy):
-            w, _ = surface.total_variance(yy, t)
-            return w
+            w, dwdt = surface.total_variance(yy, t)
+            return w, dwdt
 
-        w, dwdy = jax.value_and_grad(w_of_y)(y) if y.ndim == 0 else (
-            jax.vmap(jax.value_and_grad(w_of_y))(y))
-        d2wdy2 = (jax.grad(jax.grad(w_of_y))(y) if y.ndim == 0 else
-                  jax.vmap(jax.grad(jax.grad(w_of_y)))(y))
-        _, dwdt = surface.total_variance(y, t)
+        w_only = lambda yy: w_of_y(yy)[0]
+        vag = jax.value_and_grad(w_of_y, has_aux=True)
+        if y.ndim == 0:
+            (w, dwdt), dwdy = vag(y)
+            d2wdy2 = jax.grad(jax.grad(w_only))(y)
+        else:
+            (w, dwdt), dwdy = jax.vmap(vag)(y)
+            d2wdy2 = jax.vmap(jax.grad(jax.grad(w_only)))(y)
         w = jnp.maximum(w, 1e-10)
         g = (1.0 - (y / w) * dwdy
              + 0.25 * (-0.25 - 1.0 / w + (y * y) / (w * w)) * dwdy * dwdy

@@ -138,7 +138,9 @@ def price_basket_option(
 
             price, stderr = lsmc_price_ma_mega(
                 X, K, r, dt, phi=phi, payoff_kind=kind, basis=spec.basis,
-                degree=spec.degree, mode=basis_mode, rcond=spec.rcond,
+                degree=spec.degree,
+                mode="total" if basis_mode == "sorted" else basis_mode,
+                sorted_basis=basis_mode == "sorted", rcond=spec.rcond,
                 itm_weights=spec.regress_on == "itm",
                 weights=tuple(float(x) for x in w), exercise_from_step=0,
                 antithetic=sim.antithetic)

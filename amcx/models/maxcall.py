@@ -345,7 +345,8 @@ def price_max_call(
                                    q=jnp.float32(q), corr=corr_arr)
         price, stderr = lsmc_price_ma_mega(
             paths, K, r, T / sim.n_steps, phi=1.0, payoff_kind="maxcall",
-            basis=spec.basis, degree=spec.degree, mode="total",
+            basis=spec.basis, degree=spec.degree,
+            mode="total" if basis_mode == "sorted" else basis_mode,
             sorted_basis=basis_mode == "sorted", rcond=spec.rcond,
             itm_weights=spec.regress_on == "itm", exercise_from_step=1,
             antithetic=sim.antithetic)

@@ -426,10 +426,8 @@ def lsmc_price_ma_mega(
             [discount_planes.astype(jnp.float32),
              jnp.ones((1, n_paths), jnp.float32)]).reshape(
             n_steps + 1, n_rows, LANES)
-    if axis_name is not None and interpret is True:
-        # plain interpret mode has no remote-DMA semantics; the TPU
-        # interpreter simulates the ring on CPU meshes
-        interpret = pltpu.InterpretParams()
+    # (interpret=True was already converted to InterpretParams() above —
+    # the TPU interpreter simulates the ring's remote DMAs on CPU meshes)
     run = _run_ma_mega if axis_name is not None else _run_ma_mega_jit
     head, cf, tau = run(
         scalars, stats, blocked, n_steps, n_rows, int(n_assets), basis,

@@ -83,8 +83,10 @@ def _swing_kernel(scal_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, macc,
             pay = take(S)
             V[0, sl, :] = jnp.zeros_like(pay)
             for kk in range(1, R + 1):
+                # exactly ONE take at maturity, forced or not (the
+                # k-1 ladder would add a phantom second take)
                 if obligations(kk) >= 1:
-                    V[kk, sl, :] = pay + V[kk - 1, sl, :]
+                    V[kk, sl, :] = pay
                 else:
                     V[kk, sl, :] = jnp.maximum(pay, 0.0)
             return 0

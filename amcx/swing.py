@@ -111,13 +111,14 @@ def crr_swing_price(S0, K, T, r, sigma, n_rights: int, q=0.0,
         return max(0, n_min - (n_rights - k))
 
     ex_T = take(N)
-    # maturity is an exercise date: one right is usable, the rest expire;
-    # an outstanding obligation forces the (possibly negative) take
+    # maturity is an exercise date: exactly ONE take, the rest expire; an
+    # outstanding obligation forces the (possibly negative) single take.
+    # NOT ex + V[k-1]: that would stack a second maturity take from the
+    # k-1 ladder onto the same date (review finding: +0.44 on a 2-rights/
+    # min-1 forward call where the phantom double-take branch wins).
     V = [np.zeros(N + 1)]
     for k in range(1, n_rights + 1):
-        # only ONE right is usable at the maturity date; states whose
-        # obligations exceed the one remaining date are unreachable
-        V.append((ex_T + V[k - 1]) if obligations(k) >= 1
+        V.append(ex_T.copy() if obligations(k) >= 1
                  else np.maximum(ex_T, 0.0).copy())
     for step in range(N - 1, -1, -1):
         p = p_t[step // n_sub]
@@ -174,7 +175,8 @@ def _swing_engine_impl(paths_tm, rdt, K, phi, spec, n_rights, itm,
     ex_T = payoff(paths_tm[n_steps])
     rows = [jnp.zeros((n_paths,), dtype)]
     for k in range(1, n_rights + 1):
-        rows.append((ex_T + rows[k - 1]) if obligations(k) >= 1
+        # one take per date, even when forced (see crr_swing_price)
+        rows.append(ex_T if obligations(k) >= 1
                     else jnp.maximum(ex_T, 0.0))
     Y0 = jnp.stack(rows)
 

@@ -142,7 +142,8 @@ double swing_impl(double S0, double K, double T, double r, double sigma,
   for (int j = 0; j <= N; ++j) {
     const double ex = take(N, j);
     for (int k = 1; k <= n_rights; ++k) {
-      V[k][j] = obligations(k) >= 1 ? ex + V[k - 1][j] : std::max(ex, 0.0);
+      // exactly one take at the maturity date, forced or optional
+      V[k][j] = obligations(k) >= 1 ? ex : std::max(ex, 0.0);
     }
   }
   for (int step = N - 1; step >= 0; --step) {

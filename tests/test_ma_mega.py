@@ -151,3 +151,16 @@ def test_ma_mega_hybrid_direct_y_matches_fused():
     r_x = price_option_hw(jax.random.key(0), hw, prod, spec, sim,
                           engine="xla")
     assert abs(float(r_m.price) - float(r_x.price)) < 0.04
+
+
+def test_ma_mega_honors_separable_basis_mode():
+    # review regression: engine='mega' must price the SAME basis as
+    # 'fused'/'xla' for every basis_mode, not silently fall back to total
+    r_f = price_max_call(jax.random.key(0), [100.0, 100.0], 100.0, 3.0,
+                         0.05, 0.2, q=0.1, n_paths=8_192,
+                         basis_mode="separable", engine="fused")
+    r_m = price_max_call(jax.random.key(0), [100.0, 100.0], 100.0, 3.0,
+                         0.05, 0.2, q=0.1, n_paths=8_192,
+                         basis_mode="separable", engine="mega")
+    assert abs(float(r_f.price) - float(r_m.price)) < 2e-3, (
+        float(r_f.price), float(r_m.price))

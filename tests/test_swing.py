@@ -302,3 +302,29 @@ def test_fully_forced_mega_matches_strip():
     res = price_swing_option(jax.random.key(12), M, KPUT, n, FSPEC, sim,
                              engine="mega", payoff_kind="forward", n_min=n)
     assert abs(float(res.price) - strip) < 3.5 * float(res.stderr) + 0.01
+
+
+def test_forced_call_no_maturity_double_take():
+    """Review regression: a forced state at maturity takes ONCE — the old
+    init stacked a second take from the k−1 ladder (+0.44 on this config,
+    confirmed against an independent brute-force DP)."""
+    from amcx.native_oracle import available, swing_price
+
+    lat = crr_swing_price(100.0, 100.0, 1.0, 0.05, 0.25, 2, n_steps=8,
+                          n_sub=50, option_type="call",
+                          payoff_kind="forward", n_min=1)
+    assert abs(lat - 16.764023) < 1e-4, lat  # brute-force anchor
+    res = price_swing_option(jax.random.key(4), M,
+                             ProductSpec(K=100.0, T=1.0, option_type="call",
+                                         exercise="american"),
+                             2, FSPEC, FSIM, payoff_kind="forward", n_min=1)
+    lat8 = crr_swing_price(100.0, 100.0, 1.0, 0.05, 0.25, 2, n_steps=8,
+                           n_sub=100, option_type="call",
+                           payoff_kind="forward", n_min=1)
+    assert abs(float(res.price) - lat8) < 3.5 * float(res.stderr) + 0.02, (
+        float(res.price), lat8)
+    if available():
+        cpp = swing_price(100.0, 100.0, 1.0, 0.05, 0.25, 2, n_steps=8,
+                          n_sub=50, option_type="call",
+                          payoff_kind="forward", n_min=1)
+        assert abs(cpp - lat) < 1e-9
