@@ -52,7 +52,8 @@ from .book import (price_strike_grid, price_mixed_book, BookResult,
 from .models.asian import (price_asian_option, geometric_asian_price,
                            running_average)
 from .models.basket import (price_basket_option, geometric_basket_price,
-                            basket_level, basket_greeks)
+                            basket_level, basket_greeks,
+                            price_exchange_option, margrabe_price)
 from .dynamics import (HestonParams, simulate_heston, simulate_local_vol,
                        heston_price_cf, price_option_heston,
                        price_option_local_vol)
@@ -154,6 +155,8 @@ __all__ = [
     "geometric_basket_price",
     "basket_level",
     "basket_greeks",
+    "price_exchange_option",
+    "margrabe_price",
     "SVISurface",
     "fit_svi_surface",
     "fit_svi_slice",

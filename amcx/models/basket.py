@@ -42,7 +42,7 @@ from ..engine import LSMCResult, backward_induction
 from ..types import RegressionSpec, SimConfig
 
 __all__ = ["price_basket_option", "geometric_basket_price", "basket_level",
-           "basket_greeks"]
+           "basket_greeks", "price_exchange_option", "margrabe_price"]
 
 
 def basket_level(S, weights, averaging: str = "arith"):
@@ -208,3 +208,86 @@ def basket_greeks(
     p, (delta, vega, rho) = jax.value_and_grad(price, argnums=(0, 1, 2))(
         S0, sig, jnp.float32(r))
     return p, {"delta": delta, "vega": vega, "rho": rho}
+
+
+def margrabe_price(S1, S2, T, sigma1, sigma2, rho=0.0, q1=0.0,
+                   q2=0.0) -> float:
+    """Exact European exchange-option price (Margrabe 1978, host f64):
+    ``E[e^{-rT} max(S1_T − S2_T, 0)]`` is rate-free — Black's formula with
+    ``σ² = σ1² + σ2² − 2ρσ1σ2`` on the two dividend-adjusted forwards."""
+    from scipy.stats import norm
+
+    sig = np.sqrt(max(sigma1**2 + sigma2**2 - 2.0 * rho * sigma1 * sigma2,
+                      1e-16))
+    sq = sig * np.sqrt(T)
+    f1 = S1 * np.exp(-q1 * T)
+    f2 = S2 * np.exp(-q2 * T)
+    d1 = (np.log(f1 / f2) + 0.5 * sig * sig * T) / sq
+    d2 = d1 - sq
+    return float(f1 * norm.cdf(d1) - f2 * norm.cdf(d2))
+
+
+def price_exchange_option(
+    key: jax.Array,
+    S1,
+    S2,
+    T,
+    r,
+    sigma1,
+    sigma2,
+    rho: float = 0.0,
+    q1: float = 0.0,
+    q2: float = 0.0,
+    exercise: str = "american",
+    spec: RegressionSpec = RegressionSpec(basis="chebyshev", degree=2),
+    sim: SimConfig = SimConfig(),
+    engine: str = "xla",
+) -> LSMCResult:
+    """American/European exchange option ``max(S1 − S2, 0)`` on correlated
+    GBM (the Margrabe payoff). The EXACT rate-free European closed form
+    (:func:`margrabe_price`) is the standing oracle; with ``q1 = q2 = 0``
+    early exercise is never optimal, so the American LSMC price must
+    reproduce the closed form within MC tolerance — a sharp two-asset
+    policy gate no single-asset test provides. As with no-dividend
+    American calls (docs/PARITY.md item 5), low-degree all-paths fits
+    exercise spuriously (−0.19 at degree 2 on the test config);
+    ``RegressionSpec(degree=4, regress_on="itm")`` is the recommended
+    spec (measured −0.009 ± 0.06 vs Margrabe). ``engine="fused"``/
+    ``"mega"`` run the Pallas kernel paths with ``payoff_kind="spread"``.
+    """
+    from ..paths import simulate_gbm_multi
+    from .maxcall import max_call_fit
+
+    corr = jnp.asarray([[1.0, rho], [rho, 1.0]], sim.jnp_dtype)
+    X = simulate_gbm_multi(
+        key, jnp.asarray([S1, S2], sim.jnp_dtype), r,
+        jnp.asarray([sigma1, sigma2], sim.jnp_dtype), T, sim,
+        q=jnp.asarray([q1, q2], sim.jnp_dtype), corr=corr)
+    dt = T / sim.n_steps
+    if engine in ("fused", "mega"):
+        if exercise != "american":
+            raise ValueError(f"engine={engine!r} prices American only")
+        if engine == "mega":
+            from ..ops.lsmc_ma_mega import lsmc_price_ma_mega
+
+            price, stderr = lsmc_price_ma_mega(
+                X, 0.0, r, dt, phi=1.0, payoff_kind="spread",
+                basis=spec.basis, degree=spec.degree, mode="total",
+                rcond=spec.rcond, itm_weights=spec.regress_on == "itm",
+                exercise_from_step=0, antithetic=sim.antithetic)
+            return LSMCResult(price, stderr, None, None, None)
+        from .maxcall import backward_induction_fused_maxcall
+
+        return backward_induction_fused_maxcall(
+            X, 0.0, r, dt, spec, basis_mode="total", exercise_from_step=0,
+            payoff_kind="spread", phi=1.0)
+    if engine != "xla":
+        raise ValueError(
+            f"engine must be 'xla', 'fused', or 'mega', got {engine!r}")
+    knocked = jnp.ones(X.shape[:-1], dtype=bool)
+    payoff = lambda st: jnp.maximum(st[..., 0] - st[..., 1], 0.0)
+    fit_fn = partial(max_call_fit, mode="total")
+    return backward_induction(
+        X, knocked, r, dt, payoff, spec,
+        american=exercise == "american",
+        fit_fn=fit_fn, fit_fn_returns_coeffs=True)

@@ -188,3 +188,49 @@ def test_basket_greeks_match_closed_form():
     # per-asset vegas sum ≈ total sigma sensitivity
     assert abs(float(jnp.sum(g["vega"])) - v) < 0.6, (float(jnp.sum(g["vega"])), v)
     assert abs(float(g["rho"]) - rho) < 1.2, (float(g["rho"]), rho)
+
+
+def test_exchange_option_margrabe_gate():
+    # q=0: American exchange == European closed form (no early exercise);
+    # the recommended itm/degree-4 spec must reproduce Margrabe
+    from amcx.models.basket import margrabe_price, price_exchange_option
+
+    sim = SimConfig(n_paths=65_536, n_steps=20, antithetic=True)
+    ref = margrabe_price(100.0, 95.0, 1.0, 0.25, 0.2, rho=0.4)
+    spec = RegressionSpec(basis="chebyshev", degree=4, regress_on="itm")
+    res = price_exchange_option(jax.random.key(0), 100.0, 95.0, 1.0, 0.05,
+                                0.25, 0.2, rho=0.4, spec=spec, sim=sim)
+    assert abs(float(res.price) - ref) < 3.5 * float(res.stderr) + 0.01, (
+        float(res.price), ref)
+    # rate-independence of the exchange payoff (Margrabe): r=12% same price
+    res_r = price_exchange_option(jax.random.key(0), 100.0, 95.0, 1.0, 0.12,
+                                  0.25, 0.2, rho=0.4, spec=spec, sim=sim)
+    assert abs(float(res_r.price) - float(res.price)) < \
+        2.0 * float(res.stderr) + 0.02
+
+
+def test_exchange_option_engines_agree():
+    from amcx.models.basket import price_exchange_option
+
+    sim = SimConfig(n_paths=16_384, n_steps=10, antithetic=True)
+    spec = RegressionSpec(basis="chebyshev", degree=2)
+    ps = [float(price_exchange_option(
+        jax.random.key(1), 100.0, 95.0, 1.0, 0.05, 0.25, 0.2, rho=0.4,
+        spec=spec, sim=sim, engine=e).price) for e in ("xla", "fused",
+                                                       "mega")]
+    assert abs(ps[0] - ps[1]) < 5e-3 and abs(ps[1] - ps[2]) < 5e-3, ps
+
+
+def test_margrabe_degenerate_limits():
+    from amcx.models.basket import margrabe_price
+    from amcx.oracle import bs_price
+
+    # S2 -> deterministic cash K: margrabe(S1, K e^{-rT}->?): with sigma2=0
+    # and q2 = r the second asset IS a bond worth K at T -> vanilla call
+    ref = float(bs_price(100.0, 95.0, 1.0, 0.05, 0.25, 0.0, "call"))
+    got = margrabe_price(100.0, 95.0 * np.exp(-0.05), 1.0, 0.25, 0.0,
+                         rho=0.0, q2=0.0)
+    assert abs(got - ref) < 5e-5, (got, ref)
+    # identical assets, full correlation: exchange is worthless (the
+    # 1e-8 vol floor leaves ~4e-7 of residual value)
+    assert margrabe_price(100.0, 100.0, 1.0, 0.2, 0.2, rho=1.0) < 1e-5
