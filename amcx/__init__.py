@@ -45,7 +45,8 @@ from .analytics import compute_differences, oracle_grid_values
 from .engine_pallas import lsmc_option_pricing_fused
 from .greeks import price_and_greeks, gamma_fd, fast_greeks
 from .variates import (control_variate_price, ControlVariateResult,
-                       martingale_control_variate)
+                       martingale_control_variate,
+                       importance_sampled_european)
 from .models.maxcall import price_max_call, max_call_greeks
 from .book import (price_strike_grid, price_mixed_book, BookResult,
                    book_ccr_exposures, book_greeks)
@@ -131,6 +132,7 @@ __all__ = [
     "fast_greeks",
     "control_variate_price",
     "martingale_control_variate",
+    "importance_sampled_european",
     "ControlVariateResult",
     "price_max_call",
     "max_call_greeks",

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from .engine import lsmc_option_pricing
@@ -28,7 +29,7 @@ from .payoff import intrinsic_value
 from .types import MarketParams, ProductSpec, RegressionSpec
 
 __all__ = ["ControlVariateResult", "control_variate_price",
-           "martingale_control_variate"]
+           "martingale_control_variate", "importance_sampled_european"]
 
 
 class ControlVariateResult(NamedTuple):
@@ -177,4 +178,80 @@ def martingale_control_variate(
         raw_stderr=jnp.sqrt(var_raw / n_eff),
         beta=b,
         variance_ratio=var_raw / jnp.maximum(var_cv, 1e-12),
+    )
+
+
+def importance_sampled_european(
+    key,
+    market: MarketParams,
+    product: ProductSpec,
+    sim: SimConfig,
+    theta: Optional[float] = None,
+):
+    """Deep-OTM European (and knock-in barrier) pricing by exponential
+    tilting: simulate under a drift-shifted Brownian ``W̃_t = W_t + θt``,
+    reweight each path by the Girsanov likelihood ratio
+    ``L = exp(−θ·W̃_T + ½θ²T)`` so the estimator stays unbiased under the
+    pricing measure. θ defaults to the shift that moves the terminal
+    median onto the strike (or the barrier for knock-ins) — the standard
+    "hit the rare region with O(1) probability" choice; rare-event
+    variance drops by orders of magnitude where plain MC sees a handful
+    of nonzero payoffs.
+
+    Scope: a SINGLE exponential tilt covers one-sided rare events — deep
+    OTM vanillas and knock-ins whose barrier lies on the same side as the
+    payoff's moneyness (down-in puts, up-in calls). Two-sided events
+    (down-in CALLS: knock low, finish high) need a path-dependent change
+    of drift and are out of scope — the estimator stays unbiased but the
+    variance gain evaporates.
+
+    Returns a :class:`ControlVariateResult` (``variance_ratio`` compares
+    against plain MC on the SAME shifted sample size via the unweighted
+    payoff second moment — the honest apples-to-apples ratio).
+    """
+    dtype = sim.jnp_dtype
+    S0 = jnp.asarray(market.S0, dtype)
+    r = jnp.asarray(market.r, dtype)
+    q = jnp.asarray(market.q, dtype)
+    sigma = jnp.asarray(market.sigma, dtype)
+    T = jnp.asarray(product.T, dtype)
+    n_steps, n = sim.n_steps, sim.n_paths
+    dt = T / n_steps
+    if theta is None:
+        target = (product.barrier if product.has_barrier else product.K)
+        theta = float(
+            (jnp.log(jnp.asarray(target, dtype) / S0)
+             - (r - q - 0.5 * sigma * sigma) * T) / (sigma * T))
+    th = jnp.asarray(theta, dtype)
+    if sim.antithetic:
+        raise ValueError("importance sampling reweights a shifted sample; "
+                         "antithetic mirroring breaks the pairing — drop "
+                         "one of the two")
+    Z = jax.random.normal(key, (n_steps, n), dtype) + th * jnp.sqrt(dt)
+    log_inc = (r - q - 0.5 * sigma * sigma) * dt + sigma * jnp.sqrt(dt) * Z
+    log_rel = jnp.cumsum(log_inc, axis=0)
+    S = S0 * jnp.exp(jnp.concatenate(
+        [jnp.zeros((1, n), dtype), log_rel], axis=0))
+    w_T = jnp.sqrt(dt) * jnp.sum(Z, axis=0)    # simulated Brownian endpoint
+    lr = jnp.exp(-th * w_T + 0.5 * th * th * T)
+    pay = intrinsic_value(S[-1], product.K, product.option_type)
+    if product.has_barrier:
+        from .payoff import barrier_gate
+
+        knocked = barrier_gate(S, product.barrier, product.barrier_type)
+        pay = jnp.where(knocked[-1], pay, 0.0)
+    y = jnp.exp(-r * T) * pay * lr
+    price = jnp.mean(y)
+    var_is = jnp.mean(jnp.square(y - price))
+    # plain-MC comparison on the same estimand: Var_P[f] estimated from the
+    # shifted sample via the L-weighted second moment E_shift[f² L] − price²
+    second_p = jnp.mean(jnp.square(jnp.exp(-r * T) * pay) * lr)
+    var_plain = jnp.maximum(second_p - price * price, 0.0)
+    return ControlVariateResult(
+        price=price,
+        stderr=jnp.sqrt(var_is / n),
+        raw_price=price,
+        raw_stderr=jnp.sqrt(var_plain / n),
+        beta=th,
+        variance_ratio=var_plain / jnp.maximum(var_is, 1e-30),
     )

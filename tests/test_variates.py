@@ -173,3 +173,52 @@ def test_martingale_cv_composes_with_mega_engine():
     assert float(cv.variance_ratio) > 10.0
     assert abs(float(cv.price) - float(res.price)) < \
         4.0 * float(res.stderr) + 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Importance sampling (exponential tilting)
+# ---------------------------------------------------------------------------
+
+
+def test_importance_sampling_deep_otm_put():
+    from amcx.variates import importance_sampled_european
+
+    m = MarketParams(100.0, 0.05, 0.2)
+    prod = ProductSpec(K=60.0, T=1.0, option_type="put",
+                       exercise="european")
+    sim = SimConfig(n_paths=32_768, n_steps=32)
+    res = importance_sampled_european(jax.random.key(0), m, prod, sim)
+    ref = float(bs_price(100.0, 60.0, 1.0, 0.05, 0.2, 0.0, "put"))
+    # measured ~300x variance cut at this config; conservative floor
+    assert float(res.variance_ratio) > 30.0, float(res.variance_ratio)
+    assert abs(float(res.price) - ref) < 4.0 * float(res.stderr) + 1e-5, (
+        float(res.price), ref)
+
+
+def test_importance_sampling_rare_down_in_put():
+    from amcx.oracle import barrier_price, discrete_barrier_shift
+    from amcx.variates import importance_sampled_european
+
+    m = MarketParams(100.0, 0.05, 0.2)
+    prod = ProductSpec(K=70.0, T=1.0, option_type="put",
+                       exercise="european", barrier=55.0,
+                       barrier_type="down-in")
+    sim = SimConfig(n_paths=32_768, n_steps=32)
+    res = importance_sampled_european(jax.random.key(1), m, prod, sim)
+    Hs = float(discrete_barrier_shift(55.0, 0.2, 1.0 / 32, down=True))
+    ref = float(barrier_price(100.0, 70.0, 1.0, 0.05, 0.2, Hs, 0.0,
+                              "put", "down-in"))
+    assert float(res.variance_ratio) > 10.0, float(res.variance_ratio)
+    assert abs(float(res.price) - ref) < 4.0 * float(res.stderr) + 2e-4, (
+        float(res.price), ref)
+
+
+def test_importance_sampling_rejects_antithetic():
+    from amcx.variates import importance_sampled_european
+
+    with pytest.raises(ValueError, match="antithetic"):
+        importance_sampled_european(
+            jax.random.key(0), MarketParams(100.0, 0.05, 0.2),
+            ProductSpec(K=60.0, T=1.0, option_type="put",
+                        exercise="european"),
+            SimConfig(n_paths=1024, n_steps=8, antithetic=True))
