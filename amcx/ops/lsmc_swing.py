@@ -104,7 +104,9 @@ def _swing_kernel(scal_ref, stats_ref, s_ref, out_ref, out_sq_ref, V, macc,
             S = s_ref[0, sl, :]
             xhat = (S - mean) * inv_std
             cols = _basis_cols(xhat, basis, degree)
-            if itm_weights:
+            if itm_weights and not forward:
+                # itm localization is meaningless for signed takes
+                # (obligations force exercise OTM) — see amcx.swing
                 w = (phi * (S - K) > 0.0).astype(jnp.float32)
                 cols_w = [c_ * w for c_ in cols]
             else:

@@ -186,7 +186,12 @@ def _swing_engine_impl(paths_tm, rdt, K, phi, spec, n_rights, itm,
         c_t = jnp.exp(-rdt * rem)
         inv_c_t = jnp.exp(rdt * rem)
         ex = payoff(S_t)
-        weights = (ex > 0).astype(dtype) if itm else None
+        # ITM-localized fits are meaningless for SIGNED takes: obligations
+        # force exercise OTM, so the continuation must be estimated on the
+        # full support (an itm-gated fit mispriced the CLI's 3-rights/min-2
+        # config by 2.2) — ignore the itm flag for forward payoffs
+        weights = ((ex > 0).astype(dtype)
+                   if itm and payoff_kind == "option" else None)
         conts = [jnp.zeros((n_paths,), dtype)]  # C^0 ≡ 0
         for k in range(1, n_rights + 1):
             # Q2's zero-floor is only valid for nonnegative cashflows;

@@ -221,3 +221,15 @@ def test_cli_hw_hybrid(capsys):
     payload = _json.loads(capsys.readouterr().out)
     assert payload["oracle_kind"].startswith("hybrid closed form")
     assert payload["abs_err"] < 4.0 * max(payload["stderr"], 1e-4) + 0.05
+
+
+def test_cli_swing_constrained(capsys):
+    import json as _json
+
+    from amcx.cli import main
+
+    main(["swing", "--rights", "3", "--min-rights", "2", "--payoff-kind",
+          "forward", "--k", "100", "--sigma", "0.25", "--engine", "xla",
+          "--paths", "16384", "--steps", "8", "--antithetic", "--json"])
+    payload = _json.loads(capsys.readouterr().out)
+    assert payload["abs_err"] < 0.5
