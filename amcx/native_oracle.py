@@ -43,15 +43,18 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     if _build_failed:
         return None
-    if not _LIB_PATH.exists():
-        try:
-            subprocess.run(
-                ["make", "-C", str(_NATIVE_DIR)],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        except (subprocess.SubprocessError, FileNotFoundError):
+    # run make unconditionally: it is incremental, and a PREBUILT .so from
+    # an older checkout would otherwise be loaded stale (missing newer
+    # symbols -> AttributeError below instead of a graceful degrade)
+    try:
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except (subprocess.SubprocessError, FileNotFoundError):
+        if not _LIB_PATH.exists():
             _build_failed = True
             return None
     try:
@@ -60,6 +63,15 @@ def _load() -> Optional[ctypes.CDLL]:
         _build_failed = True
         return None
 
+    try:
+        return _register(lib)
+    except AttributeError:
+        # stale prebuilt library missing newer symbols
+        _build_failed = True
+        return None
+
+
+def _register(lib: ctypes.CDLL) -> ctypes.CDLL:
     D, I, I64 = ctypes.c_double, ctypes.c_int, ctypes.c_int64
     PD = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
     lib.amcx_bs_price.restype = D
@@ -76,6 +88,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.amcx_bs_price_batch.argtypes = [PD, PD, I64, D, D, D, D, I, PD]
     lib.amcx_crr_price_batch.restype = None
     lib.amcx_crr_price_batch.argtypes = [PD, PD, I64, D, D, D, D, I, I, I, PD]
+    global _lib
     _lib = lib
     return lib
 
@@ -153,5 +166,5 @@ def swing_price(S0, K, T, r, sigma, n_rights, q=0.0, n_steps=100, n_sub=20,
     lib = _req()
     return float(lib.amcx_swing_price(
         S0, K, T, r, sigma, q, int(n_rights), int(n_steps), int(n_sub),
-        int(option_type == "put"), int(payoff_kind == "forward"),
-        int(n_min)))
+        int(option_type.strip().lower() == "put"),
+        int(payoff_kind.strip().lower() == "forward"), int(n_min)))

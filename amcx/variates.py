@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from .engine import lsmc_option_pricing
 from .oracle import bs_price
 from .payoff import intrinsic_value
-from .types import MarketParams, ProductSpec, RegressionSpec
+from .types import MarketParams, ProductSpec, RegressionSpec, SimConfig
 
 __all__ = ["ControlVariateResult", "control_variate_price",
            "martingale_control_variate", "importance_sampled_european"]
@@ -227,6 +227,11 @@ def importance_sampled_european(
         raise ValueError("importance sampling reweights a shifted sample; "
                          "antithetic mirroring breaks the pairing — drop "
                          "one of the two")
+    if product.has_barrier and product.barrier_type.endswith("out"):
+        raise ValueError("tilting toward a knock-OUT barrier drives paths "
+                         "into the knockout region (variance blows up, "
+                         "silently) — importance sampling here covers "
+                         "knock-ins and vanillas only")
     Z = jax.random.normal(key, (n_steps, n), dtype) + th * jnp.sqrt(dt)
     log_inc = (r - q - 0.5 * sigma * sigma) * dt + sigma * jnp.sqrt(dt) * Z
     log_rel = jnp.cumsum(log_inc, axis=0)

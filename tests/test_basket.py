@@ -234,3 +234,21 @@ def test_margrabe_degenerate_limits():
     # identical assets, full correlation: exchange is worthless (the
     # 1e-8 vol floor leaves ~4e-7 of residual value)
     assert margrabe_price(100.0, 100.0, 1.0, 0.2, 0.2, rho=1.0) < 1e-5
+
+
+def test_exchange_option_itm_spec_engines_agree():
+    # the RECOMMENDED itm spec must also be engine-consistent (fused
+    # derives itm_weights from spec internally — regression for review #2)
+    from amcx.models.basket import price_exchange_option
+
+    sim = SimConfig(n_paths=16_384, n_steps=10, antithetic=True)
+    spec = RegressionSpec(basis="chebyshev", degree=4, regress_on="itm")
+    ps = [float(price_exchange_option(
+        jax.random.key(3), 100.0, 95.0, 1.0, 0.05, 0.25, 0.2, rho=0.4,
+        spec=spec, sim=sim, engine=e).price) for e in ("xla", "fused",
+                                                       "mega")]
+    # fused/mega share the unweighted standardization frame — tight gate;
+    # the XLA route standardizes with ITM-weighted stats, so its itm
+    # policy differs by legitimate frame noise (~0.014 at 16k paths)
+    assert abs(ps[1] - ps[2]) < 5e-3, ps
+    assert abs(ps[0] - ps[1]) < 0.05, ps

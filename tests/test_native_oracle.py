@@ -84,3 +84,16 @@ def test_native_swing_lattice_matches_numpy():
                               payoff_kind=pk, n_min=nm)
         # two independent f64 implementations of the same recursion
         assert abs(cpp - ref) < 1e-9, (nr, nm, pk, cpp, ref)
+
+
+def test_native_swing_option_type_normalization():
+    from amcx.native_oracle import available, swing_price
+    from amcx.swing import crr_swing_price
+
+    if not available():
+        pytest.skip("native toolchain unavailable")
+    a = swing_price(100.0, 100.0, 1.0, 0.05, 0.25, 2, n_steps=8, n_sub=25,
+                    option_type="Put")
+    b = crr_swing_price(100.0, 100.0, 1.0, 0.05, 0.25, 2, n_steps=8,
+                        n_sub=25, option_type="put")
+    assert abs(a - b) < 1e-9

@@ -222,3 +222,15 @@ def test_importance_sampling_rejects_antithetic():
             ProductSpec(K=60.0, T=1.0, option_type="put",
                         exercise="european"),
             SimConfig(n_paths=1024, n_steps=8, antithetic=True))
+
+
+def test_importance_sampling_rejects_knockouts():
+    from amcx.variates import importance_sampled_european
+
+    with pytest.raises(ValueError, match="knock-OUT"):
+        importance_sampled_european(
+            jax.random.key(0), MarketParams(100.0, 0.05, 0.2),
+            ProductSpec(K=100.0, T=1.0, option_type="put",
+                        exercise="european", barrier=80.0,
+                        barrier_type="down-out"),
+            SimConfig(n_paths=1024, n_steps=8))
