@@ -310,6 +310,8 @@ def price_swing_option_curves(
     n_rights: int,
     spec: RegressionSpec = RegressionSpec(),
     sim: SimConfig = SimConfig(),
+    payoff_kind: str = "option",
+    n_min: int = 0,
 ) -> LSMCResult:
     """Swing pricing under deterministic r(t)/σ(t)/q(t) term structures
     (`amcx.term.TermCurves`), through the one-kernel mega swing engine —
@@ -327,6 +329,10 @@ def price_swing_option_curves(
         raise ValueError("swing pricing is vanilla-only")
     if not product.is_american:
         raise ValueError("use exercise='american'")
+    if payoff_kind not in ("option", "forward"):
+        raise ValueError(f"unknown payoff_kind {payoff_kind!r}")
+    if not 0 <= n_min <= n_rights:
+        raise ValueError("need 0 <= n_min <= n_rights")
     dt = product.T / sim.n_steps
     if sim.backend == "pallas":
         from .ops.gbm_pallas import _key_to_seed, gbm_paths_pallas
@@ -343,7 +349,8 @@ def price_swing_option_curves(
         paths, product.K, curves.r_t, dt, phi, int(n_rights),
         basis=spec.basis, degree=spec.degree, rcond=spec.rcond,
         itm_weights=spec.regress_on == "itm", mean_t=mean_t,
-        inv_std_t=inv_std_t, antithetic=sim.antithetic)
+        inv_std_t=inv_std_t, antithetic=sim.antithetic,
+        payoff_kind=payoff_kind, n_min=int(n_min))
     return LSMCResult(price, stderr, None, None, None)
 
 

@@ -328,3 +328,27 @@ def test_forced_call_no_maturity_double_take():
                           n_sub=50, option_type="call",
                           payoff_kind="forward", n_min=1)
         assert abs(cpp - lat) < 1e-9
+
+
+def test_constrained_swing_under_rate_curve():
+    """Composition: forward takes + obligations under a two-regime short
+    rate, one-kernel engine vs the per-step-rate rights lattice (which
+    already accepts (n_steps,) curves)."""
+    from amcx.swing import price_swing_option_curves
+    from amcx.term import TermCurves
+
+    steps = 8
+    r_t = np.concatenate([np.full(steps // 2, 0.02),
+                          np.full(steps // 2, 0.08)])
+    c = TermCurves.make(100.0, jnp.asarray(r_t), 0.25, 0.0, n_steps=steps)
+    lat = crr_swing_price(100.0, 100.0, 1.0, r_t, 0.25, 3, n_steps=steps,
+                          n_sub=50, option_type="put",
+                          payoff_kind="forward", n_min=2)
+    res = price_swing_option_curves(
+        jax.random.key(6), c,
+        ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american"),
+        3, RegressionSpec(degree=5),
+        SimConfig(n_paths=131_072, n_steps=steps, antithetic=True),
+        payoff_kind="forward", n_min=2)
+    assert abs(float(res.price) - lat) < 3.5 * float(res.stderr) + 0.02, (
+        float(res.price), lat)
