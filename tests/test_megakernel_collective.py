@@ -302,11 +302,3 @@ def test_collective_ma_mega_two_dev():
     code = _MA_MEGA_CASE.format(repo=_REPO, n_dev=2, steps=2)
     out = _run_code(code, "ma-mega", 2, 2, timeout=45, attempts=3)
     assert "OK" in out
-
-
-def test_collective_ma_mega_four_dev():
-    """Ring-width coverage for the multi-asset kernel (probed: 4-dev
-    completes at the 2-step window; deeper steps livelock)."""
-    code = _MA_MEGA_CASE.format(repo=_REPO, n_dev=4, steps=2)
-    out = _run_code(code, "ma-mega", 4, 2, timeout=45, attempts=2)
-    assert "OK" in out
