@@ -165,6 +165,7 @@ def price_option_local_vol(
     spec: RegressionSpec = RegressionSpec(),
     sim: SimConfig = SimConfig(),
     return_surface: bool = False,
+    engine: str = "xla",
 ) -> LSMCResult:
     """American/European vanilla under a local-vol surface ``σ(t, S)``.
 
@@ -172,11 +173,30 @@ def price_option_local_vol(
     route ``amcx.calibrate.fit_svi_surface`` → ``dupire_local_vol`` →
     this pricer: spot is the full Markov state under local vol, so the
     standard 1-D regression engine applies unchanged (reference engine
-    contract, `american_monte_carlo.py:139-167` — one engine, any dynamics).
+    contract, `american_monte_carlo.py:139-167` — one engine, any
+    dynamics). ``engine="mega"`` runs the simulated paths through the
+    univariate one-kernel engine (it consumes ANY Markov (T+1, n) path
+    matrix; the empirical per-step standardization replaces the GBM
+    closed form).
     """
     if product.has_barrier:
         raise ValueError("local-vol barrier pricing is not implemented")
     S = simulate_local_vol(key, S0, r, q, sigma_fn, product.T, sim)
+    if engine == "mega":
+        if return_surface:
+            raise ValueError("engine='mega' emits no continuation surface")
+        from .ops.lsmc_megakernel import lsmc_price_megakernel
+
+        phi = 1.0 if product.option_type == "call" else -1.0
+        price, stderr = lsmc_price_megakernel(
+            S, product.K, r, product.T / sim.n_steps, phi,
+            basis=spec.basis, degree=spec.degree, rcond=spec.rcond,
+            american=product.is_american,
+            itm_weights=spec.regress_on == "itm", return_stats=True,
+            antithetic=sim.antithetic)
+        return LSMCResult(price, stderr, None, None, None)
+    if engine != "xla":
+        raise ValueError(f"engine must be 'xla' or 'mega', got {engine!r}")
     knocked = jnp.ones(S.shape, dtype=bool)
     payoff = lambda st: intrinsic_value(st, product.K, product.option_type)
     return backward_induction(

@@ -218,3 +218,24 @@ def test_single_slice_surface_and_dupire():
     lv = dupire_local_vol(surf, 100.0, 0.03, 0.0)
     got = jax.vmap(lambda s: lv(0.5, s))(jnp.array([80.0, 100.0, 120.0]))
     np.testing.assert_allclose(np.asarray(got), 0.2, atol=2e-4)
+
+
+def test_calibrated_local_vol_mega_engine():
+    # the univariate one-kernel engine consumes any Markov path matrix —
+    # calibrated Dupire dynamics run at mega speed, matching the XLA engine
+    from amcx.dynamics import price_option_local_vol
+
+    mats = np.array([0.5, 1.0])
+    Ks = np.tile(np.array([85.0, 95.0, 100.0, 105.0, 115.0]), (2, 1))
+    surf = fit_svi_surface(100.0, 0.05, 0.0, mats, Ks, np.full_like(Ks, 0.2))
+    lv = dupire_local_vol(surf, 100.0, 0.05, 0.0)
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put",
+                       exercise="american")
+    sim = SimConfig(n_paths=16_384, n_steps=16, antithetic=True)
+    r_x = price_option_local_vol(jax.random.key(5), 100.0, 0.05, 0.0, lv,
+                                 prod, RegressionSpec(degree=4), sim)
+    r_m = price_option_local_vol(jax.random.key(5), 100.0, 0.05, 0.0, lv,
+                                 prod, RegressionSpec(degree=4), sim,
+                                 engine="mega")
+    assert abs(float(r_x.price) - float(r_m.price)) < 0.02, (
+        float(r_x.price), float(r_m.price))
