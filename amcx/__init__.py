@@ -63,6 +63,8 @@ from .scenarios import ScenarioGrid, scenario_ladder
 from .calibrate import (SVISurface, fit_svi_surface, fit_svi_slice,
                         svi_total_variance, dupire_local_vol,
                         calibrate_heston, implied_vol_np)
+from .pde import (PDEGrid, PDEResult, pde_price, pde_price_ladder,
+                  pde_greeks, tridiag_solve)
 
 __version__ = "0.1.0"
 
@@ -168,4 +170,10 @@ __all__ = [
     "implied_vol_np",
     "ScenarioGrid",
     "scenario_ladder",
+    "PDEGrid",
+    "PDEResult",
+    "pde_price",
+    "pde_price_ladder",
+    "pde_greeks",
+    "tridiag_solve",
 ]
