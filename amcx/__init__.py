@@ -57,7 +57,8 @@ from .models.basket import (price_basket_option, geometric_basket_price,
                             price_exchange_option, margrabe_price)
 from .dynamics import (HestonParams, simulate_heston, simulate_local_vol,
                        heston_price_cf, price_option_heston,
-                       price_option_local_vol)
+                       price_option_local_vol, MertonJumps, simulate_merton,
+                       merton_price, price_option_merton)
 from .qmc import simulate_gbm_qmc, simulate_gbm_multi_qmc, sobol_normals
 from .scenarios import ScenarioGrid, scenario_ladder
 from .calibrate import (SVISurface, fit_svi_surface, fit_svi_slice,
@@ -151,6 +152,10 @@ __all__ = [
     "heston_price_cf",
     "price_option_heston",
     "price_option_local_vol",
+    "MertonJumps",
+    "simulate_merton",
+    "merton_price",
+    "price_option_merton",
     "BookResult",
     "simulate_gbm_qmc",
     "simulate_gbm_multi_qmc",

@@ -44,6 +44,10 @@ from .types import ProductSpec, RegressionSpec, SimConfig
 
 __all__ = [
     "HestonParams",
+    "MertonJumps",
+    "simulate_merton",
+    "merton_price",
+    "price_option_merton",
     "simulate_heston",
     "simulate_local_vol",
     "heston_price_cf",
@@ -315,4 +319,140 @@ def price_option_heston(
         X, knocked, hp.r, dt, payoff, spec,
         american=product.is_american, return_surface=return_surface,
         fit_fn=fit_fn, fit_fn_returns_coeffs=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merton jump diffusion
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class MertonJumps:
+    """Lognormal jump overlay: ``dS/S = (r−q−λκ)dt + σ dW + (e^J − 1) dN``
+    with ``N`` Poisson(λ) and ``J ~ Normal(mu_j, sigma_j²)``;
+    ``κ = E[e^J] − 1``. Composes with a `MarketParams` diffusion."""
+
+    lam: float = 0.5
+    mu_j: float = -0.1
+    sigma_j: float = 0.15
+
+    def __post_init__(self):
+        if self.lam < 0 or self.sigma_j < 0:
+            raise ValueError("lam and sigma_j must be nonnegative")
+
+    @property
+    def kappa(self) -> float:
+        return float(np.expm1(self.mu_j + 0.5 * self.sigma_j**2))
+
+
+@partial(jax.jit, static_argnames=("sim",))
+def _simulate_merton(key, S0, r, q, sigma, lam, mu_j, sigma_j, T, sim):
+    dtype = sim.jnp_dtype
+    n_steps, n = sim.n_steps, sim.n_paths
+    dt = jnp.asarray(T, dtype) / n_steps
+    sdt = jnp.sqrt(dt)
+    kappa = jnp.expm1(mu_j + 0.5 * sigma_j * sigma_j)
+    drift = (r - q - 0.5 * sigma * sigma - lam * kappa) * dt
+
+    kz, kn, kj = jax.random.split(key, 3)
+    cols = n // 2 if sim.antithetic else n
+    z = jax.random.normal(kz, (n_steps, cols), dtype)
+    # Exact compound-Poisson increment: N ~ Poisson(λ dt); the jump-sum is
+    # Normal(N μ_J, N σ_J²) conditionally on N, so one more gaussian
+    # suffices — no per-jump loop, static shapes throughout.
+    counts = jax.random.poisson(kn, lam * dt, (n_steps, cols)).astype(dtype)
+    zj = jax.random.normal(kj, (n_steps, cols), dtype)
+    jump_sum = counts * mu_j + jnp.sqrt(counts) * sigma_j * zj
+    if sim.antithetic:
+        # Mirror both gaussians; jump COUNTS are shared across the pair
+        # (a Poisson count has no antithetic mirror).
+        z = jnp.concatenate([z, -z], axis=1)
+        jump_sum = jnp.concatenate(
+            [jump_sum, counts * mu_j - jnp.sqrt(counts) * sigma_j * zj], axis=1
+        )
+    log_inc = drift + sigma * sdt * z + jump_sum
+    log_path = jnp.cumsum(log_inc, axis=0)
+    S0v = jnp.full((1, n), S0, dtype)
+    return jnp.concatenate([S0v, S0 * jnp.exp(log_path)], axis=0)
+
+
+def simulate_merton(key, market, jumps: MertonJumps, T, sim: SimConfig):
+    """Exact-in-distribution Merton paths shaped ``(n_steps+1, n_paths)``.
+
+    The per-step log increment is exact (no Euler bias): gaussian diffusion
+    plus a compound-Poisson jump sum drawn as Normal(Nμ_J, Nσ_J²) given the
+    Poisson count N. The risk-neutral drift compensation ``−λκ`` keeps the
+    discounted spot a martingale (asserted in tests)."""
+    return _simulate_merton(
+        key, market.S0, market.r, market.q, market.sigma,
+        jumps.lam, jumps.mu_j, jumps.sigma_j, T, sim,
+    )
+
+
+def merton_price(S0, K, T, r, sigma, lam, mu_j, sigma_j, q=0.0,
+                 option_type: str = "call", n_terms: int = 48):
+    """Merton (1976) European series oracle.
+
+    Conditioning on the number of jumps n over [0, T], the spot is lognormal
+    with variance ``σ² + n σ_J²/T`` and rate ``r − λκ + n ln(1+κ)/T``; the
+    price is the Poisson(λ'T)-weighted Black-Scholes sum with
+    ``λ' = λ(1+κ)``. 48 terms cover λT up to ~15 at f32 precision."""
+    from .oracle import bs_price
+
+    kappa = jnp.expm1(mu_j + 0.5 * sigma_j**2)
+    lam_p = lam * (1.0 + kappa)
+    n = jnp.arange(n_terms, dtype=jnp.float32)
+    # log Poisson pmf, stable for large λ'T
+    log_w = n * jnp.log(jnp.maximum(lam_p * T, 1e-30)) - lam_p * T - jax.lax.lgamma(n + 1.0)
+    sig_n = jnp.sqrt(sigma**2 + n * sigma_j**2 / T)
+    r_n = r - lam * kappa + n * jnp.log1p(kappa) / T
+    prices = jax.vmap(
+        lambda rn, sn: bs_price(S0, K, T, rn, sn, q, option_type)
+    )(r_n, sig_n)
+    return jnp.sum(jnp.exp(log_w) * prices)
+
+
+def price_option_merton(
+    key,
+    market,
+    jumps: MertonJumps,
+    product: ProductSpec,
+    spec: RegressionSpec = RegressionSpec(),
+    sim: SimConfig = SimConfig(),
+    return_surface: bool = False,
+    engine: str = "xla",
+) -> LSMCResult:
+    """American/European vanilla under Merton jump diffusion.
+
+    Spot remains the full Markov state (jumps are iid across steps), so the
+    standard 1-D regression engine applies unchanged — the reference's
+    one-engine-any-dynamics contract (`american_monte_carlo.py:139-167`).
+    ``engine="mega"`` routes the simulated paths through the univariate
+    one-kernel engine with empirical per-step standardization, exactly as
+    the local-vol route above."""
+    if product.has_barrier:
+        raise ValueError("Merton barrier pricing is not implemented")
+    S = simulate_merton(key, market, jumps, product.T, sim)
+    dt = product.T / sim.n_steps
+    if engine == "mega":
+        if return_surface:
+            raise ValueError("engine='mega' emits no continuation surface")
+        from .ops.lsmc_megakernel import lsmc_price_megakernel
+
+        phi = 1.0 if product.option_type == "call" else -1.0
+        price, stderr = lsmc_price_megakernel(
+            S, product.K, market.r, dt, phi,
+            basis=spec.basis, degree=spec.degree, rcond=spec.rcond,
+            american=product.is_american,
+            itm_weights=spec.regress_on == "itm", return_stats=True,
+            antithetic=sim.antithetic)
+        return LSMCResult(price, stderr, None, None, None)
+    if engine != "xla":
+        raise ValueError(f"engine must be 'xla' or 'mega', got {engine!r}")
+    knocked = jnp.ones(S.shape, dtype=bool)
+    payoff = lambda st: intrinsic_value(st, product.K, product.option_type)
+    return backward_induction(
+        S, knocked, market.r, dt, payoff, spec,
+        american=product.is_american, return_surface=return_surface,
     )
