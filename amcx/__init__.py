@@ -58,7 +58,8 @@ from .models.basket import (price_basket_option, geometric_basket_price,
 from .dynamics import (HestonParams, simulate_heston, simulate_local_vol,
                        heston_price_cf, price_option_heston,
                        price_option_local_vol, MertonJumps, simulate_merton,
-                       merton_price, price_option_merton)
+                       merton_price, price_option_merton,
+                       simulate_bates, bates_price_cf, price_option_bates)
 from .qmc import simulate_gbm_qmc, simulate_gbm_multi_qmc, sobol_normals
 from .scenarios import ScenarioGrid, scenario_ladder
 from .calibrate import (SVISurface, fit_svi_surface, fit_svi_slice,
@@ -156,6 +157,9 @@ __all__ = [
     "simulate_merton",
     "merton_price",
     "price_option_merton",
+    "simulate_bates",
+    "bates_price_cf",
+    "price_option_bates",
     "BookResult",
     "simulate_gbm_qmc",
     "simulate_gbm_multi_qmc",

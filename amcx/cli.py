@@ -363,8 +363,10 @@ def cmd_book(args):
 
 
 def cmd_heston(args):
-    """Vanilla option under Heston stochastic volatility."""
-    from .dynamics import HestonParams, heston_price_cf, price_option_heston
+    """Vanilla option under Heston (or, with --jump-lam > 0, Bates SVJ)."""
+    from .dynamics import (HestonParams, MertonJumps, bates_price_cf,
+                           heston_price_cf, price_option_bates,
+                           price_option_heston)
     from .types import ProductSpec, RegressionSpec, SimConfig
 
     hp = HestonParams(S0=args.s0, r=args.r, q=args.q, v0=args.v0,
@@ -375,17 +377,26 @@ def cmd_heston(args):
     spec = RegressionSpec(basis=args.basis, degree=args.degree)
     sim = SimConfig(n_paths=args.paths, n_steps=args.steps,
                     antithetic=args.antithetic)
-    res = price_option_heston(jax.random.key(args.seed), hp, product, spec,
-                              sim, engine=args.engine)
+    if args.jump_lam > 0.0:
+        jp = MertonJumps(lam=args.jump_lam, mu_j=args.jump_mu,
+                         sigma_j=args.jump_sigma)
+        res = price_option_bates(jax.random.key(args.seed), hp, jp, product,
+                                 spec, sim, engine=args.engine)
+        cf = bates_price_cf(hp, jp, args.k, args.t, args.option_type)
+        label = "Bates"
+    else:
+        res = price_option_heston(jax.random.key(args.seed), hp, product,
+                                  spec, sim, engine=args.engine)
+        cf = heston_price_cf(hp, args.k, args.t, args.option_type)
+        label = "Heston"
     payload = {
         "price": round(float(res.price), 4),
         "stderr": round(float(res.stderr), 4),
-        "cf_european": round(heston_price_cf(hp, args.k, args.t,
-                                             args.option_type), 4),
+        "cf_european": round(cf, 4),
     }
     if not args.json:
         ex = product.exercise.title()
-        print(f"Heston {ex} {product.option_type}: {payload['price']:.4f} "
+        print(f"{label} {ex} {product.option_type}: {payload['price']:.4f} "
               f"± {payload['stderr']:.4f}  (CF European: "
               f"{payload['cf_european']:.4f})")
     _emit(payload, args.json)
@@ -936,6 +947,12 @@ def build_parser():
                     help="long-run variance θ")
     ph.add_argument("--xi", type=float, default=0.5, help="vol of vol")
     ph.add_argument("--rho", type=float, default=-0.7)
+    ph.add_argument("--jump-lam", type=float, default=0.0,
+                    help="jump intensity λ; > 0 switches to Bates SVJ")
+    ph.add_argument("--jump-mu", type=float, default=-0.1,
+                    help="mean log jump size μ_J")
+    ph.add_argument("--jump-sigma", type=float, default=0.15,
+                    help="log jump size std σ_J")
     ph.add_argument("--option-type", choices=["put", "call"], default="put")
     ph.add_argument("--exercise", choices=["european", "american"],
                     default="american")

@@ -53,6 +53,9 @@ __all__ = [
     "heston_price_cf",
     "price_option_heston",
     "price_option_local_vol",
+    "simulate_bates",
+    "bates_price_cf",
+    "price_option_bates",
 ]
 
 
@@ -411,6 +414,191 @@ def merton_price(S0, K, T, r, sigma, lam, mu_j, sigma_j, q=0.0,
         lambda rn, sn: bs_price(S0, K, T, rn, sn, q, option_type)
     )(r_n, sig_n)
     return jnp.sum(jnp.exp(log_w) * prices)
+
+
+# ---------------------------------------------------------------------------
+# Bates (SVJ): Heston stochastic volatility + Merton lognormal jumps
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("sim", "return_variance"))
+def _simulate_bates(key, S0, r, q, v0, kappa, theta, xi, rho,
+                    lam, mu_j, sigma_j, T, sim, return_variance):
+    dtype = sim.jnp_dtype
+    dt = jnp.asarray(T, dtype) / sim.n_steps
+    sdt = jnp.sqrt(dt)
+    n = sim.n_paths
+    jkappa = jnp.expm1(mu_j + 0.5 * sigma_j * sigma_j)
+    k1, k2, kn, kj = jax.random.split(key, 4)
+    cols = n // 2 if sim.antithetic else n
+    h1 = jax.random.normal(k1, (sim.n_steps, cols), dtype)
+    h2 = jax.random.normal(k2, (sim.n_steps, cols), dtype)
+    # Exact compound-Poisson per-step jump sum (same construction as the
+    # Merton simulator above): N ~ Poisson(λ dt), jump-sum | N is gaussian.
+    counts = jax.random.poisson(kn, lam * dt, (sim.n_steps, cols)).astype(dtype)
+    zj = jax.random.normal(kj, (sim.n_steps, cols), dtype)
+    if sim.antithetic:
+        Z1 = jnp.concatenate([h1, -h1], axis=1)
+        Z2 = jnp.concatenate([h2, -h2], axis=1)
+        jump_sum = jnp.concatenate(
+            [counts * mu_j + jnp.sqrt(counts) * sigma_j * zj,
+             counts * mu_j - jnp.sqrt(counts) * sigma_j * zj], axis=1)
+    else:
+        Z1, Z2 = h1, h2
+        jump_sum = counts * mu_j + jnp.sqrt(counts) * sigma_j * zj
+    Zv = rho * Z1 + jnp.sqrt(1.0 - rho * rho) * Z2
+
+    def step(carry, zs):
+        logS, v = carry
+        z_s, z_v, js = zs
+        vp = jnp.maximum(v, 0.0)  # full truncation (as the Heston scheme)
+        sv = jnp.sqrt(vp)
+        logS = logS + (r - q - 0.5 * vp - lam * jkappa) * dt \
+            + sv * sdt * z_s + js
+        v = v + kappa * (theta - vp) * dt + xi * sv * sdt * z_v
+        return (logS, v), (logS, jnp.maximum(v, 0.0))
+
+    init = (jnp.zeros((n,), dtype), jnp.full((n,), v0, dtype))
+    _, (logS_path, v_path) = jax.lax.scan(step, init, (Z1, Zv, jump_sum))
+    S = S0 * jnp.exp(jnp.concatenate([jnp.zeros((1, n), dtype), logS_path]))
+    if not return_variance:
+        return S
+    v_full = jnp.concatenate([jnp.full((1, n), v0, dtype), v_path])
+    return S, v_full
+
+
+def simulate_bates(key, hp: HestonParams, jumps: MertonJumps, T,
+                   sim: SimConfig, return_variance: bool = False):
+    """Bates (1996) SVJ paths: full-truncation Heston diffusion plus an
+    exact compound-Poisson lognormal jump overlay, drift-compensated by
+    ``−λκ`` so the discounted spot stays a martingale. Jump counts are
+    shared across antithetic pairs (a Poisson count has no mirror).
+    Shapes match :func:`simulate_heston`."""
+    dtype = sim.jnp_dtype
+    return _simulate_bates(
+        key,
+        jnp.asarray(hp.S0, dtype), jnp.asarray(hp.r, dtype),
+        jnp.asarray(hp.q, dtype), jnp.asarray(hp.v0, dtype),
+        jnp.asarray(hp.kappa, dtype), jnp.asarray(hp.theta, dtype),
+        jnp.asarray(hp.xi, dtype), jnp.asarray(hp.rho, dtype),
+        jnp.asarray(jumps.lam, dtype), jnp.asarray(jumps.mu_j, dtype),
+        jnp.asarray(jumps.sigma_j, dtype),
+        T, sim, return_variance,
+    )
+
+
+def bates_price_cf(hp: HestonParams, jumps: MertonJumps, K, T,
+                   option_type: str = "call",
+                   n_quad: int = 192, u_max: float = 200.0) -> float:
+    """Semi-analytic Bates European price (host numpy f64).
+
+    The log-spot CF factorizes into the Heston trap-form CF times the
+    compound-Poisson factor. Under the risk-neutral measure P2 the jump
+    exponent is ``λT(φ_J(u) − 1) − iuλκT`` with
+    ``φ_J(u) = exp(iuμ_J − u²σ_J²/2)``; under the share measure P1 it is
+    the Esscher-tilted ``λT(e^{(iu+1)μ_J + (iu+1)²σ_J²/2} − 1 − κ) −
+    iuλκT`` (the ``E[e^{(iu+1)X}]/E[e^X]`` ratio for the compensated
+    compound Poisson). λ=0 reduces exactly to :func:`heston_price_cf`;
+    ξ→0, v0=θ reduces to the Merton series oracle (both asserted in
+    tests/test_bates.py)."""
+    S0, r, q = hp.S0, hp.r, hp.q
+    kappa, theta, xi, rho, v0 = hp.kappa, hp.theta, hp.xi, hp.rho, hp.v0
+    lam, mu_j, sigma_j = jumps.lam, jumps.mu_j, jumps.sigma_j
+    jkap = np.expm1(mu_j + 0.5 * sigma_j**2)
+    x = np.log(S0 / K) + (r - q) * T
+
+    def phi(u, j):
+        a = kappa * theta
+        b = kappa - rho * xi if j == 1 else kappa
+        up = 0.5 if j == 1 else -0.5
+        d = np.sqrt((rho * xi * 1j * u - b) ** 2 - xi**2 * (2 * up * 1j * u - u**2))
+        g = (b - rho * xi * 1j * u - d) / (b - rho * xi * 1j * u + d)
+        e = np.exp(-d * T)
+        C = (a / xi**2) * ((b - rho * xi * 1j * u - d) * T
+                           - 2.0 * np.log((1 - g * e) / (1 - g)))
+        D = ((b - rho * xi * 1j * u - d) / xi**2) * (1 - e) / (1 - g * e)
+        aa = 1j * u + 1.0 if j == 1 else 1j * u
+        cj = jkap if j == 1 else 0.0
+        jump = lam * T * (np.exp(aa * mu_j + 0.5 * aa * aa * sigma_j**2)
+                          - 1.0 - cj) - 1j * u * lam * jkap * T
+        return np.exp(C + D * v0 + 1j * u * x + jump)
+
+    nodes, weights = np.polynomial.legendre.leggauss(n_quad)
+    u = 0.5 * u_max * (nodes + 1.0)
+    w = 0.5 * u_max * weights
+
+    def P(j):
+        integ = np.real(phi(u, j) / (1j * u))
+        return 0.5 + np.sum(w * integ) / np.pi
+
+    call = S0 * np.exp(-q * T) * P(1) - K * np.exp(-r * T) * P(2)
+    if option_type == "call":
+        return float(call)
+    return float(call - S0 * np.exp(-q * T) + K * np.exp(-r * T))
+
+
+def price_option_bates(
+    key,
+    hp: HestonParams,
+    jumps: MertonJumps,
+    product: ProductSpec,
+    spec: RegressionSpec = RegressionSpec(),
+    sim: SimConfig = SimConfig(),
+    return_surface: bool = False,
+    engine: str = "xla",
+) -> LSMCResult:
+    """American/European vanilla under Bates SVJ dynamics.
+
+    (S_t, v_t) remains the full Markov state (jumps are iid across steps),
+    so the whole Heston engine matrix applies unchanged: ``engine="xla"``
+    regresses on the total-degree (S, v) cross basis, ``"fused"`` runs the
+    two-kernel-per-step multi-asset pair, ``"mega"`` the one-kernel
+    multi-asset engine — the reference's one-engine-any-dynamics contract
+    (`american_monte_carlo.py:139-167`) at every speed tier."""
+    from .models.maxcall import max_call_fit
+
+    if product.has_barrier:
+        raise ValueError("Bates barrier pricing is not implemented")
+    phi = 1.0 if product.option_type == "call" else -1.0
+    S, v = simulate_bates(key, hp, jumps, product.T, sim,
+                          return_variance=True)
+    X = jnp.stack([S, v], axis=-1)
+    dt = product.T / sim.n_steps
+    if engine in ("fused", "mega"):
+        if not product.is_american:
+            raise ValueError(f"engine={engine!r} Bates prices American only "
+                             "(European needs no induction — use the CF "
+                             "oracle or engine='xla')")
+        if return_surface:
+            raise ValueError(f"engine={engine!r} emits no continuation "
+                             "surface")
+        if engine == "mega":
+            from .ops.lsmc_ma_mega import lsmc_price_ma_mega
+
+            price, stderr = lsmc_price_ma_mega(
+                X, product.K, hp.r, dt, phi=phi, payoff_kind="first",
+                basis=spec.basis, degree=spec.degree, mode="total",
+                rcond=spec.rcond, itm_weights=spec.regress_on == "itm",
+                exercise_from_step=0, antithetic=sim.antithetic)
+            return LSMCResult(price, stderr, None, None, None)
+        from .models.maxcall import backward_induction_fused_maxcall
+
+        return backward_induction_fused_maxcall(
+            X, product.K, hp.r, dt, spec, basis_mode="total",
+            exercise_from_step=0, payoff_kind="first", phi=phi,
+        )
+    if engine != "xla":
+        raise ValueError(f"engine must be 'xla', 'fused', or 'mega', "
+                         f"got {engine!r}")
+    knocked = jnp.ones(S.shape, dtype=bool)
+    payoff = lambda st: intrinsic_value(st[..., 0], product.K,
+                                        product.option_type)
+    fit_fn = partial(max_call_fit, mode="total")
+    return backward_induction(
+        X, knocked, hp.r, dt, payoff, spec,
+        american=product.is_american, return_surface=return_surface,
+        fit_fn=fit_fn, fit_fn_returns_coeffs=True,
+    )
 
 
 def price_option_merton(

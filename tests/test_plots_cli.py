@@ -233,3 +233,15 @@ def test_cli_swing_constrained(capsys):
           "--paths", "16384", "--steps", "8", "--antithetic", "--json"])
     payload = _json.loads(capsys.readouterr().out)
     assert payload["abs_err"] < 0.5
+
+
+def test_cli_bates_jump_flags(capsys):
+    import json as _json
+
+    from amcx.cli import main
+
+    main(["heston", "--jump-lam", "0.6", "--paths", "16384", "--steps",
+          "20", "--exercise", "american", "--json"])
+    payload = _json.loads(capsys.readouterr().out)
+    # American put under SVJ must clear its own CF European anchor
+    assert payload["price"] > payload["cf_european"] - 3 * payload["stderr"]
