@@ -92,18 +92,21 @@ def test_bates_american_fused_vs_mega_onchip():
 def test_pde_american_put_onchip():
     """CN + PCR on the real chip: American put within 2.5e-3 of CRR-2000
     (the f32 PCR roundoff and on-chip transcendentals are the risk)."""
-    p = pde_price(100.0, 100.0, 1.0, 0.05, 0.2, option_type="put",
-                  american=True, grid=PDEGrid(n_space=1024, n_steps=256))
+    res = pde_price(
+        MarketParams(100.0, 0.05, 0.2),
+        ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american"),
+        PDEGrid(n_space=1024, n_steps=256))
     ref = float(crr_price(100.0, 100.0, 1.0, 0.05, 0.2, 2000,
                           option_type="put", american=True))
-    assert abs(float(p) - ref) < 2.5e-3, (float(p), ref)
+    assert abs(float(res.price) - ref) < 2.5e-3, (float(res.price), ref)
 
 
 def test_pde_european_ladder_onchip():
     ks = np.array([80.0, 90.0, 100.0, 110.0, 120.0])
-    ps = pde_price_ladder(100.0, ks, 1.0, 0.05, 0.2, option_type="put",
-                          american=False,
-                          grid=PDEGrid(n_space=1024, n_steps=256))
+    ps = pde_price_ladder(
+        MarketParams(100.0, 0.05, 0.2),
+        ProductSpec(K=100.0, T=1.0, option_type="put", exercise="european"),
+        ks, PDEGrid(n_space=1024, n_steps=256))
     refs = [float(bs_price(100.0, k, 1.0, 0.05, 0.2, option_type="put"))
             for k in ks]
     for p, ref in zip(np.asarray(ps), refs):

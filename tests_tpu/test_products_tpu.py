@@ -83,11 +83,12 @@ def test_constrained_swing_mega_onchip():
 
 def test_fully_forced_swing_mega_onchip():
     """No-optionality sanity at scale: n_min = n_rights = every date equals
-    the closed-form discounted strip."""
+    the closed-form discounted strip. n_steps=11 → 12 rights = the swing
+    kernel's full VMEM plane budget (the cap in `lsmc_swing.py`)."""
     m = MarketParams(100.0, 0.05, 0.25)
     prod = ProductSpec(K=100.0, T=1.0, option_type="put",
                        exercise="american")
-    n_steps = 20
+    n_steps = 11
     n = n_steps + 1
     res = price_swing_option(
         jax.random.key(8), m, prod, n, RegressionSpec(degree=4),
