@@ -59,7 +59,8 @@ from .dynamics import (HestonParams, simulate_heston, simulate_local_vol,
                        heston_price_cf, price_option_heston,
                        price_option_local_vol, MertonJumps, simulate_merton,
                        merton_price, price_option_merton,
-                       simulate_bates, bates_price_cf, price_option_bates)
+                       simulate_bates, bates_price_cf, price_option_bates,
+                       VGParams, simulate_vg, vg_price_cf, price_option_vg)
 from .qmc import simulate_gbm_qmc, simulate_gbm_multi_qmc, sobol_normals
 from .scenarios import ScenarioGrid, scenario_ladder
 from .calibrate import (SVISurface, fit_svi_surface, fit_svi_slice,
@@ -160,6 +161,10 @@ __all__ = [
     "simulate_bates",
     "bates_price_cf",
     "price_option_bates",
+    "VGParams",
+    "simulate_vg",
+    "vg_price_cf",
+    "price_option_vg",
     "BookResult",
     "simulate_gbm_qmc",
     "simulate_gbm_multi_qmc",

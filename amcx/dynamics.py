@@ -644,3 +644,157 @@ def price_option_merton(
         S, knocked, market.r, dt, payoff, spec,
         american=product.is_american, return_surface=return_surface,
     )
+
+
+# ---------------------------------------------------------------------------
+# Variance Gamma (Madan-Carr-Chang 1998): pure-jump Levy via gamma time change
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class VGParams:
+    """Variance Gamma log-price: ``X_t = theta*G_t + sigma*W(G_t)`` with
+    ``G`` a gamma subordinator (``E[G_t]=t``, variance rate ``nu``).
+
+    Pure-jump infinite-activity Levy dynamics — no diffusion component at
+    all, yet spot stays Markov so the whole univariate engine matrix
+    applies (same contract as `MertonJumps`). Feasibility: the martingale
+    compensation ``omega = ln(1 - theta*nu - sigma^2*nu/2)/nu`` requires
+    ``theta*nu + sigma^2*nu/2 < 1``."""
+
+    theta: float = -0.14
+    sigma: float = 0.2
+    nu: float = 0.2
+
+    def __post_init__(self):
+        if self.sigma <= 0 or self.nu <= 0:
+            raise ValueError("sigma and nu must be positive")
+        if self.theta * self.nu + 0.5 * self.sigma**2 * self.nu >= 1.0:
+            raise ValueError(
+                "theta*nu + sigma^2*nu/2 must be < 1 for the risk-neutral "
+                "compensation to exist")
+
+    @property
+    def omega(self) -> float:
+        return float(
+            np.log1p(-(self.theta * self.nu + 0.5 * self.sigma**2 * self.nu))
+            / self.nu)
+
+
+@partial(jax.jit, static_argnames=("sim",))
+def _simulate_vg(key, S0, r, q, theta, sigma, nu, T, sim):
+    dtype = sim.jnp_dtype
+    n_steps, n = sim.n_steps, sim.n_paths
+    dt = jnp.asarray(T, dtype) / n_steps
+    omega = jnp.log1p(-(theta * nu + 0.5 * sigma * sigma * nu)) / nu
+
+    kg, kz = jax.random.split(key)
+    cols = n // 2 if sim.antithetic else n
+    # Exact-in-distribution per-step increment: the subordinator increment
+    # dG ~ Gamma(shape=dt/nu, scale=nu) is sampled directly (gamma is
+    # infinitely divisible — no discretization bias), then the VG increment
+    # is Normal(theta*dG, sigma^2*dG) conditionally on dG.
+    dG = nu * jax.random.gamma(kg, jnp.asarray(dt / nu, dtype),
+                               (n_steps, cols), dtype)
+    z = jax.random.normal(kz, (n_steps, cols), dtype)
+    jump = theta * dG + sigma * jnp.sqrt(dG) * z
+    if sim.antithetic:
+        # Mirror the gaussian; the gamma TIME increments are shared across
+        # the pair (a gamma subordinator has no antithetic mirror).
+        jump = jnp.concatenate(
+            [jump, theta * dG - sigma * jnp.sqrt(dG) * z], axis=1)
+    log_inc = (r - q + omega) * dt + jump
+    log_path = jnp.cumsum(log_inc, axis=0)
+    S0v = jnp.full((1, n), S0, dtype)
+    return jnp.concatenate([S0v, S0 * jnp.exp(log_path)], axis=0)
+
+
+def simulate_vg(key, market, vg: VGParams, T, sim: SimConfig):
+    """Variance Gamma paths shaped ``(n_steps+1, n_paths)``.
+
+    Gamma-time-change sampling is exact in distribution per step (both the
+    gamma subordinator and the conditional gaussian are sampled from their
+    true laws); the ``+omega`` drift keeps the discounted spot a martingale
+    (asserted in tests/test_vg.py)."""
+    return _simulate_vg(key, market.S0, market.r, market.q,
+                        vg.theta, vg.sigma, vg.nu, T, sim)
+
+
+def vg_price_cf(S0, K, T, r, vg: VGParams, q=0.0, option_type: str = "call",
+                n_quad: int = 256, u_max: float = 400.0) -> float:
+    """Variance Gamma European oracle by Gil-Pelaez CF inversion (host f64).
+
+    The MCC'98 characteristic function of ``ln S_T`` is
+    ``exp(iu(ln S0 + (r-q+omega)T)) * (1 - iu theta nu + sigma^2 nu u^2/2)^(-T/nu)``;
+    both risk-neutral probabilities come from the same phi
+    (``P1`` via the share-measure shift ``phi(u-i)/phi(-i)``), so this
+    doubles as a generic template for any CF-known Levy model. Polynomial
+    CF decay (|phi| ~ u^(-2T/nu)) needs the wider [0, 400] panel than the
+    exponentially-decaying Heston CF."""
+    theta, sigma, nu = vg.theta, vg.sigma, vg.nu
+    omega = np.log1p(-(theta * nu + 0.5 * sigma**2 * nu)) / nu
+    x0 = np.log(S0) + (r - q + omega) * T
+
+    def phi(u):
+        u = np.asarray(u, dtype=np.complex128)
+        base = 1.0 - 1j * u * theta * nu + 0.5 * sigma**2 * nu * u * u
+        return np.exp(1j * u * x0) * base ** (-T / nu)
+
+    lnK = np.log(K)
+    nodes, weights = np.polynomial.legendre.leggauss(n_quad)
+    u = 0.5 * u_max * (nodes + 1.0)
+    w = 0.5 * u_max * weights
+    phi_mi = phi(-1j).real  # = E[S_T] = S0 e^{(r-q)T} (martingale identity)
+    p1 = 0.5 + np.sum(w * np.real(
+        np.exp(-1j * u * lnK) * phi(u - 1j) / (1j * u * phi_mi))) / np.pi
+    p2 = 0.5 + np.sum(w * np.real(
+        np.exp(-1j * u * lnK) * phi(u) / (1j * u))) / np.pi
+    call = S0 * np.exp(-q * T) * p1 - K * np.exp(-r * T) * p2
+    if option_type == "call":
+        return float(call)
+    return float(call - S0 * np.exp(-q * T) + K * np.exp(-r * T))
+
+
+def price_option_vg(
+    key,
+    market,
+    vg: VGParams,
+    product: ProductSpec,
+    spec: RegressionSpec = RegressionSpec(),
+    sim: SimConfig = SimConfig(),
+    return_surface: bool = False,
+    engine: str = "xla",
+) -> LSMCResult:
+    """American/European vanilla under Variance Gamma.
+
+    Spot is the full Markov state (Levy increments are iid), so the 1-D
+    regression engine applies unchanged — the reference's
+    one-engine-any-dynamics contract (`american_monte_carlo.py:139-167`).
+    ``engine="mega"`` routes the simulated paths through the univariate
+    one-kernel engine with empirical per-step standardization, exactly as
+    the Merton route above."""
+    if product.has_barrier:
+        raise ValueError("VG barrier pricing is not implemented")
+    S = simulate_vg(key, market, vg, product.T, sim)
+    dt = product.T / sim.n_steps
+    if engine == "mega":
+        if return_surface:
+            raise ValueError("engine='mega' emits no continuation surface")
+        from .ops.lsmc_megakernel import lsmc_price_megakernel
+
+        phi_sign = 1.0 if product.option_type == "call" else -1.0
+        price, stderr = lsmc_price_megakernel(
+            S, product.K, market.r, dt, phi_sign,
+            basis=spec.basis, degree=spec.degree, rcond=spec.rcond,
+            american=product.is_american,
+            itm_weights=spec.regress_on == "itm", return_stats=True,
+            antithetic=sim.antithetic)
+        return LSMCResult(price, stderr, None, None, None)
+    if engine != "xla":
+        raise ValueError(f"engine must be 'xla' or 'mega', got {engine!r}")
+    knocked = jnp.ones(S.shape, dtype=bool)
+    payoff = lambda st: intrinsic_value(st, product.K, product.option_type)
+    return backward_induction(
+        S, knocked, market.r, dt, payoff, spec,
+        american=product.is_american, return_surface=return_surface,
+    )
