@@ -61,6 +61,8 @@ from .dynamics import (HestonParams, simulate_heston, simulate_local_vol,
                        merton_price, price_option_merton,
                        simulate_bates, bates_price_cf, price_option_bates,
                        VGParams, simulate_vg, vg_price_cf, price_option_vg)
+from .deep import (DeepSpec, deep_backward_induction, deep_price_option,
+                   deep_price_max_call)
 from .qmc import simulate_gbm_qmc, simulate_gbm_multi_qmc, sobol_normals
 from .scenarios import ScenarioGrid, scenario_ladder
 from .calibrate import (SVISurface, fit_svi_surface, fit_svi_slice,
@@ -165,6 +167,10 @@ __all__ = [
     "simulate_vg",
     "vg_price_cf",
     "price_option_vg",
+    "DeepSpec",
+    "deep_backward_induction",
+    "deep_price_option",
+    "deep_price_max_call",
     "BookResult",
     "simulate_gbm_qmc",
     "simulate_gbm_multi_qmc",

@@ -1,0 +1,360 @@
+"""Deep LSMC: neural-network continuation regression (NLSM / deep optimal
+stopping family).
+
+Beyond-reference methodology (the reference fits fixed polynomial bases,
+`/root/reference/american_monte_carlo.py:98-122`): replace the per-step
+polynomial regression with a small MLP trained by Adam at every backward
+step, warm-started from the step after it. Lapeyre-Lelong's neural LSMC
+and Becker-Cheridito-Jentzen's deep optimal stopping both show this closes
+the policy-bias gap of low-degree bases in higher dimensions; here it
+slots into the SAME backward-induction semantics as `amcx.engine`
+(all-paths regression Q1, zero clamp Q2, ITM-gated exercise, pair-folded
+antithetic stderr), so prices are directly comparable engine-vs-engine.
+
+TPU-first shape: the whole induction is ONE `lax.scan` over reversed time
+whose carry holds (cashflows, tau, MLP params, Adam state); each step runs
+`n_inner` full-batch Adam updates via `lax.fori_loop` — everything is
+batched matmuls on the MXU, no Python-level training loop, one compile.
+Warm starting means ~40 inner steps suffice per date (the continuation
+surface moves slowly backward in time); the first fitted date gets a
+longer `n_pretrain` burn-in from the random init.
+
+Validation (tests/test_deep.py): American put vs CRR-2000 and vs the
+polynomial LSMC engine on shared paths; 2-asset Bermudan max-call inside
+the Andersen-Broadie literature bracket; European limit unaffected by the
+network (never exercises early).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+import optax
+
+from .engine import LSMCResult
+from .payoff import intrinsic_value, max_call_payoff
+from .types import MarketParams, ProductSpec, SimConfig
+
+__all__ = [
+    "DeepSpec",
+    "deep_backward_induction",
+    "deep_price_option",
+    "deep_price_max_call",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class DeepSpec:
+    """MLP + training hyperparameters for the deep continuation fit.
+
+    ``width``/``depth`` size the hidden stack (tanh activations, linear
+    head); ``n_inner`` Adam steps run per backward date (warm-started),
+    ``n_pretrain`` at the first fitted date only. Defaults are tuned so a
+    16k-path American put matches the polynomial engine within MC noise.
+    """
+
+    width: int = 32
+    depth: int = 2
+    n_inner: int = 40
+    n_pretrain: int = 400
+    lr: float = 3e-3
+
+    def __post_init__(self):
+        if self.depth < 1 or self.width < 1:
+            raise ValueError("depth and width must be >= 1")
+        if self.n_inner < 1 or self.n_pretrain < 0:
+            raise ValueError("need n_inner >= 1 and n_pretrain >= 0")
+
+
+def _init_mlp(key, n_state: int, dspec: DeepSpec, dtype):
+    """Glorot-initialised (W, b) list: n_state -> width^depth -> 1."""
+    dims = [n_state] + [dspec.width] * dspec.depth + [1]
+    params = []
+    for i, (d_in, d_out) in enumerate(zip(dims[:-1], dims[1:])):
+        key, sub = jax.random.split(key)
+        scale = jnp.sqrt(jnp.asarray(2.0 / (d_in + d_out), dtype))
+        params.append((jax.random.normal(sub, (d_in, d_out), dtype) * scale,
+                       jnp.zeros((d_out,), dtype)))
+    return params
+
+
+def _mlp_apply(params, x):
+    """x: (n_paths, n_state) standardized -> (n_paths,) standardized value."""
+    h = x
+    for W, b in params[:-1]:
+        h = jnp.tanh(h @ W + b)
+    W, b = params[-1]
+    return (h @ W + b)[:, 0]
+
+
+def _standardize(a, axis=0, eps=1e-6):
+    mu = jnp.mean(a, axis=axis, keepdims=True)
+    sd = jnp.maximum(jnp.std(a, axis=axis, keepdims=True), eps)
+    return (a - mu) / sd, mu, sd
+
+
+@partial(jax.jit, static_argnames=("payoff", "dspec", "american",
+                                   "antithetic", "exercise_from_step",
+                                   "collect_policy"))
+def _deep_backward_impl(X_tm, r, dt, payoff, dspec, key, american,
+                        antithetic, exercise_from_step,
+                        collect_policy=False):
+    n_steps = X_tm.shape[0] - 1
+    n_paths = X_tm.shape[1]
+    dtype = X_tm.dtype
+    r = jnp.asarray(r, dtype)
+    dt = jnp.asarray(dt, dtype)
+
+    opt = optax.adam(dspec.lr)
+    params0 = _init_mlp(key, X_tm.shape[2], dspec, dtype)
+    opt_state0 = opt.init(params0)
+
+    cf0 = payoff(X_tm[n_steps])
+    tau0 = jnp.full((n_paths,), float(n_steps), dtype)
+
+    def fit_step(params, opt_state, x_std, y_std, n_iters):
+        def loss_fn(p):
+            return jnp.mean(jnp.square(_mlp_apply(p, x_std) - y_std))
+
+        def body(_, carry):
+            p, s = carry
+            g = jax.grad(loss_fn)(p)
+            updates, s = opt.update(g, s, p)
+            return optax.apply_updates(p, updates), s
+
+        return lax.fori_loop(0, n_iters, body, (params, opt_state))
+
+    def continuation(params, x_std, mu_y, sd_y):
+        # De-standardize the head and clamp at zero (Q2,
+        # `american_monte_carlo.py:132`).
+        return jnp.maximum(mu_y + sd_y * _mlp_apply(params, x_std), 0.0)
+
+    # Burn-in at the first fitted date (t = n_steps - 1): the warm-start
+    # chain has to begin from a trained surface, not the random init.
+    x_pre, _, _ = _standardize(X_tm[n_steps - 1])
+    y_pre = cf0 * jnp.exp(-r * dt)
+    y_pre_std, mu_pre, sd_pre = _standardize(y_pre)
+    params0, opt_state0 = fit_step(params0, opt_state0, x_pre, y_pre_std,
+                                   dspec.n_pretrain)
+
+    def step(carry, xs):
+        cashflows, tau, params, opt_state = carry
+        X_t, t = xs
+        y = cashflows * jnp.exp(-r * dt * (tau - t))
+        x_std, _, _ = _standardize(X_t)
+        y_std_full, mu_y, sd_y = _standardize(y)
+        params, opt_state = fit_step(params, opt_state, x_std,
+                                     y_std_full, dspec.n_inner)
+        cont = continuation(params, x_std, mu_y[0], sd_y[0])
+        ex = payoff(X_t)
+        if american:
+            exercise = (ex > 0) & (ex > cont)
+            if exercise_from_step > 0:
+                exercise = exercise & (t >= exercise_from_step)
+            cashflows = jnp.where(exercise, ex, cashflows)
+            tau = jnp.where(exercise, t, tau)
+        # Per-step frozen policy: the trained params + both standardization
+        # frames (everything replay needs to re-evaluate the continuation).
+        mu_x = jnp.mean(X_t, axis=0)
+        sd_x = jnp.maximum(jnp.std(X_t, axis=0), 1e-6)
+        ys = ((params, mu_x, sd_x, mu_y[0], sd_y[0])
+              if collect_policy else None)
+        return (cashflows, tau, params, opt_state), ys
+
+    ts = jnp.arange(n_steps, dtype=dtype)
+    (cashflows, tau, _, _), policy = lax.scan(
+        step, (cf0, tau0, params0, opt_state0),
+        (X_tm[:n_steps], ts), reverse=True)
+
+    discounted = cashflows * jnp.exp(-r * dt * tau)
+    if antithetic:
+        half = n_paths // 2
+        stat = 0.5 * (discounted[:half] + discounted[half:])
+        n_stat = float(half)
+    else:
+        stat = discounted
+        n_stat = float(n_paths)
+    price = jnp.mean(stat)
+    var = jnp.mean(jnp.square(stat - price))
+    stderr = jnp.sqrt(var) / jnp.sqrt(n_stat)
+    return price, stderr, policy
+
+
+@partial(jax.jit, static_argnames=("payoff", "american", "antithetic",
+                                   "exercise_from_step"))
+def _deep_replay_impl(X_tm, policy, r, dt, payoff, american, antithetic,
+                      exercise_from_step):
+    """Forward first-hit walk of a frozen deep policy on fresh paths.
+
+    Same two-pass semantics as `amcx.policy._replay_impl` (fit once, replay
+    frozen): exercising at the first step where intrinsic beats the stored
+    network's clamped continuation gives a TRUE lower bound — the foresight
+    (overfit) bias of the in-sample deep fit is removed."""
+    n_steps = X_tm.shape[0] - 1
+    n_paths = X_tm.shape[1]
+    dtype = X_tm.dtype
+    r = jnp.asarray(r, dtype)
+    dt = jnp.asarray(dt, dtype)
+
+    def step(carry, xs):
+        cf, tau, alive = carry
+        X_t, (params_t, mu_x, sd_x, mu_y, sd_y), t = xs
+        ex = payoff(X_t)
+        x_std = (X_t - mu_x[None, :]) / sd_x[None, :]
+        cont = jnp.maximum(mu_y + sd_y * _mlp_apply(params_t, x_std), 0.0)
+        hit = alive & (ex > cont)  # ex > cont >= 0 implies ex > 0
+        if exercise_from_step > 0:
+            hit = hit & (t >= exercise_from_step)
+        cf = jnp.where(hit, ex, cf)
+        tau = jnp.where(hit, t, tau)
+        return (cf, tau, alive & ~hit), None
+
+    cf0 = jnp.zeros((n_paths,), dtype)
+    tau0 = jnp.full((n_paths,), float(n_steps), dtype)
+    alive0 = jnp.ones((n_paths,), bool)
+    if american:
+        ts = jnp.arange(n_steps, dtype=dtype)
+        (cf, tau, alive), _ = lax.scan(
+            step, (cf0, tau0, alive0), (X_tm[:n_steps], policy, ts))
+    else:
+        cf, tau, alive = cf0, tau0, alive0
+    pay_T = payoff(X_tm[n_steps])
+    cf = jnp.where(alive, pay_T, cf)
+
+    discounted = cf * jnp.exp(-r * dt * tau)
+    if antithetic:
+        half = n_paths // 2
+        stat = 0.5 * (discounted[:half] + discounted[half:])
+        n_stat = float(half)
+    else:
+        stat = discounted
+        n_stat = float(n_paths)
+    price = jnp.mean(stat)
+    var = jnp.mean(jnp.square(stat - price))
+    stderr = jnp.sqrt(var) / jnp.sqrt(n_stat)
+    return price, stderr
+
+
+def deep_backward_induction(
+    X_tm: jnp.ndarray,
+    r,
+    dt,
+    payoff: Callable[[jnp.ndarray], jnp.ndarray],
+    dspec: DeepSpec = DeepSpec(),
+    key: Optional[jax.Array] = None,
+    american: bool = True,
+    antithetic: bool = False,
+    exercise_from_step: int = 0,
+) -> LSMCResult:
+    """LSMC backward induction with an MLP continuation fit.
+
+    ``X_tm`` is time-major state, ``(n_steps+1, n_paths)`` for univariate
+    or ``(n_steps+1, n_paths, n_state)`` generally; ``payoff`` maps the
+    per-step state slice to intrinsic value (same contract as
+    `amcx.engine.backward_induction`). ``key`` seeds the network init
+    (defaults to a fixed key — the price is then deterministic given
+    paths). Returns (price, stderr) with the honest pair-folded stderr
+    when ``antithetic``.
+    """
+    if X_tm.ndim == 2:
+        X2 = X_tm[:, :, None]
+        pay = lambda x: payoff(x[:, 0])
+    else:
+        X2 = X_tm
+        pay = payoff
+    if key is None:
+        key = jax.random.key(2718)
+    price, stderr, _ = _deep_backward_impl(
+        X2, r, dt, pay, dspec, key, american, antithetic,
+        exercise_from_step)
+    return LSMCResult(price, stderr, None, None, None)
+
+
+def deep_price_option(
+    key,
+    market: MarketParams,
+    product: ProductSpec,
+    sim: SimConfig = SimConfig(),
+    dspec: DeepSpec = DeepSpec(),
+    out_of_sample: bool = False,
+) -> LSMCResult:
+    """American/European vanilla priced with the deep continuation engine.
+
+    Same product semantics as `amcx.price_option` (no barrier support);
+    the network never sees the payoff — only (state -> discounted future
+    cashflow) pairs, exactly like the polynomial regression it replaces.
+    ``out_of_sample=True`` fits the policy on one path set and replays it
+    frozen on an independent set (true lower bound — removes the foresight
+    bias a flexible fit shows in-sample; same contract as
+    `amcx.policy.price_out_of_sample`).
+    """
+    if product.has_barrier:
+        raise ValueError("deep engine does not support barriers yet")
+    from .paths import simulate_gbm
+
+    k_paths, k_net, k_replay = jax.random.split(key, 3)
+    S = simulate_gbm(k_paths, market, product.T, sim)
+    payoff_s = lambda s: intrinsic_value(s, product.K, product.option_type)
+    payoff = lambda x: payoff_s(x[:, 0])
+    dt = product.T / sim.n_steps
+    if not out_of_sample:
+        price, stderr, _ = _deep_backward_impl(
+            S[:, :, None], market.r, dt, payoff, dspec, k_net,
+            product.is_american, sim.antithetic, 0)
+        return LSMCResult(price, stderr, None, None, None)
+    _, _, policy = _deep_backward_impl(
+        S[:, :, None], market.r, dt, payoff, dspec, k_net,
+        product.is_american, sim.antithetic, 0, collect_policy=True)
+    S2 = simulate_gbm(k_replay, market, product.T, sim)
+    price, stderr = _deep_replay_impl(
+        S2[:, :, None], policy, market.r, dt, payoff,
+        product.is_american, sim.antithetic, 0)
+    return LSMCResult(price, stderr, None, None, None)
+
+
+def deep_price_max_call(
+    key,
+    S0,
+    r,
+    q,
+    sigma,
+    corr,
+    K,
+    T,
+    sim: SimConfig = SimConfig(),
+    dspec: DeepSpec = DeepSpec(),
+    out_of_sample: bool = False,
+) -> LSMCResult:
+    """Bermudan max-call on correlated GBM via the deep engine.
+
+    The network regresses on the full asset vector (no hand-built
+    cross-term basis needed — the main practical advantage of the deep
+    fit in dimension >= 2). First exercise date is step 1, matching the
+    Bermudan convention of `amcx.models.maxcall`. ``out_of_sample=True``
+    replays the frozen policy on independent paths (true lower bound).
+    """
+    from .paths import simulate_gbm_multi
+
+    k_paths, k_net, k_replay = jax.random.split(key, 3)
+    X = simulate_gbm_multi(k_paths, S0, r, sigma, T, sim, q=q, corr=corr)
+    payoff = lambda s: max_call_payoff(s, K)
+    dt = T / sim.n_steps
+    if not out_of_sample:
+        price, stderr, _ = _deep_backward_impl(
+            X, r, dt, payoff, dspec, k_net, True, sim.antithetic, 1)
+        return LSMCResult(price, stderr, None, None, None)
+    _, _, policy = _deep_backward_impl(
+        X, r, dt, payoff, dspec, k_net, True, sim.antithetic, 1,
+        collect_policy=True)
+    X2 = simulate_gbm_multi(k_replay, S0, r, sigma, T, sim, q=q, corr=corr)
+    price, stderr = _deep_replay_impl(
+        X2, policy, r, dt, payoff, True, sim.antithetic, 1)
+    return LSMCResult(price, stderr, None, None, None)

@@ -1,0 +1,76 @@
+"""Deep LSMC (NN continuation regression) gates.
+
+Beyond-reference methodology (the reference fits fixed polynomial bases,
+`/root/reference/american_monte_carlo.py:98-122`): an MLP continuation
+fit trained per backward date, warm-started across dates, with frozen
+out-of-sample policy replay for true lower bounds.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from amcx import (
+    DeepSpec,
+    MarketParams,
+    ProductSpec,
+    SimConfig,
+    crr_price,
+    deep_backward_induction,
+    deep_price_max_call,
+    deep_price_option,
+)
+
+M = MarketParams(100.0, 0.05, 0.2)
+PUT = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american")
+SIM = SimConfig(n_paths=16_384, n_steps=50, antithetic=True)
+CRR = 6.0902  # CRR-2000 American put anchor (S0=K=100, r=5%, sigma=0.2)
+
+
+def test_deep_put_matches_lattice_in_sample():
+    res = deep_price_option(jax.random.key(0), M, PUT, SIM)
+    # In-sample flexible fits sit slightly HIGH (foresight); the poly
+    # engine sits slightly low. Both must bracket the lattice closely.
+    assert abs(float(res.price) - CRR) < 0.1, float(res.price)
+
+
+def test_deep_oos_replay_is_true_lower_bound():
+    res = deep_price_option(jax.random.key(0), M, PUT, SIM,
+                            out_of_sample=True)
+    p, se = float(res.price), float(res.stderr)
+    assert p < CRR + 3.0 * se          # lower bound (up to MC noise)
+    assert p > CRR - 0.15              # and a TIGHT one
+
+
+def test_deep_european_is_plain_mc_mean():
+    # american=False never exercises: the price must equal the discounted
+    # maturity mean exactly, independent of the network.
+    sim = SimConfig(n_paths=4_096, n_steps=10, antithetic=True)
+    from amcx.paths import simulate_gbm
+
+    S = simulate_gbm(jax.random.key(3), M, 1.0, sim)
+    payoff = lambda s: jnp.maximum(100.0 - s, 0.0)
+    res = deep_backward_induction(
+        S, 0.05, 0.1, payoff, DeepSpec(n_inner=1, n_pretrain=0),
+        american=False, antithetic=True)
+    ref = float(jnp.mean(payoff(S[-1]) * jnp.exp(-0.05 * 1.0)))
+    assert abs(float(res.price) - ref) < 1e-5
+
+
+def test_deep_maxcall_two_assets_near_literature():
+    # Andersen-Broadie 2-asset Bermudan max-call (S0=100, K=100, r=5%,
+    # q=10%, sigma=20%, rho=0, T=3, 9 dates): literature value 13.902.
+    sim = SimConfig(n_paths=8_192, n_steps=9, antithetic=True)
+    res = deep_price_max_call(
+        jax.random.key(1), np.array([100.0, 100.0]), 0.05, 0.10, 0.2,
+        np.eye(2), 100.0, 3.0, sim,
+        DeepSpec(n_inner=100, n_pretrain=500), out_of_sample=True)
+    assert 13.3 < float(res.price) < 14.3, float(res.price)
+
+
+def test_deep_spec_validation():
+    with pytest.raises(ValueError):
+        DeepSpec(depth=0)
+    with pytest.raises(ValueError):
+        DeepSpec(n_inner=0)

@@ -162,3 +162,43 @@ def test_ma_mega_heston_onchip():
                               RegressionSpec(degree=2), sim, engine="mega")
     assert abs(float(r_f.price) - float(r_m.price)) < 5e-3, (
         float(r_f.price), float(r_m.price))
+
+
+def test_deep_engine_onchip():
+    """Deep LSMC on hardware: the warm-started Adam scan (optax state in
+    the scan carry) compiles and the OOS replay stays a tight lower bound
+    vs CRR-2000 at 64k paths."""
+    from amcx import crr_price
+    from amcx.deep import deep_price_option
+
+    m = MarketParams(100.0, 0.05, 0.2)
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put",
+                       exercise="american")
+    sim = SimConfig(n_paths=65_536, n_steps=50, antithetic=True)
+    res = deep_price_option(jax.random.key(2), m, prod, sim,
+                            out_of_sample=True)
+    crr = float(crr_price(100.0, 100.0, 1.0, 0.05, 0.2, 2000,
+                          option_type="put", american=True))
+    p, se = float(res.price), float(res.stderr)
+    assert p < crr + 3.0 * se, (p, crr)
+    assert p > crr - 0.12, (p, crr)
+
+
+def test_vg_mega_onchip():
+    """Variance Gamma through the one-kernel engine on hardware: xla/mega
+    agreement on shared paths + the early-exercise premium over the CF
+    European oracle."""
+    from amcx import VGParams, price_option_vg, vg_price_cf
+
+    vg = VGParams(theta=-0.14, sigma=0.2, nu=0.2)
+    m = MarketParams(100.0, 0.05, 0.2)
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put",
+                       exercise="american")
+    sim = SimConfig(n_paths=262_144, n_steps=50, antithetic=True)
+    spec = RegressionSpec(degree=4)
+    r_x = price_option_vg(jax.random.key(7), m, vg, prod, spec, sim)
+    r_m = price_option_vg(jax.random.key(7), m, vg, prod, spec, sim,
+                          engine="mega")
+    assert abs(float(r_x.price) - float(r_m.price)) < 2.5e-3
+    euro = vg_price_cf(100.0, 100.0, 1.0, 0.05, vg, option_type="put")
+    assert float(r_m.price) > euro + 0.1
