@@ -835,6 +835,118 @@ def cmd_bench(args):
     bench_mod.main()
 
 
+def cmd_jump(args):
+    """Vanilla option under Merton jump diffusion or Variance Gamma."""
+    from .dynamics import (MertonJumps, VGParams, merton_price,
+                           price_option_merton, price_option_vg,
+                           vg_price_cf)
+    from .types import MarketParams, ProductSpec, RegressionSpec, SimConfig
+
+    market = MarketParams(args.s0, args.r, args.sigma, args.q)
+    product = ProductSpec(K=args.k, T=args.t, option_type=args.option_type,
+                          exercise=args.exercise)
+    spec = RegressionSpec(basis=args.basis, degree=args.degree)
+    sim = SimConfig(n_paths=args.paths, n_steps=args.steps,
+                    antithetic=args.antithetic)
+    key = jax.random.key(args.seed)
+    if args.model == "merton":
+        jp = MertonJumps(lam=args.lam, mu_j=args.mu_j, sigma_j=args.sigma_j)
+        res = price_option_merton(key, market, jp, product, spec, sim,
+                                  engine=args.engine)
+        euro = float(merton_price(args.s0, args.k, args.t, args.r,
+                                  args.sigma, args.lam, args.mu_j,
+                                  args.sigma_j, args.q, args.option_type))
+        label = "Merton"
+    else:
+        vg = VGParams(theta=args.theta, sigma=args.sigma, nu=args.nu)
+        res = price_option_vg(key, market, vg, product, spec, sim,
+                              engine=args.engine)
+        euro = vg_price_cf(args.s0, args.k, args.t, args.r, vg, args.q,
+                           args.option_type)
+        label = "Variance Gamma"
+    payload = {
+        "price": round(float(res.price), 4),
+        "stderr": round(float(res.stderr), 4),
+        "oracle_european": round(euro, 4),
+    }
+    if not args.json:
+        ex = product.exercise.title()
+        print(f"{label} {ex} {product.option_type}: {payload['price']:.4f} "
+              f"\u00b1 {payload['stderr']:.4f}  (oracle European: "
+              f"{payload['oracle_european']:.4f})")
+    _emit(payload, args.json)
+    return payload
+
+
+def cmd_pde(args):
+    """Crank-Nicolson PDE price (independent non-MC methodology)."""
+    from .oracle import bs_price, crr_price
+    from .pde import PDEGrid, pde_price
+    from .types import MarketParams, ProductSpec
+
+    market = MarketParams(args.s0, args.r, args.sigma, args.q)
+    product = ProductSpec(K=args.k, T=args.t, option_type=args.option_type,
+                          exercise=args.exercise)
+    grid = PDEGrid(n_space=args.space, n_steps=args.steps)
+    res = pde_price(market, product, grid)
+    if product.is_american:
+        oracle = float(crr_price(args.s0, args.k, args.t, args.r, args.sigma,
+                                 2000, q=args.q,
+                                 option_type=args.option_type,
+                                 american=True))
+        oracle_name = "CRR-2000"
+    else:
+        oracle = float(bs_price(args.s0, args.k, args.t, args.r, args.sigma,
+                                args.q, args.option_type))
+        oracle_name = "Black-Scholes"
+    payload = {
+        "price": round(float(res.price), 4),
+        "delta": round(float(res.delta), 4),
+        "gamma": round(float(res.gamma), 6),
+        "oracle": round(oracle, 4),
+        "oracle_name": oracle_name,
+    }
+    if not args.json:
+        ex = product.exercise.title()
+        print(f"PDE {ex} {product.option_type} ({args.space}x{args.steps} "
+              f"CN grid): {payload['price']:.4f}  delta {payload['delta']:.4f}"
+              f"  ({oracle_name}: {payload['oracle']:.4f})")
+    _emit(payload, args.json)
+    return payload
+
+
+def cmd_deep(args):
+    """Deep LSMC (MLP continuation) price, in-sample or OOS replay."""
+    from .deep import DeepSpec, deep_price_option
+    from .oracle import crr_price
+    from .types import MarketParams, ProductSpec, SimConfig
+
+    market = MarketParams(args.s0, args.r, args.sigma, args.q)
+    product = ProductSpec(K=args.k, T=args.t, option_type=args.option_type,
+                          exercise=args.exercise)
+    sim = SimConfig(n_paths=args.paths, n_steps=args.steps,
+                    antithetic=args.antithetic)
+    dspec = DeepSpec(width=args.width, depth=args.depth,
+                     n_inner=args.inner, lr=args.lr)
+    res = deep_price_option(jax.random.key(args.seed), market, product, sim,
+                            dspec, out_of_sample=args.out_of_sample)
+    oracle = float(crr_price(args.s0, args.k, args.t, args.r, args.sigma,
+                             2000, q=args.q, option_type=args.option_type,
+                             american=product.is_american))
+    payload = {
+        "price": round(float(res.price), 4),
+        "stderr": round(float(res.stderr), 4),
+        "crr2000": round(oracle, 4),
+        "mode": "oos-replay" if args.out_of_sample else "in-sample",
+    }
+    if not args.json:
+        print(f"Deep LSMC {product.exercise.title()} {product.option_type} "
+              f"({payload['mode']}): {payload['price']:.4f} \u00b1 "
+              f"{payload['stderr']:.4f}  (CRR-2000: {payload['crr2000']:.4f})")
+    _emit(payload, args.json)
+    return payload
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="amcx",
                                 description="TPU-native least-squares Monte Carlo engine")
@@ -1113,6 +1225,80 @@ def build_parser():
     pq.add_argument("--seed", type=int, default=42)
     pq.add_argument("--json", action="store_true")
     pq.set_defaults(fn=cmd_hw)
+
+    pj = sub.add_parser(
+        "jump", help="vanilla option under jump dynamics (Merton or VG)")
+    pj.add_argument("--model", choices=["merton", "vg"], default="merton")
+    pj.add_argument("--s0", type=float, default=100.0)
+    pj.add_argument("--k", type=float, default=100.0)
+    pj.add_argument("--t", type=float, default=1.0)
+    pj.add_argument("--r", type=float, default=0.05)
+    pj.add_argument("--q", type=float, default=0.0)
+    pj.add_argument("--sigma", type=float, default=0.2,
+                    help="diffusion vol (merton) / VG sigma")
+    pj.add_argument("--lam", type=float, default=0.5,
+                    help="merton jump intensity")
+    pj.add_argument("--mu-j", type=float, default=-0.1,
+                    help="merton mean log jump")
+    pj.add_argument("--sigma-j", type=float, default=0.15,
+                    help="merton log-jump std")
+    pj.add_argument("--theta", type=float, default=-0.14, help="VG drift")
+    pj.add_argument("--nu", type=float, default=0.2,
+                    help="VG gamma variance rate")
+    pj.add_argument("--option-type", choices=["put", "call"], default="put")
+    pj.add_argument("--exercise", choices=["european", "american"],
+                    default="american")
+    pj.add_argument("--basis", default="chebyshev")
+    pj.add_argument("--degree", type=int, default=4)
+    pj.add_argument("--paths", type=int, default=100_000)
+    pj.add_argument("--steps", type=int, default=50)
+    pj.add_argument("--antithetic", action="store_true")
+    pj.add_argument("--engine", choices=["xla", "mega"], default="xla")
+    pj.add_argument("--seed", type=int, default=42)
+    pj.add_argument("--json", action="store_true")
+    pj.set_defaults(fn=cmd_jump)
+
+    pd = sub.add_parser(
+        "pde", help="Crank-Nicolson PDE price (independent of MC)")
+    pd.add_argument("--s0", type=float, default=100.0)
+    pd.add_argument("--k", type=float, default=100.0)
+    pd.add_argument("--t", type=float, default=1.0)
+    pd.add_argument("--r", type=float, default=0.05)
+    pd.add_argument("--q", type=float, default=0.0)
+    pd.add_argument("--sigma", type=float, default=0.2)
+    pd.add_argument("--option-type", choices=["put", "call"], default="put")
+    pd.add_argument("--exercise", choices=["european", "american"],
+                    default="american")
+    pd.add_argument("--space", type=int, default=1024,
+                    help="log-spot grid points")
+    pd.add_argument("--steps", type=int, default=256, help="time steps")
+    pd.add_argument("--json", action="store_true")
+    pd.set_defaults(fn=cmd_pde)
+
+    pdl = sub.add_parser(
+        "deep", help="deep LSMC (MLP continuation regression)")
+    pdl.add_argument("--s0", type=float, default=100.0)
+    pdl.add_argument("--k", type=float, default=100.0)
+    pdl.add_argument("--t", type=float, default=1.0)
+    pdl.add_argument("--r", type=float, default=0.05)
+    pdl.add_argument("--q", type=float, default=0.0)
+    pdl.add_argument("--sigma", type=float, default=0.2)
+    pdl.add_argument("--option-type", choices=["put", "call"], default="put")
+    pdl.add_argument("--exercise", choices=["european", "american"],
+                     default="american")
+    pdl.add_argument("--paths", type=int, default=65_536)
+    pdl.add_argument("--steps", type=int, default=50)
+    pdl.add_argument("--antithetic", action="store_true")
+    pdl.add_argument("--width", type=int, default=32)
+    pdl.add_argument("--depth", type=int, default=2)
+    pdl.add_argument("--inner", type=int, default=40,
+                     help="Adam steps per backward date")
+    pdl.add_argument("--lr", type=float, default=3e-3)
+    pdl.add_argument("--out-of-sample", action="store_true",
+                     help="fit then replay frozen on fresh paths")
+    pdl.add_argument("--seed", type=int, default=42)
+    pdl.add_argument("--json", action="store_true")
+    pdl.set_defaults(fn=cmd_deep)
 
     pr = sub.add_parser("preset", help="run a named BASELINE config")
     pr.add_argument("name")

@@ -245,3 +245,40 @@ def test_cli_bates_jump_flags(capsys):
     payload = _json.loads(capsys.readouterr().out)
     # American put under SVJ must clear its own CF European anchor
     assert payload["price"] > payload["cf_european"] - 3 * payload["stderr"]
+
+
+def test_cli_jump_merton_json(capsys):
+    from amcx.cli import main
+
+    main(["jump", "--model", "merton", "--paths", "8192", "--steps", "10",
+          "--exercise", "european", "--json"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert abs(out["price"] - out["oracle_european"]) < 4 * out["stderr"] + 0.05
+
+
+def test_cli_jump_vg_json(capsys):
+    from amcx.cli import main
+
+    main(["jump", "--model", "vg", "--paths", "8192", "--steps", "10",
+          "--exercise", "european", "--json"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert abs(out["price"] - out["oracle_european"]) < 4 * out["stderr"] + 0.05
+
+
+def test_cli_pde_json(capsys):
+    from amcx.cli import main
+
+    main(["pde", "--space", "256", "--steps", "64", "--json"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["oracle_name"] == "CRR-2000"
+    assert abs(out["price"] - out["oracle"]) < 0.02
+
+
+def test_cli_deep_json(capsys):
+    from amcx.cli import main
+
+    main(["deep", "--paths", "4096", "--steps", "10", "--inner", "10",
+          "--json"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "in-sample"
+    assert abs(out["price"] - out["crr2000"]) < 0.3
