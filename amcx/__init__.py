@@ -54,7 +54,8 @@ from .models.asian import (price_asian_option, geometric_asian_price,
                            running_average)
 from .models.basket import (price_basket_option, geometric_basket_price,
                             basket_level, basket_greeks,
-                            price_exchange_option, margrabe_price)
+                            price_exchange_option, margrabe_price,
+                            price_spread_option, kirk_price)
 from .dynamics import (HestonParams, simulate_heston, simulate_local_vol,
                        heston_price_cf, price_option_heston,
                        price_option_local_vol, MertonJumps, simulate_merton,
@@ -181,6 +182,8 @@ __all__ = [
     "basket_greeks",
     "price_exchange_option",
     "margrabe_price",
+    "price_spread_option",
+    "kirk_price",
     "SVISurface",
     "fit_svi_surface",
     "fit_svi_slice",

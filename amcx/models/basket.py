@@ -42,7 +42,8 @@ from ..engine import LSMCResult, backward_induction
 from ..types import RegressionSpec, SimConfig
 
 __all__ = ["price_basket_option", "geometric_basket_price", "basket_level",
-           "basket_greeks", "price_exchange_option", "margrabe_price"]
+           "basket_greeks", "price_exchange_option", "margrabe_price",
+           "price_spread_option", "kirk_price"]
 
 
 def basket_level(S, weights, averaging: str = "arith"):
@@ -254,6 +255,65 @@ def price_exchange_option(
     ``RegressionSpec(degree=4, regress_on="itm")`` is the recommended
     spec (measured −0.009 ± 0.06 vs Margrabe). ``engine="fused"``/
     ``"mega"`` run the Pallas kernel paths with ``payoff_kind="spread"``.
+
+    The K = 0 special case of :func:`price_spread_option`.
+    """
+    return price_spread_option(
+        key, S1, S2, 0.0, T, r, sigma1, sigma2, rho=rho, q1=q1, q2=q2,
+        exercise=exercise, spec=spec, sim=sim, engine=engine)
+
+
+def kirk_price(S1, S2, K, T, r, sigma1, sigma2, rho=0.0, q1=0.0,
+               q2=0.0) -> float:
+    """Kirk (1995) European spread-call approximation (host f64):
+    ``E[e^{-rT} max(S1_T − S2_T − K, 0)]`` ≈ Black's formula on the
+    forward F1 against the shifted forward F2 + K e^{rT}·e^{-rT} = F2 + K,
+    with the effective vol ``σ² = σ1² − 2ρσ1σ2·w + σ2²w²`` where
+    ``w = F2/(F2 + K)``. Exact (= Margrabe) at K = 0; accurate to a few
+    bp for K small relative to S2 — used as an approximate oracle with MC
+    tolerances that absorb the approximation error."""
+    from scipy.stats import norm
+
+    f1 = S1 * np.exp((r - q1) * T)
+    f2 = S2 * np.exp((r - q2) * T)
+    w = f2 / (f2 + K)
+    sig = np.sqrt(max(sigma1**2 - 2.0 * rho * sigma1 * sigma2 * w
+                      + sigma2**2 * w * w, 1e-16))
+    sq = sig * np.sqrt(T)
+    d1 = (np.log(f1 / (f2 + K)) + 0.5 * sig * sig * T) / sq
+    d2 = d1 - sq
+    return float(np.exp(-r * T) * (f1 * norm.cdf(d1)
+                                   - (f2 + K) * norm.cdf(d2)))
+
+
+def price_spread_option(
+    key: jax.Array,
+    S1,
+    S2,
+    K,
+    T,
+    r,
+    sigma1,
+    sigma2,
+    rho: float = 0.0,
+    q1: float = 0.0,
+    q2: float = 0.0,
+    exercise: str = "american",
+    spec: RegressionSpec = RegressionSpec(basis="chebyshev", degree=2),
+    sim: SimConfig = SimConfig(),
+    engine: str = "xla",
+) -> LSMCResult:
+    """American/European two-asset spread option ``max(S1 − S2 − K, 0)``
+    on correlated GBM.
+
+    Generalizes the exchange option (K = 0, exact Margrabe oracle) to a
+    struck spread; the European oracle is Kirk's approximation
+    (:func:`kirk_price`), exact at K = 0 and bp-accurate for moderate K.
+    ``engine="fused"``/``"mega"`` run the 2-state Pallas kernels with
+    ``payoff_kind="spread"`` (the kernel payoff is φ·(S1 − S2 − K));
+    the regression is the total-degree cross-term basis on (S1, S2) in
+    every engine. Product family beyond the reference (single-asset only,
+    `/root/reference/american_monte_carlo.py:85-86`).
     """
     from ..paths import simulate_gbm_multi
     from .maxcall import max_call_fit
@@ -264,6 +324,9 @@ def price_exchange_option(
         jnp.asarray([sigma1, sigma2], sim.jnp_dtype), T, sim,
         q=jnp.asarray([q1, q2], sim.jnp_dtype), corr=corr)
     dt = T / sim.n_steps
+    # static payoff-kind select: K = 0 keeps the exchange/floating-Asian
+    # kernels' bit-exact compiled payoff (see _payoff_for)
+    kind = "spread" if float(K) == 0.0 else "spreadk"
     if engine in ("fused", "mega"):
         if exercise != "american":
             raise ValueError(f"engine={engine!r} prices American only")
@@ -271,7 +334,7 @@ def price_exchange_option(
             from ..ops.lsmc_ma_mega import lsmc_price_ma_mega
 
             price, stderr = lsmc_price_ma_mega(
-                X, 0.0, r, dt, phi=1.0, payoff_kind="spread",
+                X, K, r, dt, phi=1.0, payoff_kind=kind,
                 basis=spec.basis, degree=spec.degree, mode="total",
                 rcond=spec.rcond, itm_weights=spec.regress_on == "itm",
                 exercise_from_step=0, antithetic=sim.antithetic)
@@ -279,13 +342,13 @@ def price_exchange_option(
         from .maxcall import backward_induction_fused_maxcall
 
         return backward_induction_fused_maxcall(
-            X, 0.0, r, dt, spec, basis_mode="total", exercise_from_step=0,
-            payoff_kind="spread", phi=1.0)
+            X, K, r, dt, spec, basis_mode="total", exercise_from_step=0,
+            payoff_kind=kind, phi=1.0)
     if engine != "xla":
         raise ValueError(
             f"engine must be 'xla', 'fused', or 'mega', got {engine!r}")
     knocked = jnp.ones(X.shape[:-1], dtype=bool)
-    payoff = lambda st: jnp.maximum(st[..., 0] - st[..., 1], 0.0)
+    payoff = lambda st: jnp.maximum(st[..., 0] - st[..., 1] - K, 0.0)
     fit_fn = partial(max_call_fit, mode="total")
     return backward_induction(
         X, knocked, r, dt, payoff, spec,

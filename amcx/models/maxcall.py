@@ -223,9 +223,15 @@ def backward_induction_fused_maxcall(
             phi * (paths_tm[n_steps, :, 1] - K_), 0.0
         ).reshape(rows, LANES)
     elif payoff_kind == "spread":
-        # floating-strike Asian: φ·(S − A)
+        # floating-strike Asian / exchange: φ·(S − A)
         cf0 = jnp.maximum(
             phi * (paths_tm[n_steps, :, 0] - paths_tm[n_steps, :, 1]), 0.0
+        ).reshape(rows, LANES)
+    elif payoff_kind == "spreadk":
+        # struck two-asset spread: φ·(S1 − S2 − K)
+        cf0 = jnp.maximum(
+            phi * (paths_tm[n_steps, :, 0] - paths_tm[n_steps, :, 1] - K_),
+            0.0
         ).reshape(rows, LANES)
     elif payoff_kind == "basket":
         w_vec = (jnp.full((n_assets,), 1.0 / n_assets, dtype) if weights

@@ -112,6 +112,13 @@ def _payoff_for(planes, K, payoff_kind, phi, weights=None):
         return jnp.maximum(phi * (planes[1] - K), 0.0)
     if payoff_kind == "spread":
         return jnp.maximum(phi * (planes[0] - planes[1]), 0.0)
+    if payoff_kind == "spreadk":
+        # struck spread φ·(S1 − S2 − K); a SEPARATE static kind so the
+        # K = 0 products (floating-strike Asian, Margrabe exchange) keep
+        # their bit-exact compiled payoff (an explicit "− K" with a traced
+        # K = 0 changes fusion/rounding enough to move in-sample exercise
+        # boundaries — measured 0.024 on the exchange engines-agree gate)
+        return jnp.maximum(phi * (planes[0] - planes[1] - K), 0.0)
     if payoff_kind == "basket":
         w = weights or (1.0 / len(planes),) * len(planes)
         acc = planes[0] * float(w[0])

