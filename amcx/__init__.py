@@ -63,7 +63,7 @@ from .dynamics import (HestonParams, simulate_heston, simulate_local_vol,
                        simulate_bates, bates_price_cf, price_option_bates,
                        VGParams, simulate_vg, vg_price_cf, price_option_vg)
 from .deep import (DeepSpec, deep_backward_induction, deep_price_option,
-                   deep_price_max_call)
+                   deep_price_max_call, deep_dual_bound)
 from .qmc import simulate_gbm_qmc, simulate_gbm_multi_qmc, sobol_normals
 from .scenarios import ScenarioGrid, scenario_ladder
 from .calibrate import (SVISurface, fit_svi_surface, fit_svi_slice,
@@ -172,6 +172,7 @@ __all__ = [
     "deep_backward_induction",
     "deep_price_option",
     "deep_price_max_call",
+    "deep_dual_bound",
     "BookResult",
     "simulate_gbm_qmc",
     "simulate_gbm_multi_qmc",

@@ -48,6 +48,7 @@ __all__ = [
     "deep_backward_induction",
     "deep_price_option",
     "deep_price_max_call",
+    "deep_dual_bound",
 ]
 
 
@@ -358,3 +359,136 @@ def deep_price_max_call(
     price, stderr = _deep_replay_impl(
         X2, policy, r, dt, payoff, True, sim.antithetic, 1)
     return LSMCResult(price, stderr, None, None, None)
+
+
+@partial(jax.jit, static_argnames=("dspec", "option_type", "n_inner",
+                                   "antithetic"))
+def _deep_dual_impl(key, paths_tm, policy, K, r, q, sigma, dt, lower_price,
+                    dspec, option_type, n_inner, antithetic):
+    """Nested Andersen-Broadie dual driven by the FROZEN deep policy.
+
+    Same martingale construction and noise-telescoping as
+    `amcx.dual._dual_nested_impl` (the realized sub-sim estimate at t+1 is
+    reused as the next conditional-expectation term so inner noise cancels
+    across increments), with the polynomial rule replaced by the stored
+    per-step network: exercise iff h > max(mu_y + sd_y*f((S-mu_x)/sd_x), 0).
+    Univariate GBM dynamics for the inner transitions."""
+    n_steps = paths_tm.shape[0] - 1
+    n_paths = paths_tm.shape[1]
+    dtype = paths_tm.dtype
+    r = jnp.asarray(r, dtype)
+    dt = jnp.asarray(dt, dtype)
+    drift = (r - q - 0.5 * sigma * sigma) * dt
+    vol = sigma * jnp.sqrt(dt)
+    phi = 1.0 if option_type == "call" else -1.0
+
+    def pol_at(s):
+        idx = jnp.clip(s, 0, n_steps - 1).astype(jnp.int32)
+        return jax.tree.map(lambda a: a[idx], policy)
+
+    def rule_exercise(S, t_idx):
+        h = jnp.maximum(phi * (S - K), 0.0)
+        params_t, mu_x, sd_x, mu_y, sd_y = pol_at(t_idx)
+        x_std = (S[:, None] - mu_x[None, :]) / sd_x[None, :] \
+            if S.ndim == 1 else (S[..., None] - mu_x) / sd_x
+        cont = jnp.maximum(mu_y + sd_y * _mlp_apply(
+            params_t, x_std.reshape(-1, mu_x.shape[0])), 0.0)
+        cont = cont.reshape(S.shape)
+        ex = (h > 0.0) & (h > cont)
+        return jnp.where(t_idx >= n_steps, h > 0.0, ex), h
+
+    def inner_rule_value(S_start, t1, key_t):
+        J = n_inner
+        z0 = jax.random.normal(key_t, (n_steps, J // 2, n_paths), dtype)
+        z = jnp.concatenate([z0, -z0], axis=1)
+
+        def istep(carry, xs):
+            S, alive, val = carry
+            z_s, s = xs
+            run = s >= t1
+            S = jnp.where(run, S * jnp.exp(drift + vol * z_s), S)
+            e, h = rule_exercise(S, s)
+            stop = alive & e & run
+            val = jnp.where(stop, jnp.exp(-r * dt * (s - t1)) * h, val)
+            alive = alive & ~stop
+            return (S, alive, val), None
+
+        S0 = jnp.broadcast_to(S_start[None, :], (J, n_paths))
+        ss = jnp.arange(1, n_steps + 1, dtype=dtype)
+        (S, alive, val), _ = lax.scan(
+            istep,
+            (S0, jnp.ones((J, n_paths), bool), jnp.zeros((J, n_paths), dtype)),
+            (z, ss))
+        return jnp.mean(val, axis=0)
+
+    keys = jax.random.split(key, n_steps + 1)
+    ts = jnp.arange(n_steps, dtype=dtype)
+
+    def step(carry, xs):
+        M, rmax, c_prev = carry
+        S_t1, t, key_t = xs
+        t1 = t + 1.0
+        disc1 = jnp.exp(-r * dt * t1)
+        e1, h1 = rule_exercise(S_t1, t1)
+        c_next = jnp.where(
+            t1 < n_steps,
+            inner_rule_value(S_t1, t1 + 1.0, key_t),
+            jnp.zeros((n_paths,), dtype),
+        )
+        realized = jnp.where(e1, h1, jnp.exp(-r * dt) * c_next)
+        M = M + disc1 * (realized - c_prev)
+        rmax = jnp.maximum(rmax, disc1 * h1 - M)
+        return (M, rmax, c_next), None
+
+    M0 = jnp.zeros((n_paths,), dtype)
+    r0 = jnp.maximum(phi * (paths_tm[0] - K), 0.0)
+    c0 = inner_rule_value(paths_tm[0], 1.0, keys[n_steps])
+    (M, rmax, _), _ = lax.scan(step, (M0, r0, c0),
+                               (paths_tm[1:], ts, keys[:n_steps]))
+    upper = jnp.mean(rmax)
+    stderr = jnp.std(rmax) / jnp.sqrt(float(n_paths))
+    return upper, stderr, upper - lower_price
+
+
+def deep_dual_bound(
+    key,
+    market: MarketParams,
+    product: ProductSpec,
+    sim: SimConfig = SimConfig(),
+    dspec: DeepSpec = DeepSpec(),
+    n_outer: int = 2_048,
+    n_inner: int = 64,
+):
+    """Certified bracket from the deep engine: (OOS lower, AB dual upper).
+
+    Fits the network policy in-sample, replays it frozen on independent
+    paths for the lower bound, then runs the nested Andersen-Broadie dual
+    on a third key-disjoint outer path set with the SAME frozen policy —
+    upper/lower bracket the true price up to MC error on both sides
+    (`amcx.policy.valuation_interval` contract, network instead of
+    polynomial). Returns ``(lower_result, DualResult)``.
+    """
+    from .dual import DualResult
+    from .paths import simulate_gbm
+
+    if product.has_barrier or product.option_type not in ("put", "call"):
+        raise ValueError("deep dual supports vanilla products only")
+    k_fit, k_net, k_replay, k_outer, k_dual = jax.random.split(key, 5)
+    S = simulate_gbm(k_fit, market, product.T, sim)
+    payoff = lambda x: intrinsic_value(x[:, 0], product.K,
+                                       product.option_type)
+    dt = product.T / sim.n_steps
+    _, _, policy = _deep_backward_impl(
+        S[:, :, None], market.r, dt, payoff, dspec, k_net, True,
+        sim.antithetic, 0, collect_policy=True)
+    S2 = simulate_gbm(k_replay, market, product.T, sim)
+    lo_price, lo_stderr = _deep_replay_impl(
+        S2[:, :, None], policy, market.r, dt, payoff, True,
+        sim.antithetic, 0)
+    sim_outer = dataclasses.replace(sim, n_paths=n_outer, antithetic=False)
+    S3 = simulate_gbm(k_outer, market, product.T, sim_outer)
+    upper, u_stderr, gap = _deep_dual_impl(
+        k_dual, S3, policy, product.K, market.r, market.q, market.sigma,
+        dt, lo_price, dspec, product.option_type, n_inner, False)
+    lower = LSMCResult(lo_price, lo_stderr, None, None, None)
+    return lower, DualResult(upper, u_stderr, gap)

@@ -74,3 +74,19 @@ def test_deep_spec_validation():
         DeepSpec(depth=0)
     with pytest.raises(ValueError):
         DeepSpec(n_inner=0)
+
+
+def test_deep_dual_bound_brackets_lattice():
+    """OOS lower + NN-policy nested AB upper must bracket CRR-2000 (up to
+    MC error both sides). J=32 inner paths keeps the gap loose but the
+    bracket property is what certifies the deep policy."""
+    from amcx import deep_dual_bound
+
+    sim = SimConfig(n_paths=16_384, n_steps=25, antithetic=True)
+    lo, du = deep_dual_bound(jax.random.key(0), M, PUT, sim,
+                             n_outer=1_024, n_inner=32)
+    p_lo, se_lo = float(lo.price), float(lo.stderr)
+    p_up, se_up = float(du.upper), float(du.stderr)
+    assert p_lo - 3.0 * se_lo < CRR < p_up + 3.0 * se_up, (p_lo, p_up)
+    assert p_up > p_lo                     # a real two-sided interval
+    assert float(du.gap) < 0.5             # and not a vacuous one
