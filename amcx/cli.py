@@ -947,6 +947,45 @@ def cmd_deep(args):
     return payload
 
 
+def cmd_spread(args):
+    """Two-asset spread/exchange option vs its closed-form oracle."""
+    from .models.basket import (kirk_price, margrabe_price,
+                                price_spread_option)
+    from .types import RegressionSpec, SimConfig
+
+    spec = RegressionSpec(basis=args.basis, degree=args.degree,
+                          regress_on=args.regress_on)
+    sim = SimConfig(n_paths=args.paths, n_steps=args.steps,
+                    antithetic=args.antithetic)
+    res = price_spread_option(
+        jax.random.key(args.seed), args.s1, args.s2, args.k, args.t,
+        args.r, args.sigma1, args.sigma2, rho=args.rho, q1=args.q1,
+        q2=args.q2, exercise=args.exercise, spec=spec, sim=sim,
+        engine=args.engine)
+    if args.k == 0.0:
+        oracle = margrabe_price(args.s1, args.s2, args.t, args.sigma1,
+                                args.sigma2, rho=args.rho, q1=args.q1,
+                                q2=args.q2)
+        oracle_name = "Margrabe (exact)"
+    else:
+        oracle = kirk_price(args.s1, args.s2, args.k, args.t, args.r,
+                            args.sigma1, args.sigma2, rho=args.rho,
+                            q1=args.q1, q2=args.q2)
+        oracle_name = "Kirk approximation"
+    payload = {
+        "price": round(float(res.price), 4),
+        "stderr": round(float(res.stderr), 4),
+        "oracle_european": round(oracle, 4),
+        "oracle_name": oracle_name,
+    }
+    if not args.json:
+        print(f"Spread {args.exercise.title()} max(S1-S2-{args.k:g}, 0): "
+              f"{payload['price']:.4f} \u00b1 {payload['stderr']:.4f}  "
+              f"({oracle_name} European: {payload['oracle_european']:.4f})")
+    _emit(payload, args.json)
+    return payload
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="amcx",
                                 description="TPU-native least-squares Monte Carlo engine")
@@ -1299,6 +1338,33 @@ def build_parser():
     pdl.add_argument("--seed", type=int, default=42)
     pdl.add_argument("--json", action="store_true")
     pdl.set_defaults(fn=cmd_deep)
+
+    psp = sub.add_parser(
+        "spread", help="two-asset spread/exchange option (Margrabe/Kirk)")
+    psp.add_argument("--s1", type=float, default=100.0)
+    psp.add_argument("--s2", type=float, default=95.0)
+    psp.add_argument("--k", type=float, default=0.0,
+                     help="spread strike; 0 = exchange (exact Margrabe)")
+    psp.add_argument("--t", type=float, default=1.0)
+    psp.add_argument("--r", type=float, default=0.05)
+    psp.add_argument("--q1", type=float, default=0.0)
+    psp.add_argument("--q2", type=float, default=0.0)
+    psp.add_argument("--sigma1", type=float, default=0.25)
+    psp.add_argument("--sigma2", type=float, default=0.2)
+    psp.add_argument("--rho", type=float, default=0.3)
+    psp.add_argument("--exercise", choices=["european", "american"],
+                     default="american")
+    psp.add_argument("--basis", default="chebyshev")
+    psp.add_argument("--degree", type=int, default=4)
+    psp.add_argument("--regress-on", choices=["all", "itm"], default="itm")
+    psp.add_argument("--paths", type=int, default=65_536)
+    psp.add_argument("--steps", type=int, default=50)
+    psp.add_argument("--antithetic", action="store_true")
+    psp.add_argument("--engine", choices=["xla", "fused", "mega"],
+                     default="xla")
+    psp.add_argument("--seed", type=int, default=42)
+    psp.add_argument("--json", action="store_true")
+    psp.set_defaults(fn=cmd_spread)
 
     pr = sub.add_parser("preset", help="run a named BASELINE config")
     pr.add_argument("name")

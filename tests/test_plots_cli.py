@@ -282,3 +282,13 @@ def test_cli_deep_json(capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["mode"] == "in-sample"
     assert abs(out["price"] - out["crr2000"]) < 0.3
+
+
+def test_cli_spread_json(capsys):
+    from amcx.cli import main
+
+    main(["spread", "--paths", "8192", "--steps", "10", "--antithetic",
+          "--json"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["oracle_name"] == "Margrabe (exact)"
+    assert abs(out["price"] - out["oracle_european"]) < 4 * out["stderr"] + 0.1
