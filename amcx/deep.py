@@ -102,6 +102,27 @@ def _standardize(a, axis=0, eps=1e-6):
     return (a - mu) / sd, mu, sd
 
 
+@dataclasses.dataclass(frozen=True)
+class _VanillaPayoff:
+    """Value-hashable payoff for the jit static-arg cache: fresh lambdas
+    hash by identity and force a recompile of the whole Adam scan on every
+    call; a frozen dataclass with equal (K, option_type) hits the cache."""
+
+    K: float
+    option_type: str
+
+    def __call__(self, x):
+        return intrinsic_value(x[:, 0], self.K, self.option_type)
+
+
+@dataclasses.dataclass(frozen=True)
+class _MaxCallPayoff:
+    K: float
+
+    def __call__(self, s):
+        return max_call_payoff(s, self.K)
+
+
 @partial(jax.jit, static_argnames=("payoff", "dspec", "american",
                                    "antithetic", "exercise_from_step",
                                    "collect_policy"))
@@ -303,8 +324,7 @@ def deep_price_option(
 
     k_paths, k_net, k_replay = jax.random.split(key, 3)
     S = simulate_gbm(k_paths, market, product.T, sim)
-    payoff_s = lambda s: intrinsic_value(s, product.K, product.option_type)
-    payoff = lambda x: payoff_s(x[:, 0])
+    payoff = _VanillaPayoff(float(product.K), product.option_type)
     dt = product.T / sim.n_steps
     if not out_of_sample:
         price, stderr, _ = _deep_backward_impl(
@@ -346,7 +366,7 @@ def deep_price_max_call(
 
     k_paths, k_net, k_replay = jax.random.split(key, 3)
     X = simulate_gbm_multi(k_paths, S0, r, sigma, T, sim, q=q, corr=corr)
-    payoff = lambda s: max_call_payoff(s, K)
+    payoff = _MaxCallPayoff(float(K))
     dt = T / sim.n_steps
     if not out_of_sample:
         price, stderr, _ = _deep_backward_impl(
@@ -361,10 +381,9 @@ def deep_price_max_call(
     return LSMCResult(price, stderr, None, None, None)
 
 
-@partial(jax.jit, static_argnames=("dspec", "option_type", "n_inner",
-                                   "antithetic"))
+@partial(jax.jit, static_argnames=("option_type", "n_inner", "antithetic"))
 def _deep_dual_impl(key, paths_tm, policy, K, r, q, sigma, dt, lower_price,
-                    dspec, option_type, n_inner, antithetic):
+                    option_type, n_inner, antithetic):
     """Nested Andersen-Broadie dual driven by the FROZEN deep policy.
 
     Same martingale construction and noise-telescoping as
@@ -473,10 +492,11 @@ def deep_dual_bound(
 
     if product.has_barrier or product.option_type not in ("put", "call"):
         raise ValueError("deep dual supports vanilla products only")
+    if n_inner < 2 or n_inner % 2:
+        raise ValueError("n_inner must be even (antithetic inner pairs)")
     k_fit, k_net, k_replay, k_outer, k_dual = jax.random.split(key, 5)
     S = simulate_gbm(k_fit, market, product.T, sim)
-    payoff = lambda x: intrinsic_value(x[:, 0], product.K,
-                                       product.option_type)
+    payoff = _VanillaPayoff(float(product.K), product.option_type)
     dt = product.T / sim.n_steps
     _, _, policy = _deep_backward_impl(
         S[:, :, None], market.r, dt, payoff, dspec, k_net, True,
@@ -489,6 +509,6 @@ def deep_dual_bound(
     S3 = simulate_gbm(k_outer, market, product.T, sim_outer)
     upper, u_stderr, gap = _deep_dual_impl(
         k_dual, S3, policy, product.K, market.r, market.q, market.sigma,
-        dt, lo_price, dspec, product.option_type, n_inner, False)
+        dt, lo_price, product.option_type, n_inner, False)
     lower = LSMCResult(lo_price, lo_stderr, None, None, None)
     return lower, DualResult(upper, u_stderr, gap)

@@ -212,6 +212,22 @@ def price_option_local_vol(
     )
 
 
+def _heston_trap_cd(u, j, kappa, theta, xi, rho, T):
+    """Albrecher trap-form (C, D) exponents of the Heston log-spot CF under
+    P_j — the delicate complex-branch block shared by the Heston and Bates
+    oracles (one copy, so a branch-cut fix lands in both)."""
+    a = kappa * theta
+    b = kappa - rho * xi if j == 1 else kappa
+    up = 0.5 if j == 1 else -0.5
+    d = np.sqrt((rho * xi * 1j * u - b) ** 2 - xi**2 * (2 * up * 1j * u - u**2))
+    g = (b - rho * xi * 1j * u - d) / (b - rho * xi * 1j * u + d)
+    e = np.exp(-d * T)
+    C = (a / xi**2) * ((b - rho * xi * 1j * u - d) * T
+                       - 2.0 * np.log((1 - g * e) / (1 - g)))
+    D = ((b - rho * xi * 1j * u - d) / xi**2) * (1 - e) / (1 - g * e)
+    return C, D
+
+
 def heston_price_cf(hp: HestonParams, K, T, option_type: str = "call",
                     n_quad: int = 192, u_max: float = 200.0) -> float:
     """Semi-analytic Heston European price (characteristic-function
@@ -228,15 +244,7 @@ def heston_price_cf(hp: HestonParams, K, T, option_type: str = "call",
 
     def phi(u, j):
         # characteristic function of ln S_T under P_j (trap form)
-        a = kappa * theta
-        b = kappa - rho * xi if j == 1 else kappa
-        up = 0.5 if j == 1 else -0.5
-        d = np.sqrt((rho * xi * 1j * u - b) ** 2 - xi**2 * (2 * up * 1j * u - u**2))
-        g = (b - rho * xi * 1j * u - d) / (b - rho * xi * 1j * u + d)
-        e = np.exp(-d * T)
-        C = (a / xi**2) * ((b - rho * xi * 1j * u - d) * T
-                           - 2.0 * np.log((1 - g * e) / (1 - g)))
-        D = ((b - rho * xi * 1j * u - d) / xi**2) * (1 - e) / (1 - g * e)
+        C, D = _heston_trap_cd(u, j, kappa, theta, xi, rho, T)
         return np.exp(C + D * v0 + 1j * u * x)
 
     nodes, weights = np.polynomial.legendre.leggauss(n_quad)
@@ -508,15 +516,7 @@ def bates_price_cf(hp: HestonParams, jumps: MertonJumps, K, T,
     x = np.log(S0 / K) + (r - q) * T
 
     def phi(u, j):
-        a = kappa * theta
-        b = kappa - rho * xi if j == 1 else kappa
-        up = 0.5 if j == 1 else -0.5
-        d = np.sqrt((rho * xi * 1j * u - b) ** 2 - xi**2 * (2 * up * 1j * u - u**2))
-        g = (b - rho * xi * 1j * u - d) / (b - rho * xi * 1j * u + d)
-        e = np.exp(-d * T)
-        C = (a / xi**2) * ((b - rho * xi * 1j * u - d) * T
-                           - 2.0 * np.log((1 - g * e) / (1 - g)))
-        D = ((b - rho * xi * 1j * u - d) / xi**2) * (1 - e) / (1 - g * e)
+        C, D = _heston_trap_cd(u, j, kappa, theta, xi, rho, T)
         aa = 1j * u + 1.0 if j == 1 else 1j * u
         cj = jkap if j == 1 else 0.0
         jump = lam * T * (np.exp(aa * mu_j + 0.5 * aa * aa * sigma_j**2)
@@ -601,6 +601,39 @@ def price_option_bates(
     )
 
 
+def _price_univariate_markov(S, market, product, spec, sim,
+                             return_surface, engine, model_name):
+    """Shared engine tail for spot-Markov dynamics (Merton, VG, ...): the
+    simulated paths feed either the XLA backward induction or the
+    univariate one-kernel mega engine with empirical per-step
+    standardization — the reference's one-engine-any-dynamics contract
+    (`american_monte_carlo.py:139-167`) in one place."""
+    if product.has_barrier:
+        raise ValueError(f"{model_name} barrier pricing is not implemented")
+    dt = product.T / sim.n_steps
+    if engine == "mega":
+        if return_surface:
+            raise ValueError("engine='mega' emits no continuation surface")
+        from .ops.lsmc_megakernel import lsmc_price_megakernel
+
+        phi_sign = 1.0 if product.option_type == "call" else -1.0
+        price, stderr = lsmc_price_megakernel(
+            S, product.K, market.r, dt, phi_sign,
+            basis=spec.basis, degree=spec.degree, rcond=spec.rcond,
+            american=product.is_american,
+            itm_weights=spec.regress_on == "itm", return_stats=True,
+            antithetic=sim.antithetic)
+        return LSMCResult(price, stderr, None, None, None)
+    if engine != "xla":
+        raise ValueError(f"engine must be 'xla' or 'mega', got {engine!r}")
+    knocked = jnp.ones(S.shape, dtype=bool)
+    payoff = lambda st: intrinsic_value(st, product.K, product.option_type)
+    return backward_induction(
+        S, knocked, market.r, dt, payoff, spec,
+        american=product.is_american, return_surface=return_surface,
+    )
+
+
 def price_option_merton(
     key,
     market,
@@ -619,31 +652,9 @@ def price_option_merton(
     ``engine="mega"`` routes the simulated paths through the univariate
     one-kernel engine with empirical per-step standardization, exactly as
     the local-vol route above."""
-    if product.has_barrier:
-        raise ValueError("Merton barrier pricing is not implemented")
     S = simulate_merton(key, market, jumps, product.T, sim)
-    dt = product.T / sim.n_steps
-    if engine == "mega":
-        if return_surface:
-            raise ValueError("engine='mega' emits no continuation surface")
-        from .ops.lsmc_megakernel import lsmc_price_megakernel
-
-        phi = 1.0 if product.option_type == "call" else -1.0
-        price, stderr = lsmc_price_megakernel(
-            S, product.K, market.r, dt, phi,
-            basis=spec.basis, degree=spec.degree, rcond=spec.rcond,
-            american=product.is_american,
-            itm_weights=spec.regress_on == "itm", return_stats=True,
-            antithetic=sim.antithetic)
-        return LSMCResult(price, stderr, None, None, None)
-    if engine != "xla":
-        raise ValueError(f"engine must be 'xla' or 'mega', got {engine!r}")
-    knocked = jnp.ones(S.shape, dtype=bool)
-    payoff = lambda st: intrinsic_value(st, product.K, product.option_type)
-    return backward_induction(
-        S, knocked, market.r, dt, payoff, spec,
-        american=product.is_american, return_surface=return_surface,
-    )
+    return _price_univariate_markov(S, market, product, spec, sim,
+                                    return_surface, engine, "Merton")
 
 
 # ---------------------------------------------------------------------------
@@ -773,28 +784,7 @@ def price_option_vg(
     ``engine="mega"`` routes the simulated paths through the univariate
     one-kernel engine with empirical per-step standardization, exactly as
     the Merton route above."""
-    if product.has_barrier:
-        raise ValueError("VG barrier pricing is not implemented")
     S = simulate_vg(key, market, vg, product.T, sim)
-    dt = product.T / sim.n_steps
-    if engine == "mega":
-        if return_surface:
-            raise ValueError("engine='mega' emits no continuation surface")
-        from .ops.lsmc_megakernel import lsmc_price_megakernel
-
-        phi_sign = 1.0 if product.option_type == "call" else -1.0
-        price, stderr = lsmc_price_megakernel(
-            S, product.K, market.r, dt, phi_sign,
-            basis=spec.basis, degree=spec.degree, rcond=spec.rcond,
-            american=product.is_american,
-            itm_weights=spec.regress_on == "itm", return_stats=True,
-            antithetic=sim.antithetic)
-        return LSMCResult(price, stderr, None, None, None)
-    if engine != "xla":
-        raise ValueError(f"engine must be 'xla' or 'mega', got {engine!r}")
-    knocked = jnp.ones(S.shape, dtype=bool)
-    payoff = lambda st: intrinsic_value(st, product.K, product.option_type)
-    return backward_induction(
-        S, knocked, market.r, dt, payoff, spec,
-        american=product.is_american, return_surface=return_surface,
-    )
+    return _price_univariate_markov(S, market, product, spec, sim,
+                                    return_surface, engine,
+                                    "Variance Gamma")

@@ -91,6 +91,15 @@ class PDEResult:
     values: jax.Array  # time-0 value plane V(x) (n_space,)
 
 
+def _shift(v, s, fill):
+    """out[..., i] = v[..., i - s] (s may be negative), `fill` off the end."""
+    pad = jnp.full(v.shape[:-1] + (abs(s),), jnp.asarray(fill, v.dtype),
+                   v.dtype)
+    if s > 0:
+        return jnp.concatenate([pad, v[..., :-s]], axis=-1)
+    return jnp.concatenate([v[..., -s:], pad], axis=-1)
+
+
 def tridiag_solve(a, b, c, d):
     """Solve tridiagonal systems by parallel cyclic reduction.
 
@@ -110,13 +119,7 @@ def tridiag_solve(a, b, c, d):
     one = jnp.ones((), d.dtype)
     zero = jnp.zeros((), d.dtype)
 
-    def shift(v, s, fill):
-        # out[..., i] = v[..., i - s] (s may be negative), `fill` off the end.
-        pad = jnp.full(v.shape[:-1] + (abs(s),), fill, v.dtype)
-        if s > 0:
-            return jnp.concatenate([pad, v[..., :-s]], axis=-1)
-        return jnp.concatenate([v[..., -s:], pad], axis=-1)
-
+    shift = _shift
     # Boundary hygiene: the first sub- and last super-diagonal entries are
     # structurally absent.
     a = a.at[..., 0].set(zero)
@@ -222,12 +225,7 @@ def _pde_core(
     inv_dx2 = 1.0 / (dx * dx)
     inv_2dx = 0.5 / dx
 
-    def shift(v, s, fill):
-        pad = jnp.full(v.shape[:-1] + (abs(s),), jnp.asarray(fill, v.dtype), v.dtype)
-        if s > 0:
-            return jnp.concatenate([pad, v[..., :-s]], axis=-1)
-        return jnp.concatenate([v[..., -s:], pad], axis=-1)
-
+    shift = _shift
     def body(carry, xs):
         v, lam = carry
         r_m, q_m, sig_m, th, bcl, bch, allow = xs
@@ -428,7 +426,6 @@ def pde_greeks(market, product, grid: PDEGrid = PDEGrid(), *, dtype=jnp.float32)
     (its endpoints only shift the O(dx^2) truncation error). Returns a dict
     with price, delta, gamma, theta, vega, rho.
     """
-    res = pde_price(market, product, grid, dtype=dtype)
     n_steps = grid.n_steps
     x, i0 = _prep(market, product, grid, dtype=dtype)
     q_arr = _as_step_array(market.q, n_steps, dtype)
@@ -436,7 +433,7 @@ def pde_greeks(market, product, grid: PDEGrid = PDEGrid(), *, dtype=jnp.float32)
     american = product.is_american
 
     def price_of(sig, r):
-        v0, _ = _pde_core(
+        v0, v_dt = _pde_core(
             x,
             product.K,
             product.T,
@@ -450,11 +447,15 @@ def pde_greeks(market, product, grid: PDEGrid = PDEGrid(), *, dtype=jnp.float32)
             rannacher=grid.rannacher,
             theta_w=grid.theta,
         )
-        return v0[i0]
+        return v0[i0], (v0, v_dt)
 
-    vega, rho = jax.grad(price_of, argnums=(0, 1))(
-        jnp.asarray(market.sigma, dtype), jnp.asarray(market.r, dtype)
-    )
+    # ONE forward solve: value_and_grad with the planes as aux feeds the
+    # grid Greeks from the same pass the autodiff differentiates.
+    (_, (v0, v_dt)), (vega, rho) = jax.value_and_grad(
+        price_of, argnums=(0, 1), has_aux=True
+    )(jnp.asarray(market.sigma, dtype), jnp.asarray(market.r, dtype))
+    dt = jnp.asarray(product.T, dtype) / n_steps
+    res = _result_from_planes(v0, v_dt, x, i0, float(market.S0), dt)
     return {
         "price": res.price,
         "delta": res.delta,
