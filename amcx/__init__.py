@@ -61,7 +61,9 @@ from .dynamics import (HestonParams, simulate_heston, simulate_local_vol,
                        price_option_local_vol, MertonJumps, simulate_merton,
                        merton_price, price_option_merton,
                        simulate_bates, bates_price_cf, price_option_bates,
-                       VGParams, simulate_vg, vg_price_cf, price_option_vg)
+                       VGParams, simulate_vg, vg_price_cf, price_option_vg,
+                       NIGParams, simulate_nig, nig_price_cf,
+                       price_option_nig)
 from .deep import (DeepSpec, deep_backward_induction, deep_price_option,
                    deep_price_max_call, deep_dual_bound)
 from .qmc import simulate_gbm_qmc, simulate_gbm_multi_qmc, sobol_normals
@@ -168,6 +170,10 @@ __all__ = [
     "simulate_vg",
     "vg_price_cf",
     "price_option_vg",
+    "NIGParams",
+    "simulate_nig",
+    "nig_price_cf",
+    "price_option_nig",
     "DeepSpec",
     "deep_backward_induction",
     "deep_price_option",

@@ -837,9 +837,9 @@ def cmd_bench(args):
 
 def cmd_jump(args):
     """Vanilla option under Merton jump diffusion or Variance Gamma."""
-    from .dynamics import (MertonJumps, VGParams, merton_price,
-                           price_option_merton, price_option_vg,
-                           vg_price_cf)
+    from .dynamics import (MertonJumps, NIGParams, VGParams, merton_price,
+                           nig_price_cf, price_option_merton,
+                           price_option_nig, price_option_vg, vg_price_cf)
     from .types import MarketParams, ProductSpec, RegressionSpec, SimConfig
 
     market = MarketParams(args.s0, args.r, args.sigma, args.q)
@@ -857,6 +857,13 @@ def cmd_jump(args):
                                   args.sigma, args.lam, args.mu_j,
                                   args.sigma_j, args.q, args.option_type))
         label = "Merton"
+    elif args.model == "nig":
+        nigp = NIGParams(alpha=args.alpha, beta=args.beta, delta=args.delta)
+        res = price_option_nig(key, market, nigp, product, spec, sim,
+                               engine=args.engine)
+        euro = nig_price_cf(args.s0, args.k, args.t, args.r, nigp, args.q,
+                            args.option_type)
+        label = "NIG"
     else:
         vg = VGParams(theta=args.theta, sigma=args.sigma, nu=args.nu)
         res = price_option_vg(key, market, vg, product, spec, sim,
@@ -1267,7 +1274,8 @@ def build_parser():
 
     pj = sub.add_parser(
         "jump", help="vanilla option under jump dynamics (Merton or VG)")
-    pj.add_argument("--model", choices=["merton", "vg"], default="merton")
+    pj.add_argument("--model", choices=["merton", "vg", "nig"],
+                    default="merton")
     pj.add_argument("--s0", type=float, default=100.0)
     pj.add_argument("--k", type=float, default=100.0)
     pj.add_argument("--t", type=float, default=1.0)
@@ -1284,6 +1292,10 @@ def build_parser():
     pj.add_argument("--theta", type=float, default=-0.14, help="VG drift")
     pj.add_argument("--nu", type=float, default=0.2,
                     help="VG gamma variance rate")
+    pj.add_argument("--alpha", type=float, default=8.0, help="NIG steepness")
+    pj.add_argument("--beta", type=float, default=-3.0,
+                    help="NIG asymmetry")
+    pj.add_argument("--delta", type=float, default=0.3, help="NIG scale")
     pj.add_argument("--option-type", choices=["put", "call"], default="put")
     pj.add_argument("--exercise", choices=["european", "american"],
                     default="american")

@@ -731,6 +731,27 @@ def simulate_vg(key, market, vg: VGParams, T, sim: SimConfig):
                         vg.theta, vg.sigma, vg.nu, T, sim)
 
 
+def _gil_pelaez_price(phi, S0, K, T, r, q, option_type,
+                      n_quad, u_max) -> float:
+    """Generic European price from a log-spot CF (host f64): Gil-Pelaez
+    inversion with the share-measure shift ``P1 = phi(u-i)/phi(-i)`` —
+    works for ANY Levy model whose CF is known (VG, NIG, ...). ``phi(-i)``
+    doubles as a martingale check: it must equal ``S0 e^{(r-q)T}``."""
+    lnK = np.log(K)
+    nodes, weights = np.polynomial.legendre.leggauss(n_quad)
+    u = 0.5 * u_max * (nodes + 1.0)
+    w = 0.5 * u_max * weights
+    phi_mi = phi(-1j).real  # = E[S_T] = S0 e^{(r-q)T}
+    p1 = 0.5 + np.sum(w * np.real(
+        np.exp(-1j * u * lnK) * phi(u - 1j) / (1j * u * phi_mi))) / np.pi
+    p2 = 0.5 + np.sum(w * np.real(
+        np.exp(-1j * u * lnK) * phi(u) / (1j * u))) / np.pi
+    call = S0 * np.exp(-q * T) * p1 - K * np.exp(-r * T) * p2
+    if option_type == "call":
+        return float(call)
+    return float(call - S0 * np.exp(-q * T) + K * np.exp(-r * T))
+
+
 def vg_price_cf(S0, K, T, r, vg: VGParams, q=0.0, option_type: str = "call",
                 n_quad: int = 256, u_max: float = 400.0) -> float:
     """Variance Gamma European oracle by Gil-Pelaez CF inversion (host f64).
@@ -751,19 +772,8 @@ def vg_price_cf(S0, K, T, r, vg: VGParams, q=0.0, option_type: str = "call",
         base = 1.0 - 1j * u * theta * nu + 0.5 * sigma**2 * nu * u * u
         return np.exp(1j * u * x0) * base ** (-T / nu)
 
-    lnK = np.log(K)
-    nodes, weights = np.polynomial.legendre.leggauss(n_quad)
-    u = 0.5 * u_max * (nodes + 1.0)
-    w = 0.5 * u_max * weights
-    phi_mi = phi(-1j).real  # = E[S_T] = S0 e^{(r-q)T} (martingale identity)
-    p1 = 0.5 + np.sum(w * np.real(
-        np.exp(-1j * u * lnK) * phi(u - 1j) / (1j * u * phi_mi))) / np.pi
-    p2 = 0.5 + np.sum(w * np.real(
-        np.exp(-1j * u * lnK) * phi(u) / (1j * u))) / np.pi
-    call = S0 * np.exp(-q * T) * p1 - K * np.exp(-r * T) * p2
-    if option_type == "call":
-        return float(call)
-    return float(call - S0 * np.exp(-q * T) + K * np.exp(-r * T))
+    return _gil_pelaez_price(phi, S0, K, T, r, q, option_type, n_quad,
+                             u_max)
 
 
 def price_option_vg(
@@ -788,3 +798,139 @@ def price_option_vg(
     return _price_univariate_markov(S, market, product, spec, sim,
                                     return_surface, engine,
                                     "Variance Gamma")
+
+
+# ---------------------------------------------------------------------------
+# Normal Inverse Gaussian (Barndorff-Nielsen 1997): IG-subordinated Brownian
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class NIGParams:
+    """NIG log-price: ``X_t = beta*I_t + W(I_t)`` (plus risk-neutral drift)
+    with ``I`` an inverse-Gaussian subordinator; steepness ``alpha``,
+    asymmetry ``beta``, scale ``delta``. CF exponent per unit time:
+    ``delta*(gamma0 - sqrt(alpha^2 - (beta+iu)^2))``,
+    ``gamma0 = sqrt(alpha^2 - beta^2)``.
+
+    Completes the classic Levy trio with `MertonJumps` (finite activity)
+    and `VGParams` (infinite activity, finite variation) — NIG is infinite
+    activity, INFINITE variation. Feasibility: ``|beta| < alpha`` for the
+    process, ``|beta + 1| < alpha`` for the martingale compensation."""
+
+    alpha: float = 8.0
+    beta: float = -3.0
+    delta: float = 0.3
+
+    def __post_init__(self):
+        if self.alpha <= 0 or self.delta <= 0:
+            raise ValueError("alpha and delta must be positive")
+        if abs(self.beta) >= self.alpha:
+            raise ValueError("need |beta| < alpha")
+        if abs(self.beta + 1.0) >= self.alpha:
+            raise ValueError(
+                "need |beta + 1| < alpha for the risk-neutral compensation")
+
+    @property
+    def gamma0(self) -> float:
+        return float(np.sqrt(self.alpha**2 - self.beta**2))
+
+    @property
+    def omega(self) -> float:
+        # -psi(-i): E[e^{omega t + X_t}] = 1
+        return float(self.delta * (np.sqrt(self.alpha**2
+                                           - (self.beta + 1.0) ** 2)
+                                   - self.gamma0))
+
+
+def _sample_ig(key, mean, shape_lam, out_shape, dtype):
+    """Michael-Schucany-Haas exact IG(mean, shape) sampler, vectorized.
+
+    ``nu ~ N(0,1)``, ``y = nu^2``, root-select with the acceptance ratio
+    ``mean/(mean+x)`` — two uniforms-equivalent draws per sample, no
+    rejection loop (the select is exact, not accept-reject)."""
+    kn, ku = jax.random.split(key)
+    nu = jax.random.normal(kn, out_shape, dtype)
+    y = nu * nu
+    m, lam = mean, shape_lam
+    x = m + m * m * y / (2.0 * lam) - (m / (2.0 * lam)) * jnp.sqrt(
+        4.0 * m * lam * y + m * m * y * y)
+    u = jax.random.uniform(ku, out_shape, dtype)
+    return jnp.where(u <= m / (m + x), x, m * m / x)
+
+
+@partial(jax.jit, static_argnames=("sim",))
+def _simulate_nig(key, S0, r, q, alpha, beta, delta, T, sim):
+    dtype = sim.jnp_dtype
+    n_steps, n = sim.n_steps, sim.n_paths
+    dt = jnp.asarray(T, dtype) / n_steps
+    gamma0 = jnp.sqrt(alpha * alpha - beta * beta)
+    omega = delta * (jnp.sqrt(alpha * alpha - (beta + 1.0) ** 2) - gamma0)
+
+    ki, kz = jax.random.split(key)
+    cols = n // 2 if sim.antithetic else n
+    # Exact-in-distribution step: the IG subordinator increment
+    # I ~ IG(mean = delta*dt/gamma0, shape = (delta*dt)^2) is infinitely
+    # divisible and sampled from its true law (MSH transform); the NIG
+    # increment is Normal(beta*I, I) conditionally on I.
+    ig = _sample_ig(ki, delta * dt / gamma0, (delta * dt) ** 2,
+                    (n_steps, cols), dtype)
+    z = jax.random.normal(kz, (n_steps, cols), dtype)
+    jump = beta * ig + jnp.sqrt(ig) * z
+    if sim.antithetic:
+        # Mirror the gaussian; the IG TIME increments are shared across
+        # the pair (a subordinator has no antithetic mirror).
+        jump = jnp.concatenate([jump, beta * ig - jnp.sqrt(ig) * z], axis=1)
+    log_inc = (r - q + omega) * dt + jump
+    log_path = jnp.cumsum(log_inc, axis=0)
+    S0v = jnp.full((1, n), S0, dtype)
+    return jnp.concatenate([S0v, S0 * jnp.exp(log_path)], axis=0)
+
+
+def simulate_nig(key, market, nig: NIGParams, T, sim: SimConfig):
+    """NIG paths shaped ``(n_steps+1, n_paths)``; exact per-step sampling
+    (IG subordinator increment + conditional gaussian, both from their true
+    laws), risk-neutral ``omega`` compensation keeps the discounted spot a
+    martingale (asserted in tests/test_nig.py)."""
+    return _simulate_nig(key, market.S0, market.r, market.q,
+                         nig.alpha, nig.beta, nig.delta, T, sim)
+
+
+def nig_price_cf(S0, K, T, r, nig: NIGParams, q=0.0,
+                 option_type: str = "call",
+                 n_quad: int = 192, u_max: float = 200.0) -> float:
+    """NIG European oracle via the shared Gil-Pelaez inversion.
+
+    CF of ``ln S_T``: ``exp(iu x0 + delta T (gamma0 -
+    sqrt(alpha^2 - (beta+iu)^2)))`` with the compensated drift in ``x0``.
+    Exponential CF decay (~e^{-delta T u}) — the Heston-sized [0, 200]
+    panel suffices (unlike VG's polynomial tail)."""
+    alpha, beta, delta = nig.alpha, nig.beta, nig.delta
+    gamma0 = nig.gamma0
+    x0 = np.log(S0) + (r - q + nig.omega) * T
+
+    def phi(u):
+        u = np.asarray(u, dtype=np.complex128)
+        return np.exp(1j * u * x0 + delta * T * (
+            gamma0 - np.sqrt(alpha**2 - (beta + 1j * u) ** 2)))
+
+    return _gil_pelaez_price(phi, S0, K, T, r, q, option_type, n_quad,
+                             u_max)
+
+
+def price_option_nig(
+    key,
+    market,
+    nig: NIGParams,
+    product: ProductSpec,
+    spec: RegressionSpec = RegressionSpec(),
+    sim: SimConfig = SimConfig(),
+    return_surface: bool = False,
+    engine: str = "xla",
+) -> LSMCResult:
+    """American/European vanilla under NIG — spot stays Markov, so the
+    shared univariate engine tail applies (xla scan or the one-kernel
+    mega engine), same as Merton and VG."""
+    S = simulate_nig(key, market, nig, product.T, sim)
+    return _price_univariate_markov(S, market, product, spec, sim,
+                                    return_surface, engine, "NIG")

@@ -292,3 +292,12 @@ def test_cli_spread_json(capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["oracle_name"] == "Margrabe (exact)"
     assert abs(out["price"] - out["oracle_european"]) < 4 * out["stderr"] + 0.1
+
+
+def test_cli_jump_nig_json(capsys):
+    from amcx.cli import main
+
+    main(["jump", "--model", "nig", "--paths", "8192", "--steps", "10",
+          "--exercise", "european", "--json"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert abs(out["price"] - out["oracle_european"]) < 4 * out["stderr"] + 0.05

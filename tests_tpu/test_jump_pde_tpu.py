@@ -127,3 +127,27 @@ def test_pde_greeks_onchip():
         float(ref["vega"])) + 5e-3
     assert abs(float(g["rho"]) - float(ref["rho"])) < 0.01 * abs(
         float(ref["rho"])) + 5e-3
+
+
+def test_nig_mega_onchip():
+    """NIG on hardware: the MSH inverse-Gaussian sampler's statistics with
+    the real PRNG (martingale + CF agreement) and the one-kernel route."""
+    from amcx import NIGParams, nig_price_cf, price_option_nig
+
+    nig = NIGParams(alpha=8.0, beta=-3.0, delta=0.3)
+    m = MarketParams(100.0, 0.05, 0.2)
+    sim = SimConfig(n_paths=262_144, n_steps=50, antithetic=True)
+    prod_e = ProductSpec(K=100.0, T=1.0, option_type="put",
+                         exercise="european")
+    r_e = price_option_nig(jax.random.key(11), m, nig, prod_e,
+                           RegressionSpec(degree=4), sim)
+    cf = nig_price_cf(100.0, 100.0, 1.0, 0.05, nig, option_type="put")
+    assert abs(float(r_e.price) - cf) < 4.0 * float(r_e.stderr), (
+        float(r_e.price), cf)
+    prod_a = ProductSpec(K=100.0, T=1.0, option_type="put",
+                         exercise="american")
+    r_x = price_option_nig(jax.random.key(12), m, nig, prod_a,
+                           RegressionSpec(degree=4), sim)
+    r_m = price_option_nig(jax.random.key(12), m, nig, prod_a,
+                           RegressionSpec(degree=4), sim, engine="mega")
+    assert abs(float(r_x.price) - float(r_m.price)) < 2.5e-3
