@@ -30,6 +30,7 @@ from amcx import (  # noqa: E402
     SimConfig,
     bs_price,
     compute_ccr_exposures,
+    crr_price,
     heston_price_cf,
     price_and_greeks,
     price_mixed_book,
@@ -289,6 +290,69 @@ def main():
     print(f"  arithmetic American put K=105 "
           f"({'fused kernels' if on_tpu else 'xla engine'}): "
           f"{float(ra.price):.4f} ± {float(ra.stderr):.4f}")
+
+    section("Jump / Levy dynamics: Merton, VG, NIG vs their oracles")
+    from amcx import (MertonJumps, NIGParams, VGParams, merton_price,
+                      nig_price_cf, price_option_merton, price_option_nig,
+                      price_option_vg, vg_price_cf)
+
+    m_j = MarketParams(100.0, 0.05, 0.2)
+    prod_j = ProductSpec(K=100.0, T=1.0, option_type="put",
+                         exercise="american")
+    sim_lv = SimConfig(n_paths=65_536, n_steps=50, antithetic=True)
+    eng_lv = "mega" if on_tpu else "xla"
+    jp = MertonJumps(lam=0.8, mu_j=-0.10, sigma_j=0.2)
+    r_me = price_option_merton(key, m_j, jp, prod_j, RegressionSpec(degree=4),
+                               sim_lv, engine=eng_lv)
+    ser = float(merton_price(100.0, 100.0, 1.0, 0.05, 0.2, jp.lam, jp.mu_j,
+                             jp.sigma_j, option_type="put"))
+    vgp = VGParams(theta=-0.14, sigma=0.2, nu=0.2)
+    r_vg = price_option_vg(key, m_j, vgp, prod_j, RegressionSpec(degree=4),
+                           sim_lv, engine=eng_lv)
+    cf_v = vg_price_cf(100.0, 100.0, 1.0, 0.05, vgp, option_type="put")
+    nigp = NIGParams(alpha=8.0, beta=-3.0, delta=0.3)
+    r_ni = price_option_nig(key, m_j, nigp, prod_j, RegressionSpec(degree=4),
+                            sim_lv, engine=eng_lv)
+    cf_n = nig_price_cf(100.0, 100.0, 1.0, 0.05, nigp, option_type="put")
+    print(f"  Merton American put ({eng_lv}): {float(r_me.price):.4f} "
+          f"(series European {ser:.4f})")
+    print(f"  VG American put:     {float(r_vg.price):.4f} "
+          f"(Gil-Pelaez European {cf_v:.4f})")
+    print(f"  NIG American put:    {float(r_ni.price):.4f} "
+          f"(Gil-Pelaez European {cf_n:.4f})")
+
+    section("PDE engine: Crank-Nicolson + PCR vs CRR-2000")
+    from amcx import PDEGrid, pde_price
+
+    rp = pde_price(MarketParams(100.0, 0.05, 0.2), prod_j,
+                   PDEGrid(n_space=512, n_steps=128))
+    crr_ref = float(crr_price(100.0, 100.0, 1.0, 0.05, 0.2, 2000,
+                              option_type="put", american=True))
+    print(f"  American put on a 512x128 grid: {float(rp.price):.4f} "
+          f"(CRR-2000 {crr_ref:.4f})")
+
+    section("Deep LSMC: MLP continuation + frozen OOS replay")
+    from amcx import deep_price_option
+
+    r_d = deep_price_option(key, MarketParams(100.0, 0.05, 0.2), prod_j,
+                            SimConfig(n_paths=16_384, n_steps=50,
+                                      antithetic=True),
+                            out_of_sample=True)
+    print(f"  OOS-replay American put: {float(r_d.price):.4f} ± "
+          f"{float(r_d.stderr):.4f} (a TRUE lower bound; CRR {crr_ref:.4f})")
+
+    section("Spread options: Margrabe exact at K=0, Kirk for struck spreads")
+    from amcx import kirk_price, price_spread_option
+
+    r_sp = price_spread_option(key, 100.0, 95.0, 5.0, 1.0, 0.05, 0.25, 0.2,
+                               rho=0.3, exercise="american",
+                               spec=RegressionSpec(degree=4,
+                                                   regress_on="itm"),
+                               sim=SimConfig(n_paths=65_536, n_steps=50,
+                                             antithetic=True))
+    kk = kirk_price(100.0, 95.0, 5.0, 1.0, 0.05, 0.25, 0.2, rho=0.3)
+    print(f"  American max(S1-S2-5, 0): {float(r_sp.price):.4f} "
+          f"(Kirk European {kk:.4f})")
 
 
 if __name__ == "__main__":

@@ -90,3 +90,28 @@ def test_deep_dual_bound_brackets_lattice():
     assert p_lo - 3.0 * se_lo < CRR < p_up + 3.0 * se_up, (p_lo, p_up)
     assert p_up > p_lo                     # a real two-sided interval
     assert float(du.gap) < 0.5             # and not a vacuous one
+
+
+def test_deep_engine_generalizes_to_heston_state():
+    """deep_backward_induction takes ANY Markov state: the (S, v) Heston
+    put through the network matches the polynomial cross-basis engine
+    within MC noise on shared paths (no Heston-specific code in amcx.deep)."""
+    from amcx import HestonParams, RegressionSpec, price_option_heston
+    from amcx.dynamics import simulate_heston
+
+    hp = HestonParams(S0=100.0, r=0.03, v0=0.04, kappa=1.5, theta=0.04,
+                      xi=0.5, rho=-0.7)
+    sim = SimConfig(n_paths=16_384, n_steps=25, antithetic=True)
+    S, v = simulate_heston(jax.random.key(6), hp, 1.0, sim,
+                           return_variance=True)
+    X = jnp.stack([S, v], axis=-1)
+    payoff = lambda st: jnp.maximum(100.0 - st[..., 0], 0.0)
+    res = deep_backward_induction(X, hp.r, 1.0 / 25, payoff,
+                                  DeepSpec(n_inner=60), antithetic=True)
+    ref = price_option_heston(jax.random.key(6), hp,
+                              ProductSpec(K=100.0, T=1.0, option_type="put",
+                                          exercise="american"),
+                              RegressionSpec(basis="chebyshev", degree=2),
+                              sim)
+    assert abs(float(res.price) - float(ref.price)) < 0.1, (
+        float(res.price), float(ref.price))
