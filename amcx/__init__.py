@@ -52,6 +52,11 @@ from .book import (price_strike_grid, price_mixed_book, BookResult,
                    book_ccr_exposures, book_greeks)
 from .models.asian import (price_asian_option, geometric_asian_price,
                            running_average)
+from .models.lookback import (price_lookback_option, running_max,
+                              running_min, lookback_fixed_call_cont,
+                              lookback_fixed_put_cont,
+                              lookback_floating_put_cont,
+                              lookback_floating_call_cont)
 from .models.basket import (price_basket_option, geometric_basket_price,
                             basket_level, basket_greeks,
                             price_exchange_option, margrabe_price,
@@ -183,6 +188,13 @@ __all__ = [
     "simulate_gbm_qmc",
     "simulate_gbm_multi_qmc",
     "sobol_normals",
+    "price_lookback_option",
+    "running_max",
+    "running_min",
+    "lookback_fixed_call_cont",
+    "lookback_fixed_put_cont",
+    "lookback_floating_put_cont",
+    "lookback_floating_call_cont",
     "price_basket_option",
     "geometric_basket_price",
     "basket_level",

@@ -1,0 +1,237 @@
+"""Lookback options on the running extremum of a GBM path.
+
+Product family beyond the reference (vanilla/barrier only,
+`/root/reference/american_monte_carlo.py:85-86,171-176`). The running
+maximum M_t (or minimum m_t) makes (S, M) a Markov state, exactly like
+the Asian (S, A) augmentation — so American lookbacks ride the SAME
+engine matrix: the xla scan engine with the total-degree cross basis,
+the fused 2-state Pallas kernels, and the one-kernel ma-mega engine.
+Payoff mapping onto the existing static kernel kinds:
+
+- fixed-strike call on the max  — ``second``  with plane 1 = M, phi=+1
+- fixed-strike put on the min   — ``second``  with plane 1 = m, phi=-1
+- floating-strike put  (M - S)  — ``spread``  with planes (M, S)
+- floating-strike call (S - m)  — ``spread``  with planes (S, m)
+
+Oracle: the law of the running max of drifted Brownian motion is known in
+closed form (reflection principle), so the CONTINUOUS-monitoring European
+price is an exact one-dimensional quadrature of the survival function —
+no formula tables needed:
+
+    P(M_T > m) = N((x0 - nu T)/(s)) + (m/S0)^(2 nu / sigma^2)
+                 N((-x0 - nu T)/s),   x0 = ln(m/S0), s = sigma sqrt(T)
+    E[max(M_T - K, 0)] = integral_K^inf P(M_T > m) dm
+
+Discrete monitoring is anchored two ways (tests/test_lookback.py): an
+independent float64 NumPy Monte Carlo twin with the exact discrete
+semantics (different code path AND different RNG), and the
+Broadie-Glasserman-Kou beta-shift of the continuous price
+(``M_disc ~ M_cont e^{-beta1 sigma sqrt(dt)}``, beta1 = 0.5826).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..engine import LSMCResult, backward_induction
+from ..types import MarketParams, RegressionSpec, SimConfig
+
+__all__ = [
+    "running_max",
+    "running_min",
+    "price_lookback_option",
+    "lookback_fixed_call_cont",
+    "lookback_fixed_put_cont",
+    "lookback_floating_put_cont",
+    "lookback_floating_call_cont",
+]
+
+_BGK_BETA1 = 0.5826  # -zeta(1/2)/sqrt(2 pi), Broadie-Glasserman-Kou
+
+
+def running_max(paths_tm: jnp.ndarray) -> jnp.ndarray:
+    """Running maximum over steps 0..t, time-major (M_0 = S_0)."""
+    return jax.lax.associative_scan(jnp.maximum, paths_tm, axis=0)
+
+
+def running_min(paths_tm: jnp.ndarray) -> jnp.ndarray:
+    """Running minimum over steps 0..t, time-major (m_0 = S_0)."""
+    return jax.lax.associative_scan(jnp.minimum, paths_tm, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Continuous-monitoring oracles by quadrature of the reflection-principle law
+# ---------------------------------------------------------------------------
+
+
+def _max_survival(m, S0, r, q, sigma, T):
+    """P(M_T > m) for the running max of GBM (m >= S0)."""
+    from scipy.stats import norm
+
+    nu = r - q - 0.5 * sigma**2
+    s = sigma * np.sqrt(T)
+    x0 = np.log(m / S0)
+    return (norm.cdf((-x0 + nu * T) / s)
+            + (m / S0) ** (2.0 * nu / sigma**2)
+            * norm.cdf((-x0 - nu * T) / s))
+
+
+def _min_cdf(l, S0, r, q, sigma, T):
+    """P(m_T < l) for the running min of GBM (l <= S0)."""
+    from scipy.stats import norm
+
+    nu = r - q - 0.5 * sigma**2
+    s = sigma * np.sqrt(T)
+    x0 = np.log(l / S0)
+    return (norm.cdf((x0 - nu * T) / s)
+            + (l / S0) ** (2.0 * nu / sigma**2)
+            * norm.cdf((x0 + nu * T) / s))
+
+
+def _quad(fn, lo, hi, n=2000):
+    nodes, weights = np.polynomial.legendre.leggauss(n)
+    x = 0.5 * (hi - lo) * (nodes + 1.0) + lo
+    return float(np.sum(0.5 * (hi - lo) * weights * fn(x)))
+
+
+def _disc_shift(sigma, T, n_steps):
+    """BGK discrete-monitoring factor: M_disc ~ M_cont * c, c < 1."""
+    if n_steps is None:
+        return 1.0
+    return float(np.exp(-_BGK_BETA1 * sigma * np.sqrt(T / n_steps)))
+
+
+def lookback_fixed_call_cont(S0, K, T, r, sigma, q=0.0, n_steps=None):
+    """European fixed-strike lookback call ``e^{-rT} E[max(M_T - K, 0)]``
+    (continuous monitoring; ``n_steps`` applies the BGK discrete shift
+    ``c * V_cont(K / c)``). Exact up to quadrature error."""
+    c = _disc_shift(sigma, T, n_steps)
+    Keff = K / c
+    lo = max(Keff, S0)
+    hi = S0 * np.exp((r - q) * T + 8.0 * sigma * np.sqrt(T))
+    tail = _quad(lambda m: _max_survival(m, S0, r, q, sigma, T), lo, hi)
+    # below S0 the max is certain: contributes (S0 - Keff) when Keff < S0
+    itm0 = max(S0 - Keff, 0.0)
+    return float(np.exp(-r * T) * c * (itm0 + tail))
+
+
+def lookback_fixed_put_cont(S0, K, T, r, sigma, q=0.0, n_steps=None):
+    """European fixed-strike lookback put ``e^{-rT} E[max(K - m_T, 0)]``
+    (min-monitored; BGK shift ``m_disc ~ m_cont / c``)."""
+    c = _disc_shift(sigma, T, n_steps)
+    Keff = K * c
+    hi = min(Keff, S0)
+    lo = S0 * np.exp((r - q) * T - 8.0 * sigma * np.sqrt(T))
+    body = _quad(lambda l: _min_cdf(l, S0, r, q, sigma, T), min(lo, hi), hi)
+    itm0 = max(Keff - S0, 0.0)
+    return float(np.exp(-r * T) * (itm0 + body) / c)
+
+
+def lookback_floating_put_cont(S0, T, r, sigma, q=0.0, n_steps=None):
+    """European floating-strike lookback put ``e^{-rT} E[M_T - S_T]``."""
+    c = _disc_shift(sigma, T, n_steps)
+    hi = S0 * np.exp((r - q) * T + 8.0 * sigma * np.sqrt(T))
+    e_max = S0 + _quad(lambda m: _max_survival(m, S0, r, q, sigma, T),
+                       S0, hi)
+    return float(np.exp(-r * T) * c * e_max - S0 * np.exp(-q * T))
+
+
+def lookback_floating_call_cont(S0, T, r, sigma, q=0.0, n_steps=None):
+    """European floating-strike lookback call ``e^{-rT} E[S_T - m_T]``."""
+    c = _disc_shift(sigma, T, n_steps)
+    lo = S0 * np.exp((r - q) * T - 8.0 * sigma * np.sqrt(T))
+    e_min = S0 - _quad(lambda l: _min_cdf(l, S0, r, q, sigma, T), lo, S0)
+    return float(S0 * np.exp(-q * T) - np.exp(-r * T) * e_min / c)
+
+
+# ---------------------------------------------------------------------------
+# LSMC pricing on the (S, extremum) state
+# ---------------------------------------------------------------------------
+
+
+def price_lookback_option(
+    key,
+    market: MarketParams,
+    K,
+    T,
+    option_type: str = "call",
+    exercise: str = "european",
+    strike_type: str = "fixed",
+    spec: RegressionSpec = RegressionSpec(basis="chebyshev", degree=2),
+    sim: SimConfig = SimConfig(),
+    engine: str = "xla",
+) -> LSMCResult:
+    """Lookback option on the (S, running-extremum) Markov state.
+
+    ``fixed`` strike reads the max (calls) or min (puts) against K;
+    ``floating`` strike pays M − S (puts) or S − m (calls) — K is ignored
+    (there is no strike). Monitoring dates are the simulation grid;
+    American exercise starts at step 1 (the t=0 extremum is just S_0).
+    ``engine="fused"``/``"mega"`` run the 2-state Pallas kernel families
+    with the static payoff kinds mapped in the module docstring.
+    """
+    from ..paths import simulate_gbm
+    from .maxcall import max_call_fit
+
+    option_type = option_type.strip().lower()
+    exercise = exercise.strip().lower()
+    strike_type = strike_type.strip().lower()
+    if option_type not in ("put", "call"):
+        raise ValueError(f"option_type must be put|call, got {option_type!r}")
+    if strike_type not in ("fixed", "floating"):
+        raise ValueError(
+            f"strike_type must be fixed|floating, got {strike_type!r}")
+
+    S = simulate_gbm(key, market, T, sim)
+    use_max = ((strike_type == "fixed" and option_type == "call")
+               or (strike_type == "floating" and option_type == "put"))
+    E = running_max(S) if use_max else running_min(S)
+    phi = 1.0 if option_type == "call" else -1.0
+    if strike_type == "fixed":
+        X = jnp.stack([S, E], axis=-1)
+        kind, K_kernel = "second", K
+    else:
+        # spread payoff = planes[0] - planes[1]: (M, S) for puts, (S, m)
+        # for calls; phi=+1 always (the difference is already signed)
+        X = (jnp.stack([E, S], axis=-1) if use_max
+             else jnp.stack([S, E], axis=-1))
+        kind, K_kernel, phi = "spread", 0.0, 1.0
+    dt = T / sim.n_steps
+    from_step = 1 if exercise == "american" else sim.n_steps + 1
+
+    if engine in ("fused", "mega"):
+        if engine == "mega":
+            from ..ops.lsmc_ma_mega import lsmc_price_ma_mega
+
+            price, stderr = lsmc_price_ma_mega(
+                X, K_kernel, market.r, dt, phi=phi, payoff_kind=kind,
+                basis=spec.basis, degree=spec.degree, mode="total",
+                rcond=spec.rcond, itm_weights=spec.regress_on == "itm",
+                exercise_from_step=from_step, antithetic=sim.antithetic)
+            return LSMCResult(price, stderr, None, None, None)
+        from .maxcall import backward_induction_fused_maxcall
+
+        return backward_induction_fused_maxcall(
+            X, K_kernel, market.r, dt, spec, basis_mode="total",
+            exercise_from_step=from_step, payoff_kind=kind, phi=phi)
+    if engine != "xla":
+        raise ValueError(
+            f"engine must be 'xla', 'fused', or 'mega', got {engine!r}")
+
+    if strike_type == "fixed":
+        payoff = lambda st: jnp.maximum(phi * (st[..., 1] - K), 0.0)
+    else:
+        payoff = lambda st: jnp.maximum(st[..., 0] - st[..., 1], 0.0)
+    knocked = jnp.ones(S.shape, dtype=bool)
+    fit_fn = partial(max_call_fit, mode="total")
+    return backward_induction(
+        X, knocked, market.r, dt, payoff, spec,
+        american=exercise == "american", return_surface=False,
+        fit_fn=fit_fn, fit_fn_returns_coeffs=True,
+        exercise_from_step=1, antithetic=sim.antithetic,
+    )

@@ -219,3 +219,30 @@ def test_spreadk_mega_onchip():
     # q=0: American == European up to policy bias; Kirk absorbs ~bp approx
     assert abs(float(res.price) - kirk) < 4.0 * float(res.stderr) + 0.06, (
         float(res.price), kirk)
+
+
+def test_lookback_mega_onchip():
+    """Lookback (S, M) state on hardware: the running-max plane through
+    the one-kernel ma-mega engine agrees with the fused kernels, and the
+    European fixed call sits on the BGK-shifted reflection-law anchor."""
+    from amcx import MarketParams as _MP
+    from amcx.models.lookback import (lookback_fixed_call_cont,
+                                      price_lookback_option)
+
+    m = _MP(100.0, 0.05, 0.25)
+    sim = SimConfig(n_paths=262_144, n_steps=50, antithetic=True)
+    spec = RegressionSpec(basis="chebyshev", degree=2)
+    r_e = price_lookback_option(jax.random.key(13), m, 100.0, 1.0,
+                                option_type="call", strike_type="fixed",
+                                spec=spec, sim=sim, engine="mega")
+    anchor = lookback_fixed_call_cont(100.0, 100.0, 1.0, 0.05, 0.25,
+                                      n_steps=50)
+    assert abs(float(r_e.price) - anchor) < 0.02 * anchor, (
+        float(r_e.price), anchor)
+    kw = dict(option_type="put", strike_type="floating",
+              exercise="american", spec=spec, sim=sim)
+    r_f = price_lookback_option(jax.random.key(14), m, 0.0, 1.0,
+                                engine="fused", **kw)
+    r_m = price_lookback_option(jax.random.key(14), m, 0.0, 1.0,
+                                engine="mega", **kw)
+    assert abs(float(r_f.price) - float(r_m.price)) < 5e-3
