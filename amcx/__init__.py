@@ -52,6 +52,9 @@ from .book import (price_strike_grid, price_mixed_book, BookResult,
                    book_ccr_exposures, book_greeks)
 from .models.asian import (price_asian_option, geometric_asian_price,
                            running_average)
+from .rates import (HW1FParams, bond_price_hw, simulate_hw_rates,
+                    swap_schedule, jamshidian_swaption_price,
+                    price_bermudan_swaption, pde_bermudan_swaption)
 from .models.lookback import (price_lookback_option, running_max,
                               running_min, lookback_fixed_call_cont,
                               lookback_fixed_put_cont,
@@ -188,6 +191,13 @@ __all__ = [
     "simulate_gbm_qmc",
     "simulate_gbm_multi_qmc",
     "sobol_normals",
+    "HW1FParams",
+    "bond_price_hw",
+    "simulate_hw_rates",
+    "swap_schedule",
+    "jamshidian_swaption_price",
+    "price_bermudan_swaption",
+    "pde_bermudan_swaption",
     "price_lookback_option",
     "running_max",
     "running_min",

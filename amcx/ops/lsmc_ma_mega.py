@@ -317,6 +317,7 @@ def lsmc_price_ma_mega(
     rcond: float = 1e-6,
     itm_weights: bool = False,
     exercise_from_step: int = 0,
+    exercise_steps=None,
     antithetic: bool = False,
     return_cf_tau: bool = False,
     discount_planes=None,
@@ -333,6 +334,10 @@ def lsmc_price_ma_mega(
     the univariate mega kernel). Returns ``(price, stderr)`` or, with
     ``return_cf_tau``, ``(price, stderr, cashflows, exercise_steps)``
     flattened per path (same contract as `lsmc_price_megakernel`).
+
+    ``exercise_steps``: optional explicit Bermudan schedule (step indices in
+    0..n_steps-1, `amcx.payoff.exercise_allow_row` semantics) — overrides
+    ``exercise_from_step``; maturity always pays the payoff.
 
     ``discount_planes``: optional ``(n_steps, n_paths)`` per-path one-step
     discount factors (stochastic rates — `amcx.hybrid`): switches the
@@ -409,8 +414,16 @@ def lsmc_price_ma_mega(
         r_rem = jnp.concatenate(
             [jnp.cumsum((r_arr * jnp.asarray(dt, jnp.float32))[::-1])[::-1],
              jnp.zeros((1,), jnp.float32)])
-    allow = (jnp.arange(n_steps + 1) >= exercise_from_step).astype(
-        jnp.float32)
+    if exercise_steps is not None:
+        # explicit Bermudan schedule (same validation/row semantics as the
+        # univariate engines); maturity always pays — the terminal slot is
+        # unread by the kernel, exactly like lsmc_price_megakernel
+        from ..payoff import exercise_allow_row
+
+        allow = exercise_allow_row(exercise_steps, n_steps, jnp.float32)
+    else:
+        allow = (jnp.arange(n_steps + 1) >= exercise_from_step).astype(
+            jnp.float32)
     stats = jnp.concatenate([
         mean_t.T.reshape(-1).astype(jnp.float32),      # A rows of (T+1,)
         inv_std_t.T.reshape(-1).astype(jnp.float32),

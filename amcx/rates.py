@@ -1,0 +1,484 @@
+"""Bermudan swaptions under Hull-White 1F — pure interest-rate LSMC.
+
+The reference prices equity vanillas under a constant rate only
+(`/root/reference/american_monte_carlo.py:57`); the classic *second*
+application of Longstaff-Schwartz in production is the Bermudan swaption
+book. This module prices payer/receiver Bermudan swaptions on the 1-D
+Markov state of the fitted Hull-White short rate,
+
+    r_t = r0 + alpha(t) + x_t,   dx = -kappa x dt + sigma_r dW,
+    alpha(t) = (sigma_r^2 / 2 kappa^2) (1 - e^{-kappa t})^2,
+
+reusing the EXACT Ornstein-Uhlenbeck machinery of `amcx.hybrid` (the
+(eta, iota) joint draw gives bias-free per-step x transitions AND the
+pathwise money-market discount e^{-int r du} from one 2x2 Cholesky).
+Everything analytic is closed-form G1++ bond math (Brigo-Mercurio ch. 3):
+
+    P(t,T; x) = exp(-r0 (T-t) + 0.5 [V(T-t) - V(T) + V(t)] - B(T-t) x),
+    B(tau) = (1 - e^{-kappa tau})/kappa,
+    V(tau) = (sigma_r/kappa)^2 [tau + (2/k) e^{-k tau}
+             - (1/2k) e^{-2k tau} - 3/(2k)].
+
+Engines (the amcx engine-matrix contract):
+- ``xla``  — lax.scan backward induction with PATHWISE discounting; the
+  continuation is regressed on the 2-plane state (forward-swap value,
+  x) with the total-degree cross basis (same machinery as Heston (S, v)
+  and the hybrid (S, r)).
+- ``mega`` — the whole induction in ONE Pallas kernel
+  (`amcx.ops.lsmc_ma_mega` with per-path discount planes and an explicit
+  Bermudan ``exercise_steps`` schedule); the forward-swap-value plane is
+  plane 0 (static payoff kind ``first`` with K = 0), x is plane 1.
+
+Oracles (independent code paths, both f64 host-side):
+- Jamshidian (1989) decomposition: the EXACT European swaption price as a
+  sum of zero-coupon-bond options (`jamshidian_swaption_price`) — the
+  sharp gate on the simulation scheme and on the single-date Bermudan.
+- A Crank-Nicolson PDE solver on the x-grid (scipy banded solves, f64)
+  with the Bermudan max applied at exercise dates
+  (`pde_bermudan_swaption`) — the Bermudan-value anchor; at a single
+  exercise date it must reproduce Jamshidian to grid accuracy.
+
+Conventions: unit notional; ``pay_times`` tau_1 < ... < tau_N are the
+fixed-leg payment dates, ``first_reset`` T0 < tau_1 starts the schedule,
+accruals delta_i = tau_i - tau_{i-1} (tau_0 = T0). Exercising at a reset
+date e in {T0, tau_1, ..., tau_{N-1}} enters the swap over the REMAINING
+schedule {tau_i > e} with the original accruals (the standard Bermudan
+exercise-into-the-tail contract). Payer = pay fixed K, receive float.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .engine import LSMCResult
+from .types import RegressionSpec, SimConfig
+
+__all__ = [
+    "HW1FParams",
+    "bond_price_hw",
+    "simulate_hw_rates",
+    "swap_schedule",
+    "jamshidian_swaption_price",
+    "price_bermudan_swaption",
+    "pde_bermudan_swaption",
+]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HW1FParams:
+    """Hull-White 1F short rate fitted to a flat initial curve ``r0``."""
+
+    r0: float
+    kappa: float = 0.5
+    sigma_r: float = 0.01
+
+
+# ---------------------------------------------------------------------------
+# G1++ bond math (f64 host constants; x-dependence applied by the caller)
+# ---------------------------------------------------------------------------
+
+
+def _B_tau(hw: HW1FParams, tau):
+    k = float(hw.kappa)
+    return (1.0 - np.exp(-k * np.asarray(tau, np.float64))) / k
+
+
+def _V_tau(hw: HW1FParams, tau):
+    k, s = float(hw.kappa), float(hw.sigma_r)
+    tau = np.asarray(tau, np.float64)
+    return (s * s / (k * k)) * (
+        tau + (2.0 / k) * np.exp(-k * tau)
+        - (0.5 / k) * np.exp(-2.0 * k * tau) - 1.5 / k)
+
+
+def _ln_bond_const(hw: HW1FParams, t, T):
+    """ln P(t, T; x=0): the x-free part of the G1++ reconstitution formula
+    (flat fitted curve, so P(0,T)/P(0,t) = e^{-r0 (T-t)})."""
+    t = np.asarray(t, np.float64)
+    T = np.asarray(T, np.float64)
+    return (-float(hw.r0) * (T - t)
+            + 0.5 * (_V_tau(hw, T - t) - _V_tau(hw, T) + _V_tau(hw, t)))
+
+
+def bond_price_hw(hw: HW1FParams, t, T, x=0.0):
+    """Zero-coupon bond ``P(t, T)`` given the OU factor ``x_t`` (f64 host
+    math; vectorizes over any of the arguments)."""
+    return np.exp(_ln_bond_const(hw, t, T)
+                  - _B_tau(hw, np.asarray(T) - np.asarray(t)) * x)
+
+
+def swap_schedule(first_reset: float, tenor: float, freq: int = 1):
+    """Fixed-leg payment dates for a ``tenor``-year swap starting at
+    ``first_reset`` with ``freq`` payments per year."""
+    n = int(round(tenor * freq))
+    if n < 1:
+        raise ValueError("tenor * freq must be >= 1")
+    return [first_reset + (i + 1) / freq for i in range(n)]
+
+
+def _swap_coeffs(hw: HW1FParams, K, start, pay_times, first_reset):
+    """Bond legs of the swap entered at reset date ``start``: returns
+    ``(times, coeffs)`` with value = sum_i coeffs[i] * P(., times[i]) for a
+    PAYER swap (float - fixed). Accruals follow the original schedule."""
+    taus = [float(first_reset)] + [float(t) for t in pay_times]
+    times, coeffs = [float(start)], [1.0]
+    for prev, tau in zip(taus[:-1], taus[1:]):
+        if tau > float(start) + 1e-12:
+            times.append(tau)
+            coeffs.append(-float(K) * (tau - prev))
+    coeffs[-1] -= 1.0  # float leg: P(t, start) - P(t, tau_N)
+    return np.asarray(times), np.asarray(coeffs)
+
+
+# ---------------------------------------------------------------------------
+# Jamshidian decomposition — exact European swaption under HW1F
+# ---------------------------------------------------------------------------
+
+
+def jamshidian_swaption_price(hw: HW1FParams, K, expiry, pay_times,
+                              payer: bool = True,
+                              first_reset: float | None = None):
+    """EXACT European swaption by Jamshidian's decomposition: find x* where
+    the coupon bond prices at par, then the payer (receiver) swaption is a
+    sum of zero-coupon-bond puts (calls) struck at the x* bond prices —
+    each priced with the closed-form HW bond-option formula. Unit notional;
+    ``expiry`` must be a reset date (default: the swap's ``first_reset``).
+    """
+    from scipy.stats import norm
+
+    first_reset = float(expiry) if first_reset is None else float(first_reset)
+    times, coeffs = _swap_coeffs(hw, K, expiry, pay_times, first_reset)
+    times, c = times[1:], -coeffs[1:]  # c_i > 0: fixed coupons + notional
+    if np.any(c <= 0.0):
+        raise ValueError("Jamshidian needs positive coupons (K > 0)")
+    consts = _ln_bond_const(hw, expiry, times)
+    Bs = _B_tau(hw, times - float(expiry))
+
+    def par_gap(x):
+        return np.sum(c * np.exp(consts - Bs * x)) - 1.0
+
+    lo, hi = -1.0, 1.0
+    while par_gap(lo) < 0.0:
+        lo *= 2.0
+    while par_gap(hi) > 0.0:
+        hi *= 2.0
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if par_gap(mid) > 0.0:
+            lo = mid
+        else:
+            hi = mid
+    x_star = 0.5 * (lo + hi)
+    X = np.exp(consts - Bs * x_star)  # critical bond prices
+
+    k, s = float(hw.kappa), float(hw.sigma_r)
+    Te = float(expiry)
+    P0e = np.exp(_ln_bond_const(hw, 0.0, Te))
+    P0S = np.exp(_ln_bond_const(hw, 0.0, times))
+    sig_p = s * np.sqrt((1.0 - np.exp(-2.0 * k * Te)) / (2.0 * k)) * Bs
+    h = np.log(P0S / (P0e * X)) / sig_p + 0.5 * sig_p
+    if payer:  # puts on the bonds
+        opts = X * P0e * norm.cdf(-h + sig_p) - P0S * norm.cdf(-h)
+    else:      # calls
+        opts = P0S * norm.cdf(h) - X * P0e * norm.cdf(h - sig_p)
+    return float(np.sum(c * opts))
+
+
+# ---------------------------------------------------------------------------
+# Exact OU simulation with pathwise discounting (the hybrid's 2x2 block)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("n_steps", "n_paths", "antithetic"))
+def _simulate_rates_impl(key, r0, a, B, L, A_row, dt, n_steps, n_paths,
+                         antithetic):
+    dtype = jnp.float32
+    n_draw = n_paths // 2 if antithetic else n_paths
+    Z = jax.random.normal(key, (n_steps, 2, n_draw), dtype)
+    if antithetic:
+        Z = jnp.concatenate([Z, -Z], axis=-1)
+    W = jnp.einsum("ij,tjn->tin", jnp.asarray(L, dtype), Z)
+    a_f = jnp.asarray(a, dtype)
+    B_f = jnp.asarray(B, dtype)
+
+    def step(x, xs):
+        eta, iota, A_t = xs
+        int_r = r0 * dt + A_t + x * B_f + iota  # int r du over the step
+        x_next = a_f * x + eta
+        return x_next, (x_next, int_r)
+
+    x0 = jnp.zeros((n_paths,), dtype)
+    _, (x_path, int_r) = lax.scan(
+        step, x0, (W[:, 0], W[:, 1], A_row.astype(dtype)))
+    x = jnp.concatenate([x0[None], x_path], axis=0)
+    return x, jnp.exp(-int_r)
+
+
+def simulate_hw_rates(key, hw: HW1FParams, T, sim: SimConfig):
+    """Exact HW factor paths: ``(x, df)`` — the OU factor ``(n_steps+1,
+    n_paths)`` and per-step pathwise discounts ``df[t] = e^{-int r du}``
+    of shape ``(n_steps, n_paths)``. Same joint (eta, iota) scheme as
+    `amcx.hybrid.simulate_hybrid_hw` (its 2x2 sub-block — the equity row
+    is dropped); antithetic mirrors both driving normals."""
+    from .hybrid import HullWhiteParams, _alpha_integral_row, _step_constants
+
+    dt = float(T) / sim.n_steps
+    proxy = HullWhiteParams(S0=1.0, r0=float(hw.r0), sigma_S=0.0,
+                            kappa=float(hw.kappa), sigma_r=float(hw.sigma_r),
+                            rho=0.0)
+    a, L3 = _step_constants(proxy, dt)
+    # rows 1:3 of the 3x3 Cholesky ARE the (eta, iota) factor (the equity
+    # row is orthogonal at rho = 0, sigma_S never enters the covariance)
+    L = L3[1:, 1:]
+    B = (1.0 - a) / float(hw.kappa)
+    A_row = _alpha_integral_row(proxy, dt, sim.n_steps)
+    return _simulate_rates_impl(
+        key, float(hw.r0), a, B, jnp.asarray(L), jnp.asarray(A_row),
+        jnp.asarray(dt, jnp.float32), sim.n_steps, sim.n_paths,
+        sim.antithetic)
+
+
+# ---------------------------------------------------------------------------
+# Forward-swap-value planes (the regression state / exercise values)
+# ---------------------------------------------------------------------------
+
+
+def _plane_tables(hw, K, grid_times, exercise_times, pay_times, first_reset,
+                  payer):
+    """Per-grid-step bond tables: plane[t] = sum_m w[t, m] e^{-Bb[t, m] x}.
+
+    The plane at step t is the PAYER value of the swap entered at the next
+    exercise date >= t (the exercise value exactly at exercise dates, a
+    smooth regression feature in between); sign-flipped for receivers."""
+    ex = sorted(float(e) for e in exercise_times)
+    M = len(pay_times) + 1
+    w = np.zeros((len(grid_times), M))
+    Bb = np.zeros((len(grid_times), M))
+    sgn = 1.0 if payer else -1.0
+    for ti, g in enumerate(grid_times):
+        start = next((e for e in ex if e >= g - 1e-9), ex[-1])
+        times, coeffs = _swap_coeffs(hw, K, start, pay_times, first_reset)
+        consts = _ln_bond_const(hw, g, times)
+        w[ti, :len(times)] = sgn * coeffs * np.exp(consts)
+        Bb[ti, :len(times)] = _B_tau(hw, times - g)
+    return w, Bb
+
+
+def _swap_planes(x, w, Bb):
+    """(T+1, n) forward-swap-value plane from the bond tables (fused XLA
+    elementwise; M is static and small)."""
+    plane = jnp.zeros_like(x)
+    for m_i in range(w.shape[1]):
+        plane = plane + w[:, m_i:m_i + 1] * jnp.exp(-Bb[:, m_i:m_i + 1] * x)
+    return plane
+
+
+# ---------------------------------------------------------------------------
+# LSMC Bermudan swaption
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("spec", "antithetic"))
+def _swaption_engine_impl(plane, x, df, allow, spec, antithetic):
+    """Backward induction on the (swap value, x) state with pathwise
+    discounting — the hybrid `_hw_engine_impl` estimator with a Bermudan
+    allow row and the swap-value plane as the payoff."""
+    from .models.maxcall import max_call_fit
+
+    n_steps = x.shape[0] - 1
+    n_paths = x.shape[1]
+    V = jnp.maximum(plane[n_steps], 0.0)
+
+    def step(V, xs):
+        p_t, x_t, df_t, allow_t = xs
+        y = df_t * V
+        ex = jnp.maximum(p_t, 0.0)
+        X = jnp.stack([p_t, x_t], axis=-1)
+        w = ((ex > 0).astype(x.dtype)
+             if spec.regress_on == "itm" else None)
+        cont, _ = max_call_fit(X, y, spec, w, mode="total")
+        hit = (ex > cont) & (ex > 0) & (allow_t > 0)
+        return jnp.where(hit, ex, y), None
+
+    V0, _ = lax.scan(step, V, (plane[:n_steps], x[:n_steps], df,
+                               allow[:n_steps]), reverse=True)
+    if antithetic:
+        half = n_paths // 2
+        stat = 0.5 * (V0[:half] + V0[half:])
+    else:
+        stat = V0
+    price = jnp.mean(stat)
+    stderr = jnp.std(stat) / jnp.sqrt(stat.shape[0])
+    return price, stderr
+
+
+def price_bermudan_swaption(
+    key: jax.Array,
+    hw: HW1FParams,
+    K,
+    pay_times,
+    exercise_times=None,
+    first_reset: float | None = None,
+    payer: bool = True,
+    spec: RegressionSpec = RegressionSpec(basis="chebyshev", degree=2),
+    sim: SimConfig = SimConfig(),
+    engine: str = "xla",
+) -> LSMCResult:
+    """Bermudan payer/receiver swaption by LSMC on the HW factor.
+
+    ``exercise_times`` must be reset dates (``first_reset`` or payment
+    dates before the last; default: ALL reset dates) and must land on the
+    simulation grid, which spans [0, max(exercise_times)]. A single
+    exercise date prices the European swaption (no regression decision —
+    the gate against `jamshidian_swaption_price`). ``engine="mega"`` runs
+    the one-kernel ma-mega route (plane 0 = swap value, plane 1 = x,
+    pathwise discount planes, explicit Bermudan schedule in-kernel)."""
+    pay_times = sorted(float(t) for t in pay_times)
+    first_reset = (pay_times[0] - (pay_times[1] - pay_times[0])
+                   if first_reset is None and len(pay_times) > 1
+                   else float(first_reset if first_reset is not None
+                              else pay_times[0] - 1.0))
+    resets = [first_reset] + pay_times[:-1]
+    if exercise_times is None:
+        exercise_times = resets
+    exercise_times = sorted(float(e) for e in exercise_times)
+    for e in exercise_times:
+        if not any(abs(e - rd) < 1e-9 for rd in resets):
+            raise ValueError(f"exercise time {e} is not a reset date "
+                             f"{resets}")
+    T = exercise_times[-1]
+    dt = T / sim.n_steps
+    sched_steps = []
+    for e in exercise_times[:-1]:
+        s = e / dt
+        if abs(s - round(s)) > 1e-6:
+            raise ValueError(f"exercise time {e} does not land on the "
+                             f"{sim.n_steps}-step grid over [0, {T}]")
+        sched_steps.append(int(round(s)))
+
+    x, df = simulate_hw_rates(key, hw, T, sim)
+    grid_times = dt * np.arange(sim.n_steps + 1)
+    w, Bb = _plane_tables(hw, K, grid_times, exercise_times, pay_times,
+                          first_reset, payer)
+    plane = _swap_planes(x, jnp.asarray(w, jnp.float32),
+                         jnp.asarray(Bb, jnp.float32))
+
+    if engine == "mega":
+        from .ops.lsmc_ma_mega import lsmc_price_ma_mega
+
+        if sim.n_paths % 4096:
+            raise ValueError("engine='mega' needs n_paths divisible by "
+                             f"4096, got {sim.n_paths}")
+        price, stderr = lsmc_price_ma_mega(
+            jnp.stack([plane, x], axis=-1), 0.0, 0.0, dt, phi=1.0,
+            payoff_kind="first", basis=spec.basis, degree=spec.degree,
+            mode="total", rcond=spec.rcond,
+            itm_weights=spec.regress_on == "itm",
+            exercise_steps=tuple(sched_steps),
+            discount_planes=df, antithetic=sim.antithetic)
+        return LSMCResult(price, stderr, None, None, None)
+    if engine != "xla":
+        raise ValueError(f"engine must be 'xla' or 'mega', got {engine!r}")
+    from .payoff import exercise_allow_row
+
+    allow = (exercise_allow_row(sched_steps, sim.n_steps, jnp.float32)
+             if sched_steps else jnp.zeros(sim.n_steps + 1, jnp.float32))
+    price, stderr = _swaption_engine_impl(plane, x, df, allow, spec,
+                                          sim.antithetic)
+    return LSMCResult(price, stderr, None, None, None)
+
+
+# ---------------------------------------------------------------------------
+# Crank-Nicolson PDE oracle on the x-grid (f64, scipy banded solves)
+# ---------------------------------------------------------------------------
+
+
+def pde_bermudan_swaption(
+    hw: HW1FParams,
+    K,
+    pay_times,
+    exercise_times=None,
+    first_reset: float | None = None,
+    payer: bool = True,
+    n_x: int = 801,
+    n_t: int = 2000,
+    n_std: float = 7.0,
+):
+    """Bermudan swaption by Crank-Nicolson on the OU factor —
+    an INDEPENDENT f64 oracle (numpy/scipy, banded solves; no JAX).
+
+    PDE: V_t - kappa x V_x + 0.5 sigma^2 V_xx - (r0 + alpha(t) + x) V = 0,
+    with V(e_K, x) = max(swap, 0) at the last exercise date and the
+    Bermudan max applied at each earlier date. A single exercise date
+    reproduces `jamshidian_swaption_price` to grid accuracy (the
+    convergence gate). Boundaries: zero curvature + upwinded drift at the
+    +-``n_std``-stddev ends."""
+    from scipy.linalg import solve_banded
+
+    pay_times = sorted(float(t) for t in pay_times)
+    first_reset = (pay_times[0] - (pay_times[1] - pay_times[0])
+                   if first_reset is None and len(pay_times) > 1
+                   else float(first_reset if first_reset is not None
+                              else pay_times[0] - 1.0))
+    resets = [first_reset] + pay_times[:-1]
+    if exercise_times is None:
+        exercise_times = resets
+    ex_dates = sorted(float(e) for e in exercise_times)
+    T = ex_dates[-1]
+    k, s, r0 = float(hw.kappa), float(hw.sigma_r), float(hw.r0)
+
+    L = n_std * s * np.sqrt((1.0 - np.exp(-2.0 * k * T)) / (2.0 * k))
+    xg = np.linspace(-L, L, n_x)
+    h = xg[1] - xg[0]
+    mu = -k * xg
+    alpha = lambda t: (s * s / (2.0 * k * k)) * (1.0 - np.exp(-k * t)) ** 2
+
+    def exercise_value(start, x):
+        times, coeffs = _swap_coeffs(hw, K, start, pay_times, first_reset)
+        sgn = 1.0 if payer else -1.0
+        v = np.zeros_like(x)
+        for tau, cc in zip(times, coeffs):
+            v += cc * np.exp(_ln_bond_const(hw, start, tau)
+                             - _B_tau(hw, tau - start) * x)
+        return sgn * v
+
+    # time-constant operator pieces (interior: central; ends: upwind, no
+    # curvature — the n_std-wide grid makes the boundary error negligible)
+    lo = 0.5 * s * s / (h * h) - mu / (2.0 * h)
+    dg = np.full(n_x, -s * s / (h * h)) - (r0 + xg)
+    up = 0.5 * s * s / (h * h) + mu / (2.0 * h)
+    lo[0], up[0] = 0.0, mu[0] / h
+    dg[0] = -mu[0] / h - (r0 + xg[0])
+    lo[-1], up[-1] = -mu[-1] / h, 0.0
+    dg[-1] = mu[-1] / h - (r0 + xg[-1])
+
+    V = np.maximum(exercise_value(ex_dates[-1], xg), 0.0)
+    events = [0.0] + ex_dates
+    for j in range(len(events) - 1, 0, -1):
+        t_hi, t_lo = events[j], events[j - 1]
+        m = max(1, int(round(n_t * (t_hi - t_lo) / T)))
+        ddt = (t_hi - t_lo) / m
+        for i in range(m):
+            t_mid = t_hi - (i + 0.5) * ddt
+            a_t = alpha(t_mid)
+            d_t = dg - a_t
+            rhs = (V + 0.5 * ddt * (np.r_[0.0, lo[1:]] * np.r_[V[0], V[:-1]]
+                                    + d_t * V
+                                    + np.r_[up[:-1], 0.0] * np.r_[V[1:],
+                                                                  V[-1]]))
+            ab = np.zeros((3, n_x))
+            ab[0, 1:] = -0.5 * ddt * up[:-1]
+            ab[1, :] = 1.0 - 0.5 * ddt * d_t
+            ab[2, :-1] = -0.5 * ddt * lo[1:]
+            V = solve_banded((1, 1), ab, rhs)
+        if j > 1:  # Bermudan max at the earlier exercise date
+            V = np.maximum(V, exercise_value(events[j - 1], xg))
+    return float(np.interp(0.0, xg, V))

@@ -246,3 +246,29 @@ def test_lookback_mega_onchip():
     r_m = price_lookback_option(jax.random.key(14), m, 0.0, 1.0,
                                 engine="mega", **kw)
     assert abs(float(r_f.price) - float(r_m.price)) < 5e-3
+
+
+def test_bermudan_swaption_mega_onchip():
+    """HW1F Bermudan swaption on hardware: the ma-mega route (pathwise
+    discount planes + in-kernel Bermudan schedule — the direct_y df-plane
+    stream is the lowering-risk item) agrees with the xla scan engine on
+    shared paths, and the European single-date run sits on Jamshidian."""
+    from amcx.rates import (HW1FParams, jamshidian_swaption_price,
+                            price_bermudan_swaption, swap_schedule)
+
+    hw = HW1FParams(r0=0.03, kappa=0.3, sigma_r=0.012)
+    pay = swap_schedule(1.0, 4.0, 1)
+    K = 0.0305
+    sim = SimConfig(n_paths=262_144, n_steps=32, antithetic=True)
+    spec = RegressionSpec(basis="chebyshev", degree=2)
+    kw = dict(spec=spec, sim=sim)
+    r_x = price_bermudan_swaption(jax.random.key(7), hw, K, pay, **kw)
+    r_m = price_bermudan_swaption(jax.random.key(7), hw, K, pay,
+                                  engine="mega", **kw)
+    assert abs(float(r_x.price) - float(r_m.price)) < 3e-4, (
+        float(r_x.price), float(r_m.price))
+    exact = jamshidian_swaption_price(hw, K, 1.0, pay)
+    r_e = price_bermudan_swaption(jax.random.key(8), hw, K, pay,
+                                  exercise_times=[1.0], engine="mega", **kw)
+    assert abs(float(r_e.price) - exact) < 4.0 * float(r_e.stderr) + 1e-5, (
+        float(r_e.price), exact, float(r_e.stderr))
