@@ -993,6 +993,91 @@ def cmd_spread(args):
     return payload
 
 
+def cmd_lookback(args):
+    """Lookback option on the running extremum vs the reflection-law
+    quadrature oracle (BGK-shifted to the discrete monitoring grid)."""
+    from .models.lookback import (lookback_fixed_call_cont,
+                                  lookback_fixed_put_cont,
+                                  lookback_floating_call_cont,
+                                  lookback_floating_put_cont,
+                                  price_lookback_option)
+    from .types import MarketParams, RegressionSpec, SimConfig
+
+    market = MarketParams(args.s0, args.r, args.sigma, args.q)
+    spec = RegressionSpec(basis=args.basis, degree=args.degree)
+    sim = SimConfig(n_paths=args.paths, n_steps=args.steps,
+                    antithetic=args.antithetic)
+    res = price_lookback_option(
+        jax.random.key(args.seed), market, args.k, args.t,
+        option_type=args.option_type, exercise=args.exercise,
+        strike_type=args.strike_type, spec=spec, sim=sim,
+        engine=args.engine)
+    if args.strike_type == "fixed":
+        fn = (lookback_fixed_call_cont if args.option_type == "call"
+              else lookback_fixed_put_cont)
+        oracle = fn(args.s0, args.k, args.t, args.r, args.sigma, q=args.q,
+                    n_steps=args.steps)
+    else:
+        fn = (lookback_floating_call_cont if args.option_type == "call"
+              else lookback_floating_put_cont)
+        oracle = fn(args.s0, args.t, args.r, args.sigma, q=args.q,
+                    n_steps=args.steps)
+    payload = {
+        "price": round(float(res.price), 4),
+        "stderr": round(float(res.stderr), 4),
+        "oracle_european": round(oracle, 4),
+        "oracle_name": "reflection-law quadrature + BGK shift",
+    }
+    if not args.json:
+        print(f"Lookback {args.strike_type} {args.exercise.title()} "
+              f"{args.option_type.title()}: {payload['price']:.4f} "
+              f"± {payload['stderr']:.4f}  (European oracle: "
+              f"{payload['oracle_european']:.4f})")
+    _emit(payload, args.json)
+    return payload
+
+
+def cmd_swaption(args):
+    """Bermudan payer/receiver swaption under Hull-White 1F, vs the exact
+    Jamshidian European and the f64 CN-PDE Bermudan anchor."""
+    from .rates import (HW1FParams, jamshidian_swaption_price,
+                        pde_bermudan_swaption, price_bermudan_swaption,
+                        swap_schedule)
+    from .types import RegressionSpec, SimConfig
+
+    hw = HW1FParams(r0=args.r0, kappa=args.kappa, sigma_r=args.sigma_r)
+    pay = swap_schedule(args.expiry, args.tenor, args.freq)
+    spec = RegressionSpec(basis=args.basis, degree=args.degree)
+    sim = SimConfig(n_paths=args.paths, n_steps=args.steps,
+                    antithetic=args.antithetic)
+    payer = args.side == "payer"
+    res = price_bermudan_swaption(
+        jax.random.key(args.seed), hw, args.k, pay, payer=payer,
+        spec=spec, sim=sim, engine=args.engine)
+    euro = jamshidian_swaption_price(hw, args.k, args.expiry, pay,
+                                     payer=payer)
+    payload = {
+        "price_bp": round(float(res.price) * 1e4, 2),
+        "stderr_bp": round(float(res.stderr) * 1e4, 2),
+        "european_jamshidian_bp": round(euro * 1e4, 2),
+        "side": args.side,
+    }
+    if args.pde:
+        payload["pde_bermudan_bp"] = round(
+            pde_bermudan_swaption(hw, args.k, pay, payer=payer) * 1e4, 2)
+    if not args.json:
+        print(f"Bermudan {args.side} swaption {args.expiry:g}y into "
+              f"{args.tenor:g}y (K={args.k:.4%}, unit notional): "
+              f"{payload['price_bp']:.2f} bp ± "
+              f"{payload['stderr_bp']:.2f}")
+        print(f"European (Jamshidian, exact): "
+              f"{payload['european_jamshidian_bp']:.2f} bp"
+              + (f"; PDE Bermudan anchor: {payload['pde_bermudan_bp']:.2f}"
+                 f" bp" if args.pde else ""))
+    _emit(payload, args.json)
+    return payload
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="amcx",
                                 description="TPU-native least-squares Monte Carlo engine")
@@ -1377,6 +1462,60 @@ def build_parser():
     psp.add_argument("--seed", type=int, default=42)
     psp.add_argument("--json", action="store_true")
     psp.set_defaults(fn=cmd_spread)
+
+    plb = sub.add_parser(
+        "lookback", help="lookback option on the running max/min")
+    plb.add_argument("--s0", type=float, default=100.0)
+    plb.add_argument("--k", type=float, default=100.0,
+                     help="strike (fixed-strike only)")
+    plb.add_argument("--t", type=float, default=1.0)
+    plb.add_argument("--r", type=float, default=0.05)
+    plb.add_argument("--q", type=float, default=0.0)
+    plb.add_argument("--sigma", type=float, default=0.25)
+    plb.add_argument("--option-type", choices=["put", "call"],
+                     default="call")
+    plb.add_argument("--strike-type", choices=["fixed", "floating"],
+                     default="fixed")
+    plb.add_argument("--exercise", choices=["european", "american"],
+                     default="european")
+    plb.add_argument("--basis", default="chebyshev")
+    plb.add_argument("--degree", type=int, default=2)
+    plb.add_argument("--paths", type=int, default=262_144)
+    plb.add_argument("--steps", type=int, default=50)
+    plb.add_argument("--antithetic", action="store_true")
+    plb.add_argument("--engine", choices=["xla", "fused", "mega"],
+                     default="xla")
+    plb.add_argument("--seed", type=int, default=42)
+    plb.add_argument("--json", action="store_true")
+    plb.set_defaults(fn=cmd_lookback)
+
+    psw = sub.add_parser(
+        "swaption", help="Bermudan swaption under Hull-White 1F")
+    psw.add_argument("--k", type=float, default=0.0305,
+                     help="fixed rate (decimal)")
+    psw.add_argument("--expiry", type=float, default=1.0,
+                     help="first reset date (years)")
+    psw.add_argument("--tenor", type=float, default=4.0,
+                     help="swap tenor from first reset (years)")
+    psw.add_argument("--freq", type=int, default=1,
+                     help="fixed-leg payments per year")
+    psw.add_argument("--side", choices=["payer", "receiver"],
+                     default="payer")
+    psw.add_argument("--r0", type=float, default=0.03,
+                     help="flat initial curve level")
+    psw.add_argument("--kappa", type=float, default=0.3)
+    psw.add_argument("--sigma-r", type=float, default=0.012)
+    psw.add_argument("--basis", default="chebyshev")
+    psw.add_argument("--degree", type=int, default=2)
+    psw.add_argument("--paths", type=int, default=262_144)
+    psw.add_argument("--steps", type=int, default=32)
+    psw.add_argument("--antithetic", action="store_true")
+    psw.add_argument("--engine", choices=["xla", "mega"], default="xla")
+    psw.add_argument("--pde", action="store_true",
+                     help="also run the f64 CN-PDE Bermudan anchor")
+    psw.add_argument("--seed", type=int, default=42)
+    psw.add_argument("--json", action="store_true")
+    psw.set_defaults(fn=cmd_swaption)
 
     pr = sub.add_parser("preset", help="run a named BASELINE config")
     pr.add_argument("name")

@@ -301,3 +301,25 @@ def test_cli_jump_nig_json(capsys):
           "--exercise", "european", "--json"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert abs(out["price"] - out["oracle_european"]) < 4 * out["stderr"] + 0.05
+
+
+def test_cli_lookback_json(capsys):
+    from amcx.cli import main
+
+    main(["lookback", "--paths", "8192", "--steps", "16", "--antithetic",
+          "--json"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {"price", "stderr", "oracle_european"} <= set(out)
+    assert abs(out["price"] - out["oracle_european"]) < max(
+        4 * out["stderr"], 0.4)
+
+
+def test_cli_swaption_json(capsys):
+    from amcx.cli import main
+
+    main(["swaption", "--paths", "16384", "--steps", "16", "--antithetic",
+          "--json"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {"price_bp", "stderr_bp", "european_jamshidian_bp"} <= set(out)
+    # Bermudan >= its own European lower bound, minus MC noise
+    assert out["price_bp"] > out["european_jamshidian_bp"] - 4 * out["stderr_bp"]
