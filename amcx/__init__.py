@@ -54,7 +54,8 @@ from .models.asian import (price_asian_option, geometric_asian_price,
                            running_average)
 from .rates import (HW1FParams, bond_price_hw, simulate_hw_rates,
                     swap_schedule, jamshidian_swaption_price,
-                    price_bermudan_swaption, pde_bermudan_swaption)
+                    price_bermudan_swaption, pde_bermudan_swaption,
+                    swaption_ccr_profile)
 from .models.lookback import (price_lookback_option, running_max,
                               running_min, lookback_fixed_call_cont,
                               lookback_fixed_put_cont,
@@ -198,6 +199,7 @@ __all__ = [
     "jamshidian_swaption_price",
     "price_bermudan_swaption",
     "pde_bermudan_swaption",
+    "swaption_ccr_profile",
     "price_lookback_option",
     "running_max",
     "running_min",

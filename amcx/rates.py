@@ -68,6 +68,7 @@ __all__ = [
     "jamshidian_swaption_price",
     "price_bermudan_swaption",
     "pde_bermudan_swaption",
+    "swaption_ccr_profile",
 ]
 
 
@@ -286,11 +287,20 @@ def _swap_planes(x, w, Bb):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("spec", "antithetic"))
-def _swaption_engine_impl(plane, x, df, allow, spec, antithetic):
+@partial(jax.jit, static_argnames=("spec", "antithetic", "return_surface"))
+def _swaption_engine_impl(plane, x, df, allow, spec, antithetic,
+                          return_surface=False):
     """Backward induction on the (swap value, x) state with pathwise
     discounting — the hybrid `_hw_engine_impl` estimator with a Bermudan
-    allow row and the swap-value plane as the payoff."""
+    allow row and the swap-value plane as the payoff.
+
+    ``return_surface``: also emit the per-(step, path) COUNTERPARTY VALUE
+    surface for CCR — the fitted option continuation before the path's
+    exercise time and the remaining-swap mark-to-market (SIGNED: the
+    entered swap can be owed) from the exercise date on; the terminal row
+    is the exercise-or-lapse value. The reference's surface contract
+    (`american_monte_carlo.py:164-167,400-414`) extended to a product
+    whose exposure survives exercise."""
     from .models.maxcall import max_call_fit
 
     n_steps = x.shape[0] - 1
@@ -306,10 +316,20 @@ def _swaption_engine_impl(plane, x, df, allow, spec, antithetic):
              if spec.regress_on == "itm" else None)
         cont, _ = max_call_fit(X, y, spec, w, mode="total")
         hit = (ex > cont) & (ex > 0) & (allow_t > 0)
-        return jnp.where(hit, ex, y), None
+        out = (cont, hit) if return_surface else None
+        return jnp.where(hit, ex, y), out
 
-    V0, _ = lax.scan(step, V, (plane[:n_steps], x[:n_steps], df,
-                               allow[:n_steps]), reverse=True)
+    V0, ys = lax.scan(step, V, (plane[:n_steps], x[:n_steps], df,
+                                allow[:n_steps]), reverse=True)
+    surface = None
+    if return_surface:
+        cont_t, hit_t = ys
+        # exercised at or before t (forward cumulative-OR of the policy)
+        ex_by_t = lax.associative_scan(jnp.logical_or, hit_t, axis=0)
+        surface = jnp.where(ex_by_t, plane[:n_steps], cont_t)
+        last = jnp.where(ex_by_t[-1], plane[n_steps],
+                         jnp.maximum(plane[n_steps], 0.0))
+        surface = jnp.concatenate([surface, last[None]], axis=0)
     if antithetic:
         half = n_paths // 2
         stat = 0.5 * (V0[:half] + V0[half:])
@@ -317,7 +337,7 @@ def _swaption_engine_impl(plane, x, df, allow, spec, antithetic):
         stat = V0
     price = jnp.mean(stat)
     stderr = jnp.std(stat) / jnp.sqrt(stat.shape[0])
-    return price, stderr
+    return price, stderr, surface
 
 
 def price_bermudan_swaption(
@@ -331,6 +351,7 @@ def price_bermudan_swaption(
     spec: RegressionSpec = RegressionSpec(basis="chebyshev", degree=2),
     sim: SimConfig = SimConfig(),
     engine: str = "xla",
+    return_surface: bool = False,
 ) -> LSMCResult:
     """Bermudan payer/receiver swaption by LSMC on the HW factor.
 
@@ -340,7 +361,12 @@ def price_bermudan_swaption(
     exercise date prices the European swaption (no regression decision —
     the gate against `jamshidian_swaption_price`). ``engine="mega"`` runs
     the one-kernel ma-mega route (plane 0 = swap value, plane 1 = x,
-    pathwise discount planes, explicit Bermudan schedule in-kernel)."""
+    pathwise discount planes, explicit Bermudan schedule in-kernel).
+
+    ``return_surface=True`` (xla only) fills ``LSMCResult.continuation``
+    with the counterparty-value surface — option continuation before
+    exercise, SIGNED remaining-swap mark-to-market after — the input to
+    `swaption_ccr_profile` / `amcx.exposures.bilateral_cva`."""
     pay_times = sorted(float(t) for t in pay_times)
     first_reset = (pay_times[0] - (pay_times[1] - pay_times[0])
                    if first_reset is None and len(pay_times) > 1
@@ -374,6 +400,8 @@ def price_bermudan_swaption(
     if engine == "mega":
         from .ops.lsmc_ma_mega import lsmc_price_ma_mega
 
+        if return_surface:
+            raise ValueError("return_surface needs engine='xla'")
         if sim.n_paths % 4096:
             raise ValueError("engine='mega' needs n_paths divisible by "
                              f"4096, got {sim.n_paths}")
@@ -391,9 +419,23 @@ def price_bermudan_swaption(
 
     allow = (exercise_allow_row(sched_steps, sim.n_steps, jnp.float32)
              if sched_steps else jnp.zeros(sim.n_steps + 1, jnp.float32))
-    price, stderr = _swaption_engine_impl(plane, x, df, allow, spec,
-                                          sim.antithetic)
-    return LSMCResult(price, stderr, None, None, None)
+    price, stderr, surface = _swaption_engine_impl(
+        plane, x, df, allow, spec, sim.antithetic, return_surface)
+    return LSMCResult(price, stderr, None, None, surface)
+
+
+def swaption_ccr_profile(surface_tm):
+    """CCR profile from the swaption counterparty-value surface: the
+    standard (EPE, PFE) of the POSITIVE part plus the per-step expected
+    negative exposure ENE (magnitude owed by us once the exercised swap
+    goes against us) — the (epe, ene) pair `amcx.exposures.bilateral_cva`
+    consumes. Equity surfaces are nonnegative so the reference pipeline
+    never needed the split; an exercised swap is signed."""
+    from .exposures import compute_ccr_exposures
+
+    ccr = compute_ccr_exposures(jnp.maximum(surface_tm, 0.0))
+    ene = jnp.mean(jnp.maximum(-surface_tm, 0.0), axis=1)
+    return ccr, ene
 
 
 # ---------------------------------------------------------------------------

@@ -154,3 +154,39 @@ def test_schedule_validation():
         price_bermudan_swaption(jax.random.key(0), HW, K, PAY,
                                 exercise_times=[1.0, 4.0],
                                 sim=SimConfig(n_paths=4096, n_steps=7))
+
+
+def test_swaption_ccr_surface():
+    """Counterparty-value surface semantics: option continuation before
+    exercise (nonnegative, near the price at t=0), SIGNED swap MtM after —
+    ENE appears only once paths have exercised; bilateral CVA consumes the
+    (EPE, ENE) pair."""
+    from amcx.exposures import bilateral_cva
+    from amcx.rates import swaption_ccr_profile
+
+    K = _par_rate(HW)
+    sim = SimConfig(n_paths=32_768, n_steps=32, antithetic=True)
+    res = price_bermudan_swaption(jax.random.key(9), HW, K, PAY,
+                                  spec=SPEC, sim=sim, return_surface=True)
+    S = res.continuation
+    assert S.shape == (33, 32_768)
+    ccr, ene = swaption_ccr_profile(S)
+    epe = np.asarray(ccr.epe)
+    ene = np.asarray(ene)
+    # t=0: the option is held on every path; no negative exposure, and the
+    # surface is the fitted continuation ~ the price
+    assert ene[0] == 0.0
+    assert abs(epe[0] - float(res.price)) < 0.15 * float(res.price)
+    # exercised ATM-payer swaps go negative on some paths by maturity
+    assert ene[-1] > 0.0
+    assert np.all(np.asarray(ccr.pfe95) >= epe - 1e-7)
+    bcva, cva_leg, dva_leg = bilateral_cva(
+        jnp.asarray(epe), jnp.asarray(ene), 4.0, HW.r0,
+        hazard_cpty=0.02, hazard_own=0.01)
+    assert float(cva_leg) > 0.0 and float(dva_leg) > 0.0
+    assert np.isfinite(float(bcva))
+    # mega path refuses the surface contract loudly
+    with pytest.raises(ValueError, match="return_surface"):
+        price_bermudan_swaption(jax.random.key(9), HW, K, PAY, spec=SPEC,
+                                sim=SimConfig(n_paths=8192, n_steps=32),
+                                engine="mega", return_surface=True)
