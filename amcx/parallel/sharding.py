@@ -51,6 +51,7 @@ __all__ = [
     "price_option_shardmap_mega",
     "price_option_shardmap_fusedpath",
     "price_max_call_shardmap_mega",
+    "price_bermudan_swaption_shardmap",
     "price_book_shardmap",
     "price_book_shardmap_mega",
     "init_multihost",
@@ -562,3 +563,70 @@ def price_max_call_shardmap_mega(
 
     return run(key, S0, jnp.float32(r), jnp.float32(sigma), jnp.float32(q),
                jnp.float32(K), jnp.float32(T))
+
+
+def price_bermudan_swaption_shardmap(
+    key: jax.Array,
+    hw,
+    K,
+    pay_times,
+    exercise_times=None,
+    first_reset=None,
+    payer: bool = True,
+    spec: RegressionSpec = RegressionSpec(basis="chebyshev", degree=2),
+    n_paths: int = 131_072,
+    n_steps: int = 32,
+    antithetic: bool = False,
+    mesh: Optional[Mesh] = None,
+):
+    """Bermudan swaption across the mesh on the collective ma-mega engine.
+
+    Every rank simulates its own exact-OU shard (``fold_in(key, rank)``)
+    and builds the forward-swap-value plane from the replicated host
+    tables; the standardization frame is psum-global and the packed Gram
+    all-reduces over the in-kernel RDMA ring, with per-path discount
+    planes (stochastic rates) and the Bermudan schedule in-kernel. Returns
+    replicated ``(price, stderr)`` — statistically equivalent to
+    `amcx.rates.price_bermudan_swaption(engine="mega")` on the union of
+    the shards.
+    """
+    from jax import shard_map
+
+    from ..ops.lsmc_ma_mega import lsmc_price_ma_mega
+    from ..rates import _swap_planes, _swaption_setup, simulate_hw_rates
+    from ..types import SimConfig
+
+    mesh = make_mesh() if mesh is None else mesh
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    if n_paths % n_dev:
+        raise ValueError(f"n_paths={n_paths} not divisible by mesh size "
+                         f"{n_dev}")
+    T, dt, sched_steps, w, Bb = _swaption_setup(
+        hw, K, pay_times, exercise_times, first_reset, payer, n_steps)
+    local_sim = SimConfig(n_paths=n_paths // n_dev, n_steps=n_steps,
+                          antithetic=antithetic)
+    w_f = jnp.asarray(w, jnp.float32)
+    Bb_f = jnp.asarray(Bb, jnp.float32)
+
+    @jax.jit
+    def run(key, w_f, Bb_f):
+        def local(key, w_f, Bb_f):
+            rank = jax.lax.axis_index(axis)
+            local_key = jax.random.fold_in(key, rank)
+            x, df = simulate_hw_rates(local_key, hw, T, local_sim)
+            plane = _swap_planes(x, w_f, Bb_f)
+            return lsmc_price_ma_mega(
+                jnp.stack([plane, x], axis=-1), 0.0, 0.0, dt, phi=1.0,
+                payoff_kind="first", basis=spec.basis, degree=spec.degree,
+                mode="total", rcond=spec.rcond,
+                itm_weights=spec.regress_on == "itm",
+                exercise_steps=tuple(sched_steps), discount_planes=df,
+                antithetic=antithetic, axis_name=axis, axis_size=n_dev)
+
+        return shard_map(
+            local, mesh=mesh, in_specs=(P(), P(), P()),
+            out_specs=(P(), P()), check_vma=False,
+        )(key, w_f, Bb_f)
+
+    return run(key, w_f, Bb_f)

@@ -282,6 +282,39 @@ def _swap_planes(x, w, Bb):
     return plane
 
 
+def _swaption_setup(hw, K, pay_times, exercise_times, first_reset, payer,
+                    n_steps):
+    """Validate the schedule and build the grid/plane tables: returns
+    ``(T, dt, sched_steps, w, Bb)`` — shared by the single-device engines
+    and the shard_map collective route."""
+    pay_times = sorted(float(t) for t in pay_times)
+    first_reset = (pay_times[0] - (pay_times[1] - pay_times[0])
+                   if first_reset is None and len(pay_times) > 1
+                   else float(first_reset if first_reset is not None
+                              else pay_times[0] - 1.0))
+    resets = [first_reset] + pay_times[:-1]
+    if exercise_times is None:
+        exercise_times = resets
+    exercise_times = sorted(float(e) for e in exercise_times)
+    for e in exercise_times:
+        if not any(abs(e - rd) < 1e-9 for rd in resets):
+            raise ValueError(f"exercise time {e} is not a reset date "
+                             f"{resets}")
+    T = exercise_times[-1]
+    dt = T / n_steps
+    sched_steps = []
+    for e in exercise_times[:-1]:
+        s = e / dt
+        if abs(s - round(s)) > 1e-6:
+            raise ValueError(f"exercise time {e} does not land on the "
+                             f"{n_steps}-step grid over [0, {T}]")
+        sched_steps.append(int(round(s)))
+    grid_times = dt * np.arange(n_steps + 1)
+    w, Bb = _plane_tables(hw, K, grid_times, exercise_times, pay_times,
+                          first_reset, payer)
+    return T, dt, sched_steps, w, Bb
+
+
 # ---------------------------------------------------------------------------
 # LSMC Bermudan swaption
 # ---------------------------------------------------------------------------
@@ -367,33 +400,9 @@ def price_bermudan_swaption(
     with the counterparty-value surface — option continuation before
     exercise, SIGNED remaining-swap mark-to-market after — the input to
     `swaption_ccr_profile` / `amcx.exposures.bilateral_cva`."""
-    pay_times = sorted(float(t) for t in pay_times)
-    first_reset = (pay_times[0] - (pay_times[1] - pay_times[0])
-                   if first_reset is None and len(pay_times) > 1
-                   else float(first_reset if first_reset is not None
-                              else pay_times[0] - 1.0))
-    resets = [first_reset] + pay_times[:-1]
-    if exercise_times is None:
-        exercise_times = resets
-    exercise_times = sorted(float(e) for e in exercise_times)
-    for e in exercise_times:
-        if not any(abs(e - rd) < 1e-9 for rd in resets):
-            raise ValueError(f"exercise time {e} is not a reset date "
-                             f"{resets}")
-    T = exercise_times[-1]
-    dt = T / sim.n_steps
-    sched_steps = []
-    for e in exercise_times[:-1]:
-        s = e / dt
-        if abs(s - round(s)) > 1e-6:
-            raise ValueError(f"exercise time {e} does not land on the "
-                             f"{sim.n_steps}-step grid over [0, {T}]")
-        sched_steps.append(int(round(s)))
-
+    T, dt, sched_steps, w, Bb = _swaption_setup(
+        hw, K, pay_times, exercise_times, first_reset, payer, sim.n_steps)
     x, df = simulate_hw_rates(key, hw, T, sim)
-    grid_times = dt * np.arange(sim.n_steps + 1)
-    w, Bb = _plane_tables(hw, K, grid_times, exercise_times, pay_times,
-                          first_reset, payer)
     plane = _swap_planes(x, jnp.asarray(w, jnp.float32),
                          jnp.asarray(Bb, jnp.float32))
 

@@ -302,3 +302,60 @@ def test_collective_ma_mega_two_dev():
     code = _MA_MEGA_CASE.format(repo=_REPO, n_dev=2, steps=2)
     out = _run_code(code, "ma-mega", 2, 2, timeout=45, attempts=3)
     assert "OK" in out
+
+
+_SWAPTION_CASE = r"""
+import sys
+sys.setswitchinterval(5e-5)
+sys.path.insert(0, {repo!r})
+import os
+os.environ['JAX_PLATFORMS'] = 'cpu'
+os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count={n_dev}'
+import jax
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_compilation_cache_dir', {repo!r} + '/.jax_cache')
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+import jax.numpy as jnp
+from amcx.parallel.sharding import make_mesh, price_bermudan_swaption_shardmap
+from amcx.ops.lsmc_ma_mega import lsmc_price_ma_mega
+from amcx.rates import (HW1FParams, _swap_planes, _swaption_setup,
+                        simulate_hw_rates, swap_schedule)
+from amcx.types import SimConfig
+
+N, steps = {n_dev}, {steps}
+hw = HW1FParams(r0=0.03, kappa=0.3, sigma_r=0.012)
+pay = swap_schedule(1.0, 2.0, 1)
+mesh = make_mesh(jax.devices()[:N])
+p, se = price_bermudan_swaption_shardmap(
+    jax.random.key(7), hw, 0.0305, pay, exercise_times=[1.0, 2.0],
+    n_paths=4096 * N, n_steps=steps, mesh=mesh)
+T, dt, sched, w, Bb = _swaption_setup(hw, 0.0305, pay, [1.0, 2.0], None,
+                                      True, steps)
+xs, dfs = [], []
+for r_ in range(N):
+    x, df = simulate_hw_rates(jax.random.fold_in(jax.random.key(7), r_),
+                              hw, T, SimConfig(n_paths=4096, n_steps=steps))
+    xs.append(x); dfs.append(df)
+xu = jnp.concatenate(xs, axis=1); dfu = jnp.concatenate(dfs, axis=1)
+plane = _swap_planes(xu, jnp.asarray(w, jnp.float32),
+                     jnp.asarray(Bb, jnp.float32))
+ps, _ = lsmc_price_ma_mega(jnp.stack([plane, xu], axis=-1), 0.0, 0.0, dt,
+                           phi=1.0, payoff_kind='first', degree=2,
+                           mode='total', exercise_steps=tuple(sched),
+                           discount_planes=dfu)
+gap = abs(float(p) - float(ps))
+assert gap < 1e-4, f'price gap {{gap}}'
+print(f'OK gap={{gap:.2e}} price={{float(p):.6f}}')
+"""
+
+
+def test_collective_swaption_two_dev():
+    """Bermudan-swaption ring: 2 devices through the collective ma-mega
+    with pathwise discount planes + the in-kernel Bermudan schedule; must
+    equal the single-device ma-mega on the union of the shards (the
+    psum-global standardization covers the signed swap-value plane).
+    Probed 3/3 reliable at the 2-step window on this 1-core host."""
+    code = _SWAPTION_CASE.format(repo=_REPO, n_dev=2, steps=2)
+    out = _run_code(code, "swaption", 2, 2, timeout=45, attempts=3)
+    assert "OK" in out
