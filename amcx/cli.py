@@ -1053,7 +1053,7 @@ def cmd_swaption(args):
     payer = args.side == "payer"
     res = price_bermudan_swaption(
         jax.random.key(args.seed), hw, args.k, pay, payer=payer,
-        spec=spec, sim=sim, engine=args.engine)
+        first_reset=args.expiry, spec=spec, sim=sim, engine=args.engine)
     euro = jamshidian_swaption_price(hw, args.k, args.expiry, pay,
                                      payer=payer)
     payload = {
@@ -1064,7 +1064,8 @@ def cmd_swaption(args):
     }
     if args.pde:
         payload["pde_bermudan_bp"] = round(
-            pde_bermudan_swaption(hw, args.k, pay, payer=payer) * 1e4, 2)
+            pde_bermudan_swaption(hw, args.k, pay, payer=payer,
+                                  first_reset=args.expiry) * 1e4, 2)
     if not args.json:
         print(f"Bermudan {args.side} swaption {args.expiry:g}y into "
               f"{args.tenor:g}y (K={args.k:.4%}, unit notional): "

@@ -131,10 +131,16 @@ def _swap_coeffs(hw: HW1FParams, K, start, pay_times, first_reset):
     PAYER swap (float - fixed). Accruals follow the original schedule."""
     taus = [float(first_reset)] + [float(t) for t in pay_times]
     times, coeffs = [float(start)], [1.0]
+    # 1e-7y tolerance: reset dates may be grid-snapped (<=1e-6*dt off the
+    # exact payment date) — a payment AT the start date belongs to the
+    # departing leg, never to the entered swap
     for prev, tau in zip(taus[:-1], taus[1:]):
-        if tau > float(start) + 1e-12:
+        if tau > float(start) + 1e-7:
             times.append(tau)
             coeffs.append(-float(K) * (tau - prev))
+    if len(times) == 1:
+        raise ValueError(f"no payments after start date {start} "
+                         f"(schedule {pay_times})")
     coeffs[-1] -= 1.0  # float leg: P(t, start) - P(t, tau_N)
     return np.asarray(times), np.asarray(coeffs)
 
@@ -155,6 +161,7 @@ def jamshidian_swaption_price(hw: HW1FParams, K, expiry, pay_times,
     """
     from scipy.stats import norm
 
+    pay_times = sorted(float(t) for t in pay_times)
     first_reset = float(expiry) if first_reset is None else float(first_reset)
     times, coeffs = _swap_coeffs(hw, K, expiry, pay_times, first_reset)
     times, c = times[1:], -coeffs[1:]  # c_i > 0: fixed coupons + notional
@@ -231,6 +238,9 @@ def simulate_hw_rates(key, hw: HW1FParams, T, sim: SimConfig):
     is dropped); antithetic mirrors both driving normals."""
     from .hybrid import HullWhiteParams, _alpha_integral_row, _step_constants
 
+    if sim.antithetic and sim.n_paths % 2:
+        raise ValueError(f"antithetic pairing needs even n_paths, got "
+                         f"{sim.n_paths}")
     dt = float(T) / sim.n_steps
     proxy = HullWhiteParams(S0=1.0, r0=float(hw.r0), sigma_S=0.0,
                             kappa=float(hw.kappa), sigma_r=float(hw.sigma_r),
@@ -282,16 +292,20 @@ def _swap_planes(x, w, Bb):
     return plane
 
 
-def _swaption_setup(hw, K, pay_times, exercise_times, first_reset, payer,
-                    n_steps):
-    """Validate the schedule and build the grid/plane tables: returns
-    ``(T, dt, sched_steps, w, Bb)`` — shared by the single-device engines
-    and the shard_map collective route."""
+def _normalize_schedule(pay_times, exercise_times, first_reset):
+    """Shared schedule normalization (LSMC engines AND the PDE oracle —
+    one rule, so the engine and its anchor always price the same
+    contract): sorted payment dates, the inferred-or-given ``first_reset``
+    (inference needs >= 2 payments to read the period; a single-payment
+    swap must pass it explicitly), reset dates, and the validated sorted
+    exercise dates (default: all resets)."""
     pay_times = sorted(float(t) for t in pay_times)
-    first_reset = (pay_times[0] - (pay_times[1] - pay_times[0])
-                   if first_reset is None and len(pay_times) > 1
-                   else float(first_reset if first_reset is not None
-                              else pay_times[0] - 1.0))
+    if first_reset is None:
+        if len(pay_times) < 2:
+            raise ValueError("first_reset must be given for a "
+                             "single-payment swap (no period to infer)")
+        first_reset = pay_times[0] - (pay_times[1] - pay_times[0])
+    first_reset = float(first_reset)
     resets = [first_reset] + pay_times[:-1]
     if exercise_times is None:
         exercise_times = resets
@@ -300,6 +314,16 @@ def _swaption_setup(hw, K, pay_times, exercise_times, first_reset, payer,
         if not any(abs(e - rd) < 1e-9 for rd in resets):
             raise ValueError(f"exercise time {e} is not a reset date "
                              f"{resets}")
+    return pay_times, first_reset, exercise_times
+
+
+def _swaption_setup(hw, K, pay_times, exercise_times, first_reset, payer,
+                    n_steps):
+    """Validate the schedule and build the grid/plane tables: returns
+    ``(T, dt, sched_steps, w, Bb)`` — shared by the single-device engines
+    and the shard_map collective route."""
+    pay_times, first_reset, exercise_times = _normalize_schedule(
+        pay_times, exercise_times, first_reset)
     T = exercise_times[-1]
     dt = T / n_steps
     sched_steps = []
@@ -309,8 +333,12 @@ def _swaption_setup(hw, K, pay_times, exercise_times, first_reset, payer,
             raise ValueError(f"exercise time {e} does not land on the "
                              f"{n_steps}-step grid over [0, {T}]")
         sched_steps.append(int(round(s)))
+    # snap exercise dates onto the grid floats so _plane_tables' next-
+    # exercise lookup is exact at the exercise steps themselves (a date
+    # 1e-6*dt below its grid point must not fall through to the NEXT one)
+    snapped = [dt * s for s in sched_steps] + [T]
     grid_times = dt * np.arange(n_steps + 1)
-    w, Bb = _plane_tables(hw, K, grid_times, exercise_times, pay_times,
+    w, Bb = _plane_tables(hw, K, grid_times, snapped, pay_times,
                           first_reset, payer)
     return T, dt, sched_steps, w, Bb
 
@@ -329,9 +357,13 @@ def _swaption_engine_impl(plane, x, df, allow, spec, antithetic,
 
     ``return_surface``: also emit the per-(step, path) COUNTERPARTY VALUE
     surface for CCR — the fitted option continuation before the path's
-    exercise time and the remaining-swap mark-to-market (SIGNED: the
-    entered swap can be owed) from the exercise date on; the terminal row
-    is the exercise-or-lapse value. The reference's surface contract
+    exercise time and, from the exercise date on, the SIGNED mark-to-market
+    of the remaining swap TAIL (the legs from the next reset onward, a
+    function of x_t; the in-flight period's already-fixed net coupon — set
+    at the previous reset, path-dependent on x there — is excluded, i.e.
+    the standard clean tail exposure at reset-period granularity: exact ON
+    reset/exercise dates, coupon-free in between); the terminal row is the
+    exercise-or-lapse value. The reference's surface contract
     (`american_monte_carlo.py:164-167,400-414`) extended to a product
     whose exposure survives exercise."""
     from .models.maxcall import max_call_fit
@@ -443,7 +475,10 @@ def swaption_ccr_profile(surface_tm):
     from .exposures import compute_ccr_exposures
 
     ccr = compute_ccr_exposures(jnp.maximum(surface_tm, 0.0))
-    ene = jnp.mean(jnp.maximum(-surface_tm, 0.0), axis=1)
+    # same non-finite masking as compute_ccr_exposures: one NaN step must
+    # not wipe the whole ENE leg
+    neg = jnp.maximum(-surface_tm, 0.0)
+    ene = jnp.mean(jnp.where(jnp.isfinite(neg), neg, 0.0), axis=1)
     return ccr, ene
 
 
@@ -474,15 +509,8 @@ def pde_bermudan_swaption(
     +-``n_std``-stddev ends."""
     from scipy.linalg import solve_banded
 
-    pay_times = sorted(float(t) for t in pay_times)
-    first_reset = (pay_times[0] - (pay_times[1] - pay_times[0])
-                   if first_reset is None and len(pay_times) > 1
-                   else float(first_reset if first_reset is not None
-                              else pay_times[0] - 1.0))
-    resets = [first_reset] + pay_times[:-1]
-    if exercise_times is None:
-        exercise_times = resets
-    ex_dates = sorted(float(e) for e in exercise_times)
+    pay_times, first_reset, ex_dates = _normalize_schedule(
+        pay_times, exercise_times, first_reset)
     T = ex_dates[-1]
     k, s, r0 = float(hw.kappa), float(hw.sigma_r), float(hw.r0)
 

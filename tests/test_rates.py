@@ -190,3 +190,29 @@ def test_swaption_ccr_surface():
         price_bermudan_swaption(jax.random.key(9), HW, K, PAY, spec=SPEC,
                                 sim=SimConfig(n_paths=8192, n_steps=32),
                                 engine="mega", return_surface=True)
+
+
+def test_review_fix_regressions():
+    """Round-3 code-review fixes: degenerate schedules raise instead of
+    hanging/guessing, pay-date order cannot change the closed form, and
+    odd antithetic path counts fail loudly."""
+    K = _par_rate(HW)
+    # expiry on the LAST payment date: no payments remain -> ValueError
+    # (previously an infinite bisection-bracket loop)
+    with pytest.raises(ValueError, match="no payments"):
+        jamshidian_swaption_price(HW, K, 5.0, PAY)
+    # single-payment swap cannot infer its accrual period
+    with pytest.raises(ValueError, match="first_reset"):
+        price_bermudan_swaption(jax.random.key(0), HW, K, [1.25])
+    # explicit first_reset makes it well-defined (quarterly accrual)
+    p1 = pde_bermudan_swaption(HW, K, [1.25], exercise_times=[1.0],
+                               first_reset=1.0, n_x=401, n_t=400)
+    e1 = jamshidian_swaption_price(HW, K, 1.0, [1.25], first_reset=1.0)
+    assert abs(p1 - e1) < 5e-6
+    # pay-date order must not matter
+    assert jamshidian_swaption_price(HW, K, 1.0, [4.0, 2.0, 5.0, 3.0]) == (
+        jamshidian_swaption_price(HW, K, 1.0, PAY))
+    with pytest.raises(ValueError, match="even n_paths"):
+        simulate_hw_rates(jax.random.key(0), HW, 1.0,
+                          SimConfig(n_paths=1001, n_steps=4,
+                                    antithetic=True))
