@@ -123,6 +123,19 @@ class _MaxCallPayoff:
         return max_call_payoff(s, self.K)
 
 
+@dataclasses.dataclass(frozen=True)
+class _ColumnPayoff:
+    """Lifts a 1-D payoff to the (n, n_state) contract while hashing by the
+    wrapped payoff, so repeated deep_backward_induction calls with the same
+    payoff object hit the jit cache (a fresh lambda hashes by identity and
+    would recompile the whole Adam scan every call)."""
+
+    payoff: Callable
+
+    def __call__(self, x):
+        return self.payoff(x[:, 0])
+
+
 @partial(jax.jit, static_argnames=("payoff", "dspec", "american",
                                    "antithetic", "exercise_from_step",
                                    "collect_policy"))
@@ -288,7 +301,7 @@ def deep_backward_induction(
     """
     if X_tm.ndim == 2:
         X2 = X_tm[:, :, None]
-        pay = lambda x: payoff(x[:, 0])
+        pay = _ColumnPayoff(payoff)
     else:
         X2 = X_tm
         pay = payoff
@@ -381,9 +394,9 @@ def deep_price_max_call(
     return LSMCResult(price, stderr, None, None, None)
 
 
-@partial(jax.jit, static_argnames=("option_type", "n_inner", "antithetic"))
+@partial(jax.jit, static_argnames=("option_type", "n_inner"))
 def _deep_dual_impl(key, paths_tm, policy, K, r, q, sigma, dt, lower_price,
-                    option_type, n_inner, antithetic):
+                    option_type, n_inner):
     """Nested Andersen-Broadie dual driven by the FROZEN deep policy.
 
     Same martingale construction and noise-telescoping as
@@ -509,6 +522,6 @@ def deep_dual_bound(
     S3 = simulate_gbm(k_outer, market, product.T, sim_outer)
     upper, u_stderr, gap = _deep_dual_impl(
         k_dual, S3, policy, product.K, market.r, market.q, market.sigma,
-        dt, lo_price, product.option_type, n_inner, False)
+        dt, lo_price, product.option_type, n_inner)
     lower = LSMCResult(lo_price, lo_stderr, None, None, None)
     return lower, DualResult(upper, u_stderr, gap)

@@ -101,7 +101,8 @@ def _price_asian_mega_impl(key, S0, r, sigma, q, K, T, spec, sim, option_type,
     X = jnp.stack([paths, A], axis=-1)
     phi = 1.0 if option_type == "call" else -1.0
     payoff_kind = "second" if strike_type == "fixed" else "spread"
-    # the spread payoff kind is φ·(S − A − K): a floating strike has no K
+    # the spread kind ignores K (pays φ·(S − A)); pass 0 so the jit cache
+    # key stays canonical for floating strikes
     K = K if strike_type == "fixed" else 0.0
     from_step = 1 if exercise == "american" else sim.n_steps + 1
     price, stderr = lsmc_price_ma_mega(
@@ -131,7 +132,8 @@ def _price_asian_fused_impl(key, S0, r, sigma, q, K, T, spec, sim, option_type,
     X = jnp.stack([paths, A], axis=-1)  # (T+1, n, 2) Markov state
     phi = 1.0 if option_type == "call" else -1.0
     payoff_kind = "second" if strike_type == "fixed" else "spread"
-    # the spread payoff kind is φ·(S − A − K): a floating strike has no K
+    # the spread kind ignores K (pays φ·(S − A)); pass 0 so the jit cache
+    # key stays canonical for floating strikes
     K = K if strike_type == "fixed" else 0.0
     # European: pushing the first exercise date past maturity disables the
     # early-exercise select entirely (only the maturity leg pays).

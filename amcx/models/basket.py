@@ -318,6 +318,10 @@ def price_spread_option(
     from ..paths import simulate_gbm_multi
     from .maxcall import max_call_fit
 
+    exercise = exercise.strip().lower()
+    if exercise not in ("european", "american"):
+        raise ValueError(
+            f"exercise must be european|american, got {exercise!r}")
     corr = jnp.asarray([[1.0, rho], [rho, 1.0]], sim.jnp_dtype)
     X = simulate_gbm_multi(
         key, jnp.asarray([S1, S2], sim.jnp_dtype), r,

@@ -186,6 +186,9 @@ def price_lookback_option(
     if strike_type not in ("fixed", "floating"):
         raise ValueError(
             f"strike_type must be fixed|floating, got {strike_type!r}")
+    if exercise not in ("european", "american"):
+        raise ValueError(
+            f"exercise must be european|american, got {exercise!r}")
 
     S = simulate_gbm(key, market, T, sim)
     use_max = ((strike_type == "fixed" and option_type == "call")

@@ -81,6 +81,14 @@ class HW1FParams:
     kappa: float = 0.5
     sigma_r: float = 0.01
 
+    def __post_init__(self):
+        # validate concrete values only: as a registered pytree this class
+        # is re-constructed with tracers during jit unflattening
+        if isinstance(self.kappa, (int, float)) and self.kappa <= 0:
+            raise ValueError(f"kappa must be > 0, got {self.kappa}")
+        if isinstance(self.sigma_r, (int, float)) and self.sigma_r < 0:
+            raise ValueError(f"sigma_r must be >= 0, got {self.sigma_r}")
+
 
 # ---------------------------------------------------------------------------
 # G1++ bond math (f64 host constants; x-dependence applied by the caller)
