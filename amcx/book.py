@@ -96,6 +96,14 @@ def price_strike_grid(
     kernel's per-strike VMEM state).
     """
     n_options = jnp.atleast_1d(jnp.asarray(strikes)).shape[0]
+    if spec.regress_on == "auto":
+        # the book kernel's shared-Gram design fits one moment set for the
+        # whole ladder, which requires the all-paths frame — "auto"
+        # resolves to the reference estimator here (per-strike ITM fits
+        # are available on engine="xla" with an explicit regress_on="itm")
+        import dataclasses as _dc
+
+        spec = _dc.replace(spec, regress_on="all")
     phis, types = _phi_vector(option_type, n_options)
     if engine == "mega":
         if spec.regress_on == "itm":
@@ -189,6 +197,12 @@ def price_mixed_book(
     """
     import numpy as np
 
+    if spec.regress_on == "auto":
+        # shared-Gram book design: "auto" resolves to the all-paths frame
+        # (see price_strike_grid)
+        import dataclasses as _dc
+
+        spec = _dc.replace(spec, regress_on="all")
     n_steps = paths_tm.shape[0] - 1
     strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
     mats = [int(m) for m in maturity_steps]

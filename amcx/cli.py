@@ -50,7 +50,7 @@ def _reg_sim_args(p: argparse.ArgumentParser):
     p.add_argument("--degree", type=int, default=4)
     p.add_argument("--scaling", action="store_true")
     p.add_argument("--scaling-factor", type=float, default=2.0)
-    p.add_argument("--regress-on", choices=["all", "itm"], default="all")
+    p.add_argument("--regress-on", choices=["auto", "all", "itm"], default="auto")
     p.add_argument("--paths", type=int, default=100_000)
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--antithetic", action="store_true")
@@ -1288,7 +1288,7 @@ def build_parser():
                     default="american")
     pt.add_argument("--basis", default="chebyshev")
     pt.add_argument("--degree", type=int, default=4)
-    pt.add_argument("--regress-on", choices=["all", "itm"], default="itm")
+    pt.add_argument("--regress-on", choices=["auto", "all", "itm"], default="itm")
     pt.add_argument("--paths", type=int, default=100_000)
     pt.add_argument("--steps", type=int, default=100)
     pt.add_argument("--antithetic", action="store_true")
@@ -1312,7 +1312,7 @@ def build_parser():
     pw.add_argument("--sigma", type=float, default=0.2)
     pw.add_argument("--option-type", choices=["put", "call"], default="put")
     pw.add_argument("--degree", type=int, default=4)
-    pw.add_argument("--regress-on", choices=["all", "itm"], default="itm")
+    pw.add_argument("--regress-on", choices=["auto", "all", "itm"], default="itm")
     pw.add_argument("--paths", type=int, default=100_000)
     pw.add_argument("--steps", type=int, default=50)
     pw.add_argument("--antithetic", action="store_true")
@@ -1347,7 +1347,7 @@ def build_parser():
     pq.add_argument("--exercise", choices=["european", "american"],
                     default="american")
     pq.add_argument("--degree", type=int, default=4)
-    pq.add_argument("--regress-on", choices=["all", "itm"], default="itm")
+    pq.add_argument("--regress-on", choices=["auto", "all", "itm"], default="itm")
     pq.add_argument("--paths", type=int, default=100_000)
     pq.add_argument("--steps", type=int, default=50)
     pq.add_argument("--antithetic", action="store_true")
@@ -1454,7 +1454,7 @@ def build_parser():
                      default="american")
     psp.add_argument("--basis", default="chebyshev")
     psp.add_argument("--degree", type=int, default=4)
-    psp.add_argument("--regress-on", choices=["all", "itm"], default="itm")
+    psp.add_argument("--regress-on", choices=["auto", "all", "itm"], default="itm")
     psp.add_argument("--paths", type=int, default=65_536)
     psp.add_argument("--steps", type=int, default=50)
     psp.add_argument("--antithetic", action="store_true")

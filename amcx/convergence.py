@@ -112,6 +112,11 @@ def _prices_masked_over_paths(key, S0, r, sigma, q, K, T, barrier, spec,
 
 
 def _sweep_paths_batched(key, market, product, spec, path_range, n_steps):
+    from .engine import resolve_regression_spec
+
+    # resolve "auto" here (q-less): every cell of the sweep must run the
+    # same estimator as the single-pricing route it is compared against
+    spec = resolve_regression_spec(spec, product)
     dtype = jnp.float32
     barrier = None if product.barrier is None else jnp.asarray(product.barrier, dtype)
     return _prices_masked_over_paths(

@@ -49,6 +49,7 @@ __all__ = [
     "deep_price_option",
     "deep_price_max_call",
     "deep_dual_bound",
+    "deep_dual_bound_max_call",
 ]
 
 
@@ -523,5 +524,152 @@ def deep_dual_bound(
     upper, u_stderr, gap = _deep_dual_impl(
         k_dual, S3, policy, product.K, market.r, market.q, market.sigma,
         dt, lo_price, product.option_type, n_inner)
+    lower = LSMCResult(lo_price, lo_stderr, None, None, None)
+    return lower, DualResult(upper, u_stderr, gap)
+
+
+@partial(jax.jit, static_argnames=("n_inner",))
+def _deep_dual_maxcall_impl(key, paths_tm, policy, K, r, q, sigma, chol, dt,
+                            lower_price, n_inner):
+    """Nested AB dual for the Bermudan max-call with the frozen NN rule.
+
+    The multi-asset twin of `_deep_dual_impl`: state is ``(N, A)``, inner
+    transitions are correlated GBM (``z @ cholᵀ``), the rule evaluates the
+    stored per-date network on the standardized asset vector. Exercise is
+    Bermudan from step 1 (`deep_price_max_call` convention), which the scan
+    respects by construction (increments start at t1 = 1).
+    """
+    n_steps = paths_tm.shape[0] - 1
+    n_paths = paths_tm.shape[1]
+    n_assets = paths_tm.shape[2]
+    dtype = paths_tm.dtype
+    r = jnp.asarray(r, dtype)
+    dt = jnp.asarray(dt, dtype)
+    drift = (r - q - 0.5 * sigma * sigma) * dt
+    vol = sigma * jnp.sqrt(dt)
+
+    def pol_at(s):
+        idx = jnp.clip(s, 0, n_steps - 1).astype(jnp.int32)
+        return jax.tree.map(lambda a: a[idx], policy)
+
+    def rule_exercise(S, t_idx):
+        # S: (..., A)
+        h = max_call_payoff(S, K)
+        params_t, mu_x, sd_x, mu_y, sd_y = pol_at(t_idx)
+        x_std = (S - mu_x) / sd_x
+        cont = jnp.maximum(mu_y + sd_y * _mlp_apply(
+            params_t, x_std.reshape(-1, n_assets)), 0.0)
+        cont = cont.reshape(h.shape)
+        ex = (h > 0.0) & (h > cont)
+        return jnp.where(t_idx >= n_steps, h > 0.0, ex), h
+
+    def inner_rule_value(S_start, t1, key_t):
+        J = n_inner
+        z0 = jax.random.normal(key_t, (n_steps, J // 2, n_paths, n_assets),
+                               dtype)
+        z = jnp.concatenate([z0, -z0], axis=1)  # (n_steps, J, N, A)
+
+        def istep(carry, xs):
+            S, alive, val = carry
+            z_s, s = xs
+            run = s >= t1
+            zc = z_s @ chol.T
+            S = jnp.where(run, S * jnp.exp(drift + vol * zc), S)
+            e, h = rule_exercise(S, s)
+            stop = alive & e & run
+            val = jnp.where(stop, jnp.exp(-r * dt * (s - t1)) * h, val)
+            alive = alive & ~stop
+            return (S, alive, val), None
+
+        S0 = jnp.broadcast_to(S_start[None], (J, n_paths, n_assets))
+        ss = jnp.arange(1, n_steps + 1, dtype=dtype)
+        (S, alive, val), _ = lax.scan(
+            istep,
+            (S0, jnp.ones((J, n_paths), bool), jnp.zeros((J, n_paths), dtype)),
+            (z, ss))
+        return jnp.mean(val, axis=0)
+
+    keys = jax.random.split(key, n_steps + 1)
+    ts = jnp.arange(n_steps, dtype=dtype)
+
+    def step(carry, xs):
+        M, rmax, c_prev = carry
+        S_t1, t, key_t = xs
+        t1 = t + 1.0
+        disc1 = jnp.exp(-r * dt * t1)
+        e1, h1 = rule_exercise(S_t1, t1)
+        c_next = jnp.where(
+            t1 < n_steps,
+            inner_rule_value(S_t1, t1 + 1.0, key_t),
+            jnp.zeros((n_paths,), dtype),
+        )
+        realized = jnp.where(e1, h1, jnp.exp(-r * dt) * c_next)
+        M = M + disc1 * (realized - c_prev)
+        rmax = jnp.maximum(rmax, disc1 * h1 - M)
+        return (M, rmax, c_next), None
+
+    M0 = jnp.zeros((n_paths,), dtype)
+    # Bermudan from step 1: t=0 is not an exercise date — start the running
+    # max at 0 (option value >= 0, so the floor keeps the bound valid; same
+    # convention as amcx.dual._dual_nested_maxcall_impl, which reproduces
+    # the Andersen-Broadie brackets)
+    r0 = jnp.zeros((n_paths,), dtype)
+    c0 = inner_rule_value(paths_tm[0], 1.0, keys[n_steps])
+    (M, rmax, _), _ = lax.scan(step, (M0, r0, c0),
+                               (paths_tm[1:], ts, keys[:n_steps]))
+    upper = jnp.mean(rmax)
+    stderr = jnp.std(rmax) / jnp.sqrt(float(n_paths))
+    return upper, stderr, upper - lower_price
+
+
+def deep_dual_bound_max_call(
+    key,
+    S0,
+    r,
+    q,
+    sigma,
+    corr,
+    K,
+    T,
+    sim: SimConfig = SimConfig(),
+    dspec: DeepSpec = DeepSpec(),
+    n_outer: int = 2_048,
+    n_inner: int = 64,
+):
+    """Certified (OOS lower, nested AB dual upper) bracket for the Bermudan
+    max-call under the frozen deep policy (VERDICT r3 #4: the max-call
+    previously published only the point OOS estimate).
+
+    Key discipline mirrors `deep_dual_bound`: fit paths, network init,
+    replay paths, dual outer paths and dual inner normals all draw from
+    disjoint streams. Returns ``(lower_result, DualResult)``.
+    """
+    from .dual import DualResult
+    from .paths import simulate_gbm_multi
+
+    if n_inner < 2 or n_inner % 2:
+        raise ValueError("n_inner must be even (antithetic inner pairs)")
+    k_fit, k_net, k_replay, k_outer, k_dual = jax.random.split(key, 5)
+    S0 = jnp.asarray(S0, jnp.float32)
+    corr = jnp.eye(S0.shape[0], dtype=jnp.float32) if corr is None else \
+        jnp.asarray(corr, jnp.float32)
+    chol = jnp.linalg.cholesky(corr)
+    X = simulate_gbm_multi(k_fit, S0, r, sigma, T, sim, q=q, corr=corr)
+    payoff = _MaxCallPayoff(float(K))
+    dt = T / sim.n_steps
+    _, _, policy = _deep_backward_impl(
+        X, r, dt, payoff, dspec, k_net, True, sim.antithetic, 1,
+        collect_policy=True)
+    X2 = simulate_gbm_multi(k_replay, S0, r, sigma, T, sim, q=q, corr=corr)
+    lo_price, lo_stderr = _deep_replay_impl(
+        X2, policy, r, dt, payoff, True, sim.antithetic, 1)
+    sim_outer = dataclasses.replace(sim, n_paths=n_outer, antithetic=False)
+    X3 = simulate_gbm_multi(k_outer, S0, r, sigma, T, sim_outer, q=q,
+                            corr=corr)
+    upper, u_stderr, gap = _deep_dual_maxcall_impl(
+        k_dual, X3, policy, jnp.asarray(K, jnp.float32),
+        jnp.asarray(r, jnp.float32), jnp.asarray(q, jnp.float32),
+        jnp.asarray(sigma, jnp.float32), chol, jnp.asarray(dt, jnp.float32),
+        lo_price, n_inner)
     lower = LSMCResult(lo_price, lo_stderr, None, None, None)
     return lower, DualResult(upper, u_stderr, gap)

@@ -386,9 +386,29 @@ def dual_upper_bound(
         benchmark put); True → full nested Andersen-Broadie (inner paths
         follow the exercise rule to stopping; tight, costs O(T²·J·N)
         path-steps — still sub-second on TPU).
+
+    Estimator caveat: the one-step surrogate uses the fitted continuation
+    as a GLOBAL value-function estimate, so it needs an all-paths fit; an
+    ITM-localized fit (the auto-resolved pricing default since round 4)
+    extrapolates OTM and loosens the bound by ~10×. The nested variant only
+    consumes the exercise *rule* (gated on intrinsic > 0), which is sound
+    for any fit — use ``nested=True`` to certify the shipped ITM policy.
     """
+    import warnings
+
+    from .engine import resolve_regression_spec
+
     if result.coeffs is None:
         raise ValueError("run the engine with return_coeffs=True")
+    # the fit resolved "auto" before solving (possibly bumping the degree
+    # for q=0 calls); the replayed design matrices must match it
+    spec = resolve_regression_spec(spec, product, q=market.q)
+    if not nested and spec.regress_on == "itm":
+        warnings.warn(
+            "one-step dual surrogate with an ITM-localized fit: the "
+            "continuation polynomial is extrapolated OTM and the bound "
+            "will be loose — use nested=True (policy-based) to certify "
+            "an ITM-fit policy", stacklevel=2)
     n_steps = paths_tm.shape[0] - 1
     dt = product.T / n_steps
     dtype = paths_tm.dtype

@@ -44,7 +44,62 @@ from .regress import fit_continuation
 from .types import MarketParams, ProductSpec, RegressionSpec, SimConfig
 
 __all__ = ["LSMCResult", "backward_induction", "lsmc_option_pricing",
-           "price_option", "q0_call_advisory"]
+           "price_option", "q0_call_advisory", "resolve_regression_spec",
+           "policy_frame"]
+
+
+def resolve_regression_spec(
+    spec: RegressionSpec,
+    product: ProductSpec,
+    q=None,
+    for_surface: bool = False,
+) -> RegressionSpec:
+    """Resolve ``regress_on="auto"`` into a concrete estimator per product.
+
+    The reference fits the continuation regression on **all** paths
+    (`american_monte_carlo.py:127`, SURVEY Q1), which carries a measured
+    policy bias on early-exercisable configs: −0.064 (S0=95 put), −0.094
+    (ATM put) and −0.22 (q=0 call) at 1M×100 paths vs CRR-2000 with the
+    degree-4 Chebyshev basis. The ITM-localized fit (canonical
+    Longstaff-Schwartz) removes it: same configs measure −0.0006 / −0.0004 /
+    −0.014 (round-4 TPU measurement, docs/PARITY.md). Resolution rules:
+
+    - explicit ``"all"`` / ``"itm"`` pass through untouched (``"all"`` is
+      the reference-parity opt-out);
+    - European → ``"all"``: the regression only feeds the continuation
+      surface (CCR exposures, SURVEY Q6), where a global fit is the right
+      estimator — ITM localization would extrapolate OTM;
+    - ``for_surface=True`` (the caller asked for the dense continuation
+      surface or streaming surface stats — the CCR/exposure use-case) →
+      ``"all"`` for the same reason: the surface must be a global
+      conditional-expectation estimate, not an ITM-localized fit
+      polynomial extrapolated OTM. CCR callers who want the
+      bias-reduced *price* should price separately (or use
+      `amcx.exposures.exposures_from_coeffs` with explicit all-paths
+      coefficients);
+    - American → ``"itm"``; for calls with a concretely-zero dividend
+      yield ``q`` the degree is raised to ≥ 6 (the documented
+      recommended-practice spec for the q=0 call, where ITM-only
+      localization still needs curvature headroom near the boundary).
+
+    ``q`` may be omitted (e.g. `lsmc_option_pricing` prices from
+    pre-simulated paths and never sees the market): the ITM upgrade still
+    applies, only the q=0-call degree bump is skipped.
+    """
+    import dataclasses
+
+    if spec.regress_on != "auto":
+        return spec
+    if not product.is_american or for_surface:
+        return dataclasses.replace(spec, regress_on="all")
+    degree = spec.degree
+    if product.option_type == "call" and q is not None:
+        try:
+            if float(q) == 0.0:
+                degree = max(degree, 6)
+        except (TypeError, jax.errors.TracerArrayConversionError):
+            pass  # traced q inside jit: best-effort only
+    return dataclasses.replace(spec, regress_on="itm", degree=degree)
 
 
 class LSMCResult(NamedTuple):
@@ -301,6 +356,8 @@ def lsmc_option_pricing(
     """
     n_steps = paths_tm.shape[0] - 1
     dt = product.T / n_steps
+    spec = resolve_regression_spec(
+        spec, product, for_surface=return_surface or surface_stats)
     knocked = barrier_gate(paths_tm, product.barrier, product.barrier_type)
     return backward_induction(
         paths_tm,
@@ -338,6 +395,39 @@ def _price_option_impl(key, S0, r, sigma, q, K, T, barrier, spec, sim, option_ty
                                antithetic=sim.antithetic)
 
 
+def policy_frame(
+    paths_tm: jnp.ndarray,
+    product: ProductSpec,
+    spec: RegressionSpec,
+    axis_name: Optional[str] = None,
+):
+    """Standardization frame matching an engine fit's coefficients.
+
+    The XLA engine standardizes the regressor per step with statistics
+    weighted by the SAME weights as the fit (ITM∧knocked for a resolved
+    ``regress_on="itm"`` spec, uniform otherwise), so replaying exported
+    coefficients (`amcx.policy.reprice_with_coeffs`,
+    `amcx.dual.dual_upper_bound`) needs that exact frame. This helper
+    reconstructs it from the fit paths — resolve-then-weight, one source
+    of truth. Returns ``(mean_t, inv_std_t)`` of shape ``(n_steps+1,)``.
+
+    (The mega/fusedpath kernels instead fit in the exogenous closed-form
+    GBM frame `amcx.paths.gbm_standardization`, which is what their
+    replay/dual callers pass — those routes are frame-consistent by
+    construction.)
+    """
+    from .engine_pallas import precompute_standardization
+
+    spec = resolve_regression_spec(spec, product)
+    weights = None
+    if spec.regress_on == "itm":
+        knocked = barrier_gate(paths_tm, product.barrier, product.barrier_type)
+        pay = payoff_fn_for(product)
+        weights = (pay(paths_tm) > 0).astype(paths_tm.dtype) * knocked.astype(
+            paths_tm.dtype)
+    return precompute_standardization(paths_tm, weights, spec)
+
+
 def q0_call_advisory(market: MarketParams, product: ProductSpec,
                      spec: RegressionSpec) -> Optional[str]:
     """Recommended-practice advisory for no-dividend American calls.
@@ -347,7 +437,10 @@ def q0_call_advisory(market: MarketParams, product: ProductSpec,
     regression noise trigger spurious early exercise deep ITM — a documented
     −0.2-at-1M-paths bias (docs/PARITY.md item 5). Returns a warning string
     when that configuration is requested (``None`` otherwise); callers warn
-    but keep the parity default (VERDICT r2 next-step #9).
+    but honour the explicit parity request. Since round 4 the default
+    ``regress_on="auto"`` resolves to the bias-reduced itm spec *before*
+    this check, so the advisory only fires on an explicit
+    ``regress_on="all"`` opt-in.
     """
     try:
         q_zero = float(market.q) == 0.0
@@ -400,6 +493,8 @@ def price_option(
     """
     import warnings
 
+    spec = resolve_regression_spec(spec, product, q=market.q,
+                                   for_surface=return_surface)
     advisory = q0_call_advisory(market, product, spec)
     if advisory is not None:
         warnings.warn(advisory, stacklevel=2)

@@ -111,9 +111,22 @@ def backward_induction_fused(
         knocked_tm = barrier_gate(paths_tm, barrier, barrier_type).astype(dtype)
 
     weights_tm = None
+    use_w_t = jnp.ones((paths_tm.shape[0],), dtype)
     if spec.regress_on == "itm":
         w = (intrinsic_value(paths_tm, K, "call" if phi > 0 else "put") > 0).astype(dtype)
         weights_tm = w if knocked_tm is None else w * knocked_tm
+        # degenerate-weight fallback, mirroring `amcx.regress._fit`: steps
+        # whose ITM∧knocked mass is below k+1 effective points fit (and
+        # standardize) on all paths instead — a zero Gram would fabricate
+        # cont = 0 and the XLA engine would silently diverge from the
+        # kernel route on thin-mass configs (deep-OTM barrier calls, t=0
+        # at the money)
+        wsum_t = jnp.sum(weights_tm, axis=1)
+        if axis_name is not None:
+            wsum_t = lax.psum(wsum_t, axis_name)
+        use_w_t = (wsum_t >= float(spec.degree + 2)).astype(dtype)
+        weights_tm = jnp.where(use_w_t[:, None] > 0, weights_tm,
+                               jnp.ones_like(weights_tm))
     mean_t, inv_std_t = precompute_standardization(paths_tm, weights_tm, spec,
                                                    axis_name=axis_name)
 
@@ -149,11 +162,11 @@ def backward_induction_fused(
         cf, tau = carry
         xs, allowed_t = (xs[:-1], xs[-1]) if exercise_steps is not None else (xs, None)
         if knocked_r is not None:
-            S_t, kn_t, t, mean, inv_std = xs
+            S_t, kn_t, t, mean, inv_std, use_w = xs
         else:
-            S_t, t, mean, inv_std = xs
+            S_t, t, mean, inv_std, use_w = xs
             kn_t = None
-        scalars = jnp.stack([t, rdt, K, mean, inv_std, phi_f])
+        scalars = jnp.stack([t, rdt, K, mean, inv_std, phi_f, use_w])
         packed = moments(scalars, S_t, cf, tau, kn_t)
         if axis_name is not None:
             packed = lax.psum(packed, axis_name)  # the only cross-chip bytes
@@ -181,9 +194,11 @@ def backward_induction_fused(
 
     ts = jnp.arange(n_steps, dtype=dtype)
     xs = (
-        (paths_r[:n_steps], knocked_r[:n_steps], ts, mean_t[:n_steps], inv_std_t[:n_steps])
+        (paths_r[:n_steps], knocked_r[:n_steps], ts, mean_t[:n_steps],
+         inv_std_t[:n_steps], use_w_t[:n_steps])
         if knocked_r is not None
-        else (paths_r[:n_steps], ts, mean_t[:n_steps], inv_std_t[:n_steps])
+        else (paths_r[:n_steps], ts, mean_t[:n_steps], inv_std_t[:n_steps],
+              use_w_t[:n_steps])
     )
     if exercise_steps is not None:
         from .payoff import exercise_allow_row
@@ -231,8 +246,11 @@ def lsmc_option_pricing_fused(
     antithetic: bool = False,
 ) -> LSMCResult:
     """`amcx.engine.lsmc_option_pricing` signature, fused-kernel execution."""
+    from .engine import resolve_regression_spec
+
     n_steps = paths_tm.shape[0] - 1
     dt = product.T / n_steps
+    spec = resolve_regression_spec(spec, product, for_surface=return_surface)
     phi = 1.0 if product.option_type == "call" else -1.0
     return backward_induction_fused(
         paths_tm,

@@ -185,6 +185,11 @@ def price_and_greeks(
     its exported (cashflow, τ) planes — Greeks at mega-kernel speed
     (vanilla GBM products only, like "fused").
     """
+    from .engine import resolve_regression_spec
+
+    # one resolution for every engine: the fused-ad custom-VJP route and
+    # the raw fused path consume the spec below price_option's resolver
+    spec = resolve_regression_spec(spec, product, q=market.q)
     if engine == "mega":
         if product.has_barrier:
             raise ValueError(

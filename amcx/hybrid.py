@@ -332,8 +332,11 @@ def price_option_hw(
     only; no surface; n_paths divisible by 4096). ``engine="mega"``: the
     same induction in ONE kernel (`amcx.ops.lsmc_ma_mega` with per-path
     discount planes streamed alongside the state planes)."""
+    from .engine import resolve_regression_spec
+
     if product.has_barrier:
         raise ValueError("hybrid barrier pricing is not implemented")
+    spec = resolve_regression_spec(spec, product, for_surface=return_surface)
     S, r, df = simulate_hybrid_hw(key, hw, product.T, sim)
     phi = 1.0 if product.option_type == "call" else -1.0
     dtype = sim.jnp_dtype

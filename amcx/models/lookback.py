@@ -49,7 +49,49 @@ __all__ = [
     "lookback_fixed_put_cont",
     "lookback_floating_put_cont",
     "lookback_floating_call_cont",
+    "lookback_mc_anchor",
 ]
+
+
+def lookback_mc_anchor(S0, K, T, r, sigma, q=0.0, option_type="call",
+                       strike_type="fixed", n_steps=50, n_paths=2_000_000,
+                       seed=11):
+    """Exact-discrete f64 NumPy MC anchor: ``(price, stderr)``.
+
+    The PRIMARY anchor for discretely-monitored European lookbacks
+    (VERDICT r3 #7): the reflection-law quadratures above price the
+    CONTINUOUS extremum and even with the Broadie-Glasserman-Kou
+    beta-shift carry an O(1/n_steps) residual (~0.1 at 50 steps on the
+    flagship config) — several MC stderr at engine path counts. This twin
+    shares NOTHING with the engine path: NumPy float64, Mersenne-free
+    `default_rng` Philox-family bits, plain forward loop with running
+    extrema updated per monitoring date — so a match is evidence about
+    the engine, not about shared code. Antithetic pairing halves the
+    variance at no bias.
+    """
+    rng = np.random.default_rng(seed)
+    dt = T / n_steps
+    half = n_paths // 2
+    drift = (r - q - 0.5 * sigma * sigma) * dt
+    vol = sigma * np.sqrt(dt)
+    logS = np.zeros(2 * half)
+    mx = np.full(2 * half, float(S0))
+    mn = np.full(2 * half, float(S0))
+    for _ in range(n_steps):
+        z = rng.standard_normal(half)
+        logS += drift + vol * np.concatenate([z, -z])
+        S = S0 * np.exp(logS)
+        np.maximum(mx, S, out=mx)
+        np.minimum(mn, S, out=mn)
+    S_T = S0 * np.exp(logS)
+    ot, st = option_type.strip().lower(), strike_type.strip().lower()
+    if st == "fixed":
+        x = (np.maximum(mx - K, 0.0) if ot == "call"
+             else np.maximum(K - mn, 0.0))
+    else:
+        x = (mx - S_T) if ot == "put" else (S_T - mn)
+    x = np.exp(-r * T) * 0.5 * (x[:half] + x[half:])  # pair-folded
+    return float(x.mean()), float(x.std(ddof=1) / np.sqrt(half))
 
 _BGK_BETA1 = 0.5826  # -zeta(1/2)/sqrt(2 pi), Broadie-Glasserman-Kou
 

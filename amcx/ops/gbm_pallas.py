@@ -250,8 +250,14 @@ def gbm_paths_pallas(seed, S0, r, sigma, q, T, n_steps, n_paths, antithetic=Fals
             (n_steps + 1, 8, BLOCK_PATHS), lambda i: (0, i, 0),
             memory_space=pltpu.VMEM,
         )
-        # z/u/cum temporaries are 8× the unblocked variant's
-        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
+        # z/u/cum temporaries are 8x the unblocked variant's; the whole
+        # time axis is VMEM-resident, so long grids need a proportionally
+        # higher cap (100-step flagship fits in 48 MB; ~1000 steps needs
+        # ~3 planes x 16 MB + Box-Muller temps)
+        plane_bytes = (n_steps + 1) * 8 * BLOCK_PATHS * 4
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=min(110 * 1024 * 1024,
+                                 max(48 * 1024 * 1024, 6 * plane_bytes)))
     else:
         out_shape = jax.ShapeDtypeStruct((n_steps + 1, n_paths), jnp.float32)
         out_spec = pl.BlockSpec(

@@ -45,6 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .gbm_pallas import _box_muller
+from .lsmc_pallas import ring_entry_barrier
 from .lsmc_megakernel import (
     LANES,
     MegaOutputs,
@@ -86,6 +87,7 @@ def _fusedpath_kernel(seed_ref, scal_ref, stats_ref, *refs,
     layout, P = _moment_layout(basis, degree)
     i = pl.program_id(0)
     t = n_steps - i
+    ring_entry_barrier(ring_axis, ring_size, i)
     tf = t.astype(jnp.float32)
 
     K = scal_ref[1]

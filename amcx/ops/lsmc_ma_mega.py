@@ -51,6 +51,7 @@ from .lsmc_megakernel import (
 )
 from .maxcall_pallas import _payoff_for, _sort_desc
 from .lsmc_pallas import TILE_ROWS as _TILE_ROWS  # noqa: F401 (layout doc)
+from .lsmc_pallas import ring_entry_barrier
 
 __all__ = ["lsmc_price_ma_mega"]
 
@@ -112,6 +113,7 @@ def _ma_mega_kernel(scal_ref, stats_ref, s_ref, *refs, n_steps, n_rows,
     T1 = n_steps + 1
     i = pl.program_id(0)
     t = n_steps - i
+    ring_entry_barrier(ring_axis, ring_size, i)
 
     K = scal_ref[1]
     phi = scal_ref[2]

@@ -48,6 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..basis import BASIS_FAMILIES, _first_order
+from .lsmc_pallas import ring_entry_barrier
 
 __all__ = ["lsmc_price_megakernel", "lsmc_book_megakernel", "MegaOutputs",
            "CHUNK_ROWS"]
@@ -301,6 +302,7 @@ def _mega_kernel(scal_ref, stats_ref, s_ref, *refs,
     layout, P = _moment_layout(basis, degree)
     i = pl.program_id(0)
     t = n_steps - i  # this grid step's time index
+    ring_entry_barrier(ring_axis, ring_size, i)
 
     K = scal_ref[1]
     phi = scal_ref[2]
@@ -518,6 +520,7 @@ def _book_kernel(scal_ref, ks_ref, phis_ref, stats_ref, s_ref, *refs,
     n_g = (2 * degree + 1) if layout == "identity" else len(_pairs(k))
     i = pl.program_id(0)
     t = n_steps - i
+    ring_entry_barrier(ring_axis, ring_size, i)
 
     rcond = scal_ref[2]
     # time-T-units carry (see _mega_kernel): one scalar multiply discounts,

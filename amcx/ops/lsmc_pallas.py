@@ -55,6 +55,36 @@ LANES = 512
 TILE_ROWS = 8  # 8×512 f32 tile = 4096 paths per grid step
 
 
+def ring_entry_barrier(ring_axis, ring_size, step_index):
+    """Neighbor barrier at collective-kernel entry.
+
+    Mosaic requires kernels compiled with ``collective_id`` to synchronize
+    through the global barrier semaphore before any cross-chip RDMA — a
+    device must not write into a neighbor's comm buffer before that
+    neighbor has entered the kernel. The CPU interpret machinery cannot
+    see this hazard (all "devices" share one process); it surfaced as a
+    hard compile error under the round-4 deviceless AOT topology gates
+    (tests_tpu/test_multichip_compile.py). Runs ONCE at the first grid
+    step; with data flowing rightward only, the both-neighbor signal/wait-2
+    is the canonical safe pattern (ring_size == 2 degenerates to two
+    signals to the same device, still wait-2-consistent).
+    """
+    if ring_axis is None or ring_size <= 1:
+        return
+
+    @pl.when(step_index == 0)
+    def _barrier():
+        bsem = pltpu.get_barrier_semaphore()
+        my = jax.lax.axis_index(ring_axis)
+        left = jax.lax.rem(my + ring_size - 1, ring_size)
+        right = jax.lax.rem(my + 1, ring_size)
+        pltpu.semaphore_signal(bsem, inc=1, device_id=left,
+                               device_id_type=pltpu.DeviceIdType.LOGICAL)
+        pltpu.semaphore_signal(bsem, inc=1, device_id=right,
+                               device_id_type=pltpu.DeviceIdType.LOGICAL)
+        pltpu.semaphore_wait(bsem, 2)
+
+
 def pack_dim(k: int) -> int:
     """Length of the packed moment vector: upper-triangular Gram + rhs."""
     return k * (k + 1) // 2 + k
@@ -117,9 +147,17 @@ def _moments_kernel(scal_ref, s_ref, cf_ref, tau_ref, *rest, basis, degree,
     cols = _basis_rows(xhat, basis, degree)
 
     if itm_weights:
+        # scal_ref[6]: per-step degenerate-weight fallback flag (computed
+        # host-side: 0 when the ITM∧knocked mass at this step is below
+        # k+1 effective points — fit all paths instead, exactly matching
+        # `amcx.regress._fit`'s fallback so XLA↔fused parity holds on
+        # thin-mass steps, e.g. t=0 at the money or deep-OTM barrier-call
+        # steps where a zero Gram would fabricate cont = 0)
+        use_w = scal_ref[6]
         w = (_payoff(S, K, phi) > 0.0).astype(jnp.float32)
         if knocked_ref is not None:
             w = w * knocked_ref[...]
+        w = jnp.where(use_w > 0.0, w, 1.0)
         cols_w = [c * w for c in cols]
         y = y * w
     else:
@@ -143,7 +181,10 @@ def _moments_kernel(scal_ref, s_ref, cf_ref, tau_ref, *rest, basis, degree,
     static_argnames=("basis", "degree", "itm_weights", "interpret"),
 )
 def step_moments(
-    scalars: jnp.ndarray,          # (6,) f32: [t, r*dt, K, mean, inv_std, phi]
+    scalars: jnp.ndarray,          # (7,) f32: [t, r*dt, K, mean, inv_std,
+                                   #  phi, use_w] (use_w read when
+                                   #  itm_weights; (6,) legacy shape works
+                                   #  for unweighted fits)
     S_rows: jnp.ndarray,           # (rows, LANES) f32
     cf_rows: jnp.ndarray,
     tau_rows: jnp.ndarray,

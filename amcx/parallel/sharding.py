@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..engine import LSMCResult, lsmc_option_pricing
+from ..engine import LSMCResult, lsmc_option_pricing, resolve_regression_spec
 from ..paths import simulate_gbm
 from ..types import MarketParams, ProductSpec, RegressionSpec, SimConfig
 
@@ -117,6 +117,8 @@ def price_option_sharded(
 ) -> LSMCResult:
     """Simulate + price with the path axis sharded over the mesh (jit-style;
     XLA auto-inserts the moment all-reduces)."""
+    spec = resolve_regression_spec(spec, product, q=market.q,
+                                   for_surface=return_surface)
     mesh = make_mesh() if mesh is None else mesh
     dtype = sim.jnp_dtype
     K, T, barrier = _product_leaves(product, dtype)
@@ -151,6 +153,7 @@ def price_option_shardmap(
     ``psum``s threaded through ``axis_name`` (SURVEY §5's distributed plan,
     stated communication schedule: one (k,k)+(k,) moment all-reduce per time
     step + one scalar pair at the end)."""
+    spec = resolve_regression_spec(spec, product, q=market.q)
     mesh = make_mesh() if mesh is None else mesh
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
@@ -233,6 +236,7 @@ def price_option_shardmap_mega(
 
     Returns ``(price, stderr)`` (replicated scalars).
     """
+    spec = resolve_regression_spec(spec, product, q=market.q)
     mesh = make_mesh() if mesh is None else mesh
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
@@ -308,6 +312,7 @@ def price_option_shardmap_fusedpath(
     """
     if product.has_barrier:
         raise ValueError("fusedpath generates paths backward; no barriers")
+    spec = resolve_regression_spec(spec, product, q=market.q)
     mesh = make_mesh() if mesh is None else mesh
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size

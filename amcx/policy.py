@@ -191,6 +191,7 @@ def price_out_of_sample(
     exercise_steps=None,
     n_fit_paths: Optional[int] = None,
     replay_engine: Optional[str] = None,
+    replay_blocks: int = 1,
 ) -> OOSResult:
     """Two-pass Longstaff-Schwartz: fit on one key, reprice on another.
 
@@ -209,10 +210,21 @@ def price_out_of_sample(
     ``"mega"`` → `lsmc_price_megakernel(replay_coeffs=...)` (single kernel,
     no regression pass); ``"fusedpath"`` → zero-path-HBM replay that
     regenerates its own independent paths in-kernel.
+
+    ``replay_blocks``: chain the pricing pass over this many independent
+    ``sim.n_paths``-path blocks inside ONE jit (fusedpath replay only) —
+    the replay has no cross-path coupling, so B blocks ARE exactly one
+    B·n_paths-path replay of the same frozen policy. This is the
+    long-axis scale route (SURVEY §5): path counts far beyond the
+    single-kernel VMEM V-plane ceiling (~8M paths) price with zero extra
+    memory — e.g. 16M×100 as 16 zero-HBM blocks.
     """
-    from .engine import price_option
+    from .engine import price_option, resolve_regression_spec
     from .paths import gbm_standardization, simulate_gbm
 
+    # resolve "auto" here so the frozen-policy replay rebuilds its design
+    # matrices with the SAME degree the fit solved (q=0 calls bump it)
+    spec = resolve_regression_spec(spec, product, q=market.q)
     if engine not in ("mega", "fusedpath", "xla"):
         raise ValueError(f"unsupported fit engine {engine!r}")
     if engine == "xla":
@@ -232,16 +244,45 @@ def price_out_of_sample(
         from .ops.gbm_pallas import _key_to_seed
         from .ops.lsmc_fusedpath import lsmc_price_fusedpath
 
-        price, stderr = lsmc_price_fusedpath(
-            _key_to_seed(key_price), market.S0, product.K, market.r,
-            market.sigma, product.T / sim.n_steps, sim.n_steps, sim.n_paths,
-            1.0 if product.option_type == "call" else -1.0, q=market.q,
-            basis=spec.basis, degree=spec.degree, rcond=spec.rcond,
-            american=product.is_american, antithetic=sim.antithetic,
-            return_stats=True, exercise_steps=exercise_steps,
-            replay_coeffs=fit.coeffs,
-        )
+        def one_block(seed):
+            return lsmc_price_fusedpath(
+                seed, market.S0, product.K, market.r,
+                market.sigma, product.T / sim.n_steps, sim.n_steps,
+                sim.n_paths,
+                1.0 if product.option_type == "call" else -1.0, q=market.q,
+                basis=spec.basis, degree=spec.degree, rcond=spec.rcond,
+                american=product.is_american, antithetic=sim.antithetic,
+                return_stats=True, exercise_steps=exercise_steps,
+                replay_coeffs=fit.coeffs,
+            )
+
+        if replay_blocks == 1:
+            price, stderr = one_block(_key_to_seed(key_price))
+        else:
+            # independent seed per block; combine block means/variances
+            # exactly as one big replay (equal block sizes)
+            import jax as _jax
+            from jax import lax as _lax
+
+            @_jax.jit
+            def chained(seed0):
+                def body(b, acc):
+                    s, sq = acc
+                    p, se = one_block(seed0 + b)
+                    # se is the stderr of a block mean over n_eff stats;
+                    # recover the block's mean-square via var = se²·n_eff
+                    return (s + p, sq + se * se)
+                return _lax.fori_loop(0, replay_blocks, body, (0.0, 0.0))
+
+            s, sq = chained(_key_to_seed(key_price))
+            price = s / replay_blocks
+            # blocks are iid: var(mean of B block-means) = mean(block
+            # variances)/B (block-mean spread adds only O(1/B) correction)
+            stderr = jnp.sqrt(sq) / replay_blocks
         return OOSResult(fit, LSMCResult(price, stderr, None, None, None))
+    if replay_blocks != 1:
+        raise ValueError("replay_blocks > 1 requires replay_engine="
+                         "'fusedpath' (the zero-path-HBM block route)")
     if replay_engine == "mega":
         from .ops.lsmc_megakernel import lsmc_price_megakernel
 
@@ -312,9 +353,10 @@ def valuation_interval(
     barrier support).
     """
     from .dual import dual_upper_bound
-    from .engine import price_option
+    from .engine import price_option, resolve_regression_spec
     from .paths import gbm_standardization, simulate_gbm
 
+    spec = resolve_regression_spec(spec, product, q=market.q)
     if product.has_barrier:
         raise ValueError("valuation_interval is vanilla-only: the dual "
                          "bound does not support barriers")

@@ -68,6 +68,7 @@ __all__ = [
     "jamshidian_swaption_price",
     "price_bermudan_swaption",
     "pde_bermudan_swaption",
+    "swaption_dual_bound",
     "swaption_ccr_profile",
 ]
 
@@ -238,18 +239,11 @@ def _simulate_rates_impl(key, r0, a, B, L, A_row, dt, n_steps, n_paths,
     return x, jnp.exp(-int_r)
 
 
-def simulate_hw_rates(key, hw: HW1FParams, T, sim: SimConfig):
-    """Exact HW factor paths: ``(x, df)`` — the OU factor ``(n_steps+1,
-    n_paths)`` and per-step pathwise discounts ``df[t] = e^{-int r du}``
-    of shape ``(n_steps, n_paths)``. Same joint (eta, iota) scheme as
-    `amcx.hybrid.simulate_hybrid_hw` (its 2x2 sub-block — the equity row
-    is dropped); antithetic mirrors both driving normals."""
+def _hw_step_constants(hw: HW1FParams, dt, n_steps):
+    """(a, B, L, A_row) of the exact per-step OU/integral recursion —
+    shared by the outer simulator and the dual bound's inner simulator."""
     from .hybrid import HullWhiteParams, _alpha_integral_row, _step_constants
 
-    if sim.antithetic and sim.n_paths % 2:
-        raise ValueError(f"antithetic pairing needs even n_paths, got "
-                         f"{sim.n_paths}")
-    dt = float(T) / sim.n_steps
     proxy = HullWhiteParams(S0=1.0, r0=float(hw.r0), sigma_S=0.0,
                             kappa=float(hw.kappa), sigma_r=float(hw.sigma_r),
                             rho=0.0)
@@ -258,7 +252,21 @@ def simulate_hw_rates(key, hw: HW1FParams, T, sim: SimConfig):
     # row is orthogonal at rho = 0, sigma_S never enters the covariance)
     L = L3[1:, 1:]
     B = (1.0 - a) / float(hw.kappa)
-    A_row = _alpha_integral_row(proxy, dt, sim.n_steps)
+    A_row = _alpha_integral_row(proxy, dt, n_steps)
+    return a, B, L, A_row
+
+
+def simulate_hw_rates(key, hw: HW1FParams, T, sim: SimConfig):
+    """Exact HW factor paths: ``(x, df)`` — the OU factor ``(n_steps+1,
+    n_paths)`` and per-step pathwise discounts ``df[t] = e^{-int r du}``
+    of shape ``(n_steps, n_paths)``. Same joint (eta, iota) scheme as
+    `amcx.hybrid.simulate_hybrid_hw` (its 2x2 sub-block — the equity row
+    is dropped); antithetic mirrors both driving normals."""
+    if sim.antithetic and sim.n_paths % 2:
+        raise ValueError(f"antithetic pairing needs even n_paths, got "
+                         f"{sim.n_paths}")
+    dt = float(T) / sim.n_steps
+    a, B, L, A_row = _hw_step_constants(hw, dt, sim.n_steps)
     return _simulate_rates_impl(
         key, float(hw.r0), a, B, jnp.asarray(L), jnp.asarray(A_row),
         jnp.asarray(dt, jnp.float32), sim.n_steps, sim.n_paths,
@@ -356,9 +364,10 @@ def _swaption_setup(hw, K, pay_times, exercise_times, first_reset, payer,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("spec", "antithetic", "return_surface"))
+@partial(jax.jit, static_argnames=("spec", "antithetic", "return_surface",
+                                   "return_coeffs"))
 def _swaption_engine_impl(plane, x, df, allow, spec, antithetic,
-                          return_surface=False):
+                          return_surface=False, return_coeffs=False):
     """Backward induction on the (swap value, x) state with pathwise
     discounting — the hybrid `_hw_engine_impl` estimator with a Bermudan
     allow row and the swap-value plane as the payoff.
@@ -387,16 +396,37 @@ def _swaption_engine_impl(plane, x, df, allow, spec, antithetic,
         X = jnp.stack([p_t, x_t], axis=-1)
         w = ((ex > 0).astype(x.dtype)
              if spec.regress_on == "itm" else None)
-        cont, _ = max_call_fit(X, y, spec, w, mode="total")
+        cont, coefs = max_call_fit(X, y, spec, w, mode="total")
         hit = (ex > cont) & (ex > 0) & (allow_t > 0)
-        out = (cont, hit) if return_surface else None
+        out = None
+        if return_surface or return_coeffs:
+            frame = None
+            if return_coeffs:
+                # the (mu, sd) frame max_call_fit standardized with
+                # (_standardize_columns semantics) — the dual's rule
+                # replays the fitted continuation in this exact frame
+                if w is None:
+                    mu = jnp.mean(X, axis=0)
+                    var = jnp.mean(jnp.square(X - mu), axis=0)
+                else:
+                    ws = jnp.maximum(jnp.sum(w), 1e-6)
+                    mu = jnp.sum(w[:, None] * X, axis=0) / ws
+                    var = jnp.sum(w[:, None] * jnp.square(X - mu),
+                                  axis=0) / ws
+                frame = (coefs, mu, jnp.maximum(jnp.sqrt(var), 1e-6))
+            out = ((cont, hit) if return_surface else None, frame)
         return jnp.where(hit, ex, y), out
 
     V0, ys = lax.scan(step, V, (plane[:n_steps], x[:n_steps], df,
                                 allow[:n_steps]), reverse=True)
     surface = None
+    coeff_export = None
+    if return_surface or return_coeffs:
+        surf_ys, frame_ys = ys
+        if return_coeffs:
+            coeff_export = frame_ys
     if return_surface:
-        cont_t, hit_t = ys
+        cont_t, hit_t = surf_ys
         # exercised at or before t (forward cumulative-OR of the policy)
         ex_by_t = lax.associative_scan(jnp.logical_or, hit_t, axis=0)
         surface = jnp.where(ex_by_t, plane[:n_steps], cont_t)
@@ -410,7 +440,7 @@ def _swaption_engine_impl(plane, x, df, allow, spec, antithetic,
         stat = V0
     price = jnp.mean(stat)
     stderr = jnp.std(stat) / jnp.sqrt(stat.shape[0])
-    return price, stderr, surface
+    return price, stderr, surface, coeff_export
 
 
 def price_bermudan_swaption(
@@ -425,6 +455,7 @@ def price_bermudan_swaption(
     sim: SimConfig = SimConfig(),
     engine: str = "xla",
     return_surface: bool = False,
+    return_coeffs: bool = False,
 ) -> LSMCResult:
     """Bermudan payer/receiver swaption by LSMC on the HW factor.
 
@@ -439,7 +470,13 @@ def price_bermudan_swaption(
     ``return_surface=True`` (xla only) fills ``LSMCResult.continuation``
     with the counterparty-value surface — option continuation before
     exercise, SIGNED remaining-swap mark-to-market after — the input to
-    `swaption_ccr_profile` / `amcx.exposures.bilateral_cva`."""
+    `swaption_ccr_profile` / `amcx.exposures.bilateral_cva`.
+
+    ``return_coeffs=True`` (xla only) fills ``LSMCResult.coeffs`` with the
+    per-step policy export ``(coeffs (n_steps, m), mu (n_steps, 2),
+    sd (n_steps, 2))`` — the cross-basis solution and the standardization
+    frame of the (swap value, x) regressors, exactly what
+    `swaption_dual_bound` replays (rows are time-major: row t is step t)."""
     T, dt, sched_steps, w, Bb = _swaption_setup(
         hw, K, pay_times, exercise_times, first_reset, payer, sim.n_steps)
     x, df = simulate_hw_rates(key, hw, T, sim)
@@ -449,8 +486,8 @@ def price_bermudan_swaption(
     if engine == "mega":
         from .ops.lsmc_ma_mega import lsmc_price_ma_mega
 
-        if return_surface:
-            raise ValueError("return_surface needs engine='xla'")
+        if return_surface or return_coeffs:
+            raise ValueError("return_surface/return_coeffs need engine='xla'")
         if sim.n_paths % 4096:
             raise ValueError("engine='mega' needs n_paths divisible by "
                              f"4096, got {sim.n_paths}")
@@ -468,9 +505,243 @@ def price_bermudan_swaption(
 
     allow = (exercise_allow_row(sched_steps, sim.n_steps, jnp.float32)
              if sched_steps else jnp.zeros(sim.n_steps + 1, jnp.float32))
-    price, stderr, surface = _swaption_engine_impl(
-        plane, x, df, allow, spec, sim.antithetic, return_surface)
-    return LSMCResult(price, stderr, None, None, surface)
+    price, stderr, surface, coeffs = _swaption_engine_impl(
+        plane, x, df, allow, spec, sim.antithetic, return_surface,
+        return_coeffs)
+    return LSMCResult(price, stderr, None, None, surface, coeffs=coeffs)
+
+
+@partial(jax.jit, static_argnames=("spec", "antithetic"))
+def _swaption_replay_impl(x, df, coefs, mu_t, sd_t, alw_full, w, Bb, spec,
+                          antithetic):
+    """Forward first-hit walk of the frozen swaption policy on fresh
+    (x, df) paths: exercise at the first allowed step where the replayed
+    cross-basis rule fires, value = pathwise-discounted exercise value —
+    the out-of-sample LOWER bound (the in-sample fit price is
+    foresight-biased upward and certifies nothing)."""
+    from .models.maxcall import multi_asset_design_matrix
+
+    n_steps = x.shape[0] - 1
+    n_paths = x.shape[1]
+    dtype = x.dtype
+
+    def plane_at(x_s, s_i):
+        p = jnp.zeros_like(x_s)
+        for m_i in range(w.shape[1]):
+            p = p + w[s_i, m_i] * jnp.exp(-Bb[s_i, m_i] * x_s)
+        return p
+
+    def step(carry, xs):
+        D, alive, val = carry
+        x_s, df_prev, s = xs
+        s_i = jnp.minimum(s, float(n_steps)).astype(jnp.int32)
+        D = D * df_prev
+        p = plane_at(x_s, s_i)
+        h = jnp.maximum(p, 0.0)
+        c_i = jnp.minimum(s_i, n_steps - 1)
+        X = jnp.stack([p, x_s], axis=-1)
+        Xs = (X - mu_t[c_i]) / sd_t[c_i]
+        A = multi_asset_design_matrix(
+            Xs.reshape(-1, 2), spec.basis, spec.degree, "total")
+        cont = jnp.maximum((A @ coefs[c_i]).reshape(h.shape), 0.0)
+        ex = (h > 0.0) & (h > cont) & (alw_full[s_i] > 0)
+        ex = jnp.where(s_i >= n_steps, h > 0.0, ex)
+        stop = alive & ex
+        val = jnp.where(stop, D * h, val)
+        alive = alive & ~stop
+        return (D, alive, val), None
+
+    ss = jnp.arange(1, n_steps + 1, dtype=dtype)
+    (_, _, val), _ = lax.scan(
+        step,
+        (jnp.ones((n_paths,), dtype), jnp.ones((n_paths,), bool),
+         jnp.zeros((n_paths,), dtype)),
+        (x[1:], df, ss))
+    if antithetic:
+        half = n_paths // 2
+        stat = 0.5 * (val[:half] + val[half:])
+    else:
+        stat = val
+    price = jnp.mean(stat)
+    stderr = jnp.std(stat) / jnp.sqrt(stat.shape[0])
+    return price, stderr
+
+
+@partial(jax.jit, static_argnames=("spec", "n_inner"))
+def _swaption_dual_impl(key, x_o, plane_o, D_o, coefs, mu_t, sd_t, alw_full,
+                        w, Bb, a, B, L, A_row, r0, dt, lower, spec, n_inner):
+    """Nested Andersen-Broadie dual for the Bermudan swaption.
+
+    The HW twin of `amcx.dual._dual_nested_impl` with STOCHASTIC
+    discounting: all martingale terms are deflated to time 0 by the
+    pathwise money-market deflator D_t = prod df (outer realization for
+    the increments, inner compound discount inside the conditional-
+    expectation estimates). The rule replays the exported cross-basis
+    policy (coefs, mu, sd per step) on the (swap value, x) state; rmax
+    only updates at allowed exercise steps (Bermudan schedule — the
+    option-value-zero floor keeps the bound valid, maxcall convention).
+    """
+    from .models.maxcall import multi_asset_design_matrix
+
+    n_steps = x_o.shape[0] - 1
+    n_paths = x_o.shape[1]
+    dtype = x_o.dtype
+    r0 = jnp.asarray(r0, dtype)
+    dt = jnp.asarray(dt, dtype)
+    a_f = jnp.asarray(a, dtype)
+    B_f = jnp.asarray(B, dtype)
+    L_f = jnp.asarray(L, dtype)
+
+    def plane_at(x, s_i):
+        p = jnp.zeros_like(x)
+        for m_i in range(w.shape[1]):
+            p = p + w[s_i, m_i] * jnp.exp(-Bb[s_i, m_i] * x)
+        return p
+
+    def rule_exercise(x, s):
+        s_i = jnp.clip(s, 0, n_steps).astype(jnp.int32)
+        p = plane_at(x, s_i)
+        h = jnp.maximum(p, 0.0)
+        c_i = jnp.minimum(s_i, n_steps - 1)
+        X = jnp.stack([p, x], axis=-1)
+        Xs = (X - mu_t[c_i]) / sd_t[c_i]
+        A = multi_asset_design_matrix(
+            Xs.reshape(-1, 2), spec.basis, spec.degree, "total")
+        cont = jnp.maximum((A @ coefs[c_i]).reshape(h.shape), 0.0)
+        ex = (h > 0.0) & (h > cont) & (alw_full[s_i] > 0)
+        return jnp.where(s_i >= n_steps, h > 0.0, ex), h
+
+    def inner_rule_value(x_start, t1, key_t):
+        """E-hat[ D(t1-1 -> sigma) * h_sigma | x at t1-1 ] in (t1-1)-dollars
+        — the first participating step's df IS included (stochastic
+        discounting: the conditional expectation is of the discounted rule
+        value, not of the rule value times a deterministic factor)."""
+        J = n_inner
+        z0 = jax.random.normal(key_t, (n_steps, 2, J // 2, n_paths), dtype)
+        z = jnp.concatenate([z0, -z0], axis=2)  # antithetic inner pairs
+
+        def istep(carry, xs):
+            x, D_in, alive, val = carry
+            z_s, s = xs
+            run = s >= t1
+            s_prev = jnp.clip(s - 1.0, 0, n_steps - 1).astype(jnp.int32)
+            eta = L_f[0, 0] * z_s[0]
+            iota = L_f[1, 0] * z_s[0] + L_f[1, 1] * z_s[1]
+            int_r = r0 * dt + A_row[s_prev] + x * B_f + iota
+            D_in = jnp.where(run, D_in * jnp.exp(-int_r), D_in)
+            x = jnp.where(run, a_f * x + eta, x)
+            e, h = rule_exercise(x, s)
+            stop = alive & e & run
+            val = jnp.where(stop, D_in * h, val)
+            alive = alive & ~stop
+            return (x, D_in, alive, val), None
+
+        x0 = jnp.broadcast_to(x_start[None, :], (J, n_paths))
+        ss = jnp.arange(1, n_steps + 1, dtype=dtype)
+        (_, _, _, val), _ = lax.scan(
+            istep,
+            (x0, jnp.ones((J, n_paths), dtype),
+             jnp.ones((J, n_paths), bool), jnp.zeros((J, n_paths), dtype)),
+            (z, ss))
+        return jnp.mean(val, axis=0)
+
+    keys = jax.random.split(key, n_steps + 1)
+    ts = jnp.arange(n_steps, dtype=dtype)
+
+    def step(carry, xs):
+        M, rmax, cD_prev = carry  # cD_prev = E-hat[D(t->t1) h | x_t], t-dollars
+        x_t1, D_t, D_t1, t, key_t = xs
+        t1 = t + 1.0
+        s_i = jnp.minimum(t1, float(n_steps)).astype(jnp.int32)
+        e1, h1 = rule_exercise(x_t1, t1)
+        cD_next = jnp.where(
+            t1 < n_steps,
+            inner_rule_value(x_t1, t1 + 1.0, key_t),
+            jnp.zeros((n_paths,), dtype),
+        )
+        realized = jnp.where(e1, h1, cD_next)  # rule value at t1, t1-dollars
+        M = M + D_t1 * realized - D_t * cD_prev
+        rmax = jnp.where(alw_full[s_i] > 0,
+                         jnp.maximum(rmax, D_t1 * h1 - M), rmax)
+        return (M, rmax, cD_next), None
+
+    M0 = jnp.zeros((n_paths,), dtype)
+    r0max = jnp.zeros((n_paths,), dtype)  # value >= 0 floor (t=0 not a date)
+    c0 = inner_rule_value(x_o[0], 1.0, keys[n_steps])
+    (M, rmax, _), _ = lax.scan(
+        step, (M0, r0max, c0),
+        (x_o[1:], D_o[:n_steps], D_o[1:], ts, keys[:n_steps]))
+    upper = jnp.mean(rmax)
+    stderr = jnp.std(rmax) / jnp.sqrt(float(n_paths))
+    return upper, stderr, upper - lower
+
+
+def swaption_dual_bound(
+    key: jax.Array,
+    hw: HW1FParams,
+    K,
+    pay_times,
+    exercise_times=None,
+    first_reset: float | None = None,
+    payer: bool = True,
+    spec: RegressionSpec = RegressionSpec(basis="chebyshev", degree=2),
+    sim: SimConfig = SimConfig(),
+    n_outer: int = 2_048,
+    n_inner: int = 64,
+):
+    """Certified (LSMC lower, nested AB dual upper) Bermudan-swaption
+    bracket (VERDICT r3 #3: the point estimate sat 2.5 sigma below the PDE
+    anchor with nothing certifying how much was policy bias).
+
+    Fits the cross-basis policy on ``sim`` paths (key stream 1), exports
+    the per-step coefficients + standardization frames, then runs the
+    nested Andersen-Broadie dual on ``n_outer`` fresh outer paths (key
+    streams 2/3 for outer paths / inner normals) with exact HW inner
+    transitions and pathwise inner discounting. Returns
+    ``(lower_result, DualResult)``: the lower bound is the frozen
+    rule's OUT-OF-SAMPLE replay on a fourth key-disjoint path set (an
+    in-sample fit price is foresight-biased upward and certifies
+    nothing); ``lower_result.coeffs`` carries the exported policy.
+    Units as `price_bermudan_swaption` (x 1e4 for bp on unit notional).
+    """
+    from .dual import DualResult
+    from .payoff import exercise_allow_row
+
+    if n_inner < 2 or n_inner % 2:
+        raise ValueError("n_inner must be even (antithetic inner pairs)")
+    k_fit, k_replay, k_outer, k_inner = jax.random.split(key, 4)
+    T, dt, sched_steps, w, Bb = _swaption_setup(
+        hw, K, pay_times, exercise_times, first_reset, payer, sim.n_steps)
+    res = price_bermudan_swaption(
+        k_fit, hw, K, pay_times, exercise_times=exercise_times,
+        first_reset=first_reset, payer=payer, spec=spec, sim=sim,
+        return_coeffs=True)
+    coefs, mu_t, sd_t = res.coeffs
+    sim_outer = SimConfig(n_paths=n_outer, n_steps=sim.n_steps,
+                          antithetic=False)
+    x_o, df_o = simulate_hw_rates(k_outer, hw, T, sim_outer)
+    D_o = jnp.concatenate([jnp.ones((1, n_outer), x_o.dtype),
+                           jnp.cumprod(df_o, axis=0)], axis=0)
+    plane_o = _swap_planes(x_o, jnp.asarray(w, jnp.float32),
+                           jnp.asarray(Bb, jnp.float32))
+    alw = exercise_allow_row(sched_steps, sim.n_steps, jnp.float32)
+    alw_full = alw.at[sim.n_steps].set(1.0)  # expiry always decides
+    # OOS lower bound: replay the frozen rule on an independent path set
+    # (the in-sample fit price is foresight-biased upward)
+    x_r, df_r = simulate_hw_rates(k_replay, hw, T, sim)
+    wj = jnp.asarray(w, jnp.float32)
+    Bbj = jnp.asarray(Bb, jnp.float32)
+    lo_price, lo_stderr = _swaption_replay_impl(
+        x_r, df_r, coefs, mu_t, sd_t, alw_full, wj, Bbj, spec,
+        sim.antithetic)
+    a, B, L, A_row = _hw_step_constants(hw, dt, sim.n_steps)
+    upper, u_stderr, gap = _swaption_dual_impl(
+        k_inner, x_o, plane_o, D_o, coefs, mu_t, sd_t, alw_full,
+        wj, Bbj, a, B, jnp.asarray(L), jnp.asarray(A_row, jnp.float32),
+        float(hw.r0), dt, lo_price, spec, n_inner)
+    lower = LSMCResult(lo_price, lo_stderr, None, None, None,
+                       coeffs=res.coeffs)
+    return lower, DualResult(upper, u_stderr, gap)
 
 
 def swaption_ccr_profile(surface_tm):

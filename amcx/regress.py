@@ -125,6 +125,22 @@ def regression_fitted_values(
 
 
 def _fit(x, y, weights, spec: RegressionSpec, axis_name: Optional[str] = None):
+    if weights is not None:
+        # Degenerate-weight fallback: an ITM-restricted fit at a step where
+        # (almost) no path is ITM (e.g. t=0 exactly at the money) has zero
+        # weight mass — the zero Gram would solve to all-zero coefficients,
+        # and REPLAYING those (scenario ladders, exported-coeff duals)
+        # fabricates cont = 0, i.e. spurious immediate exercise at shifted
+        # spots. Fall back to the unweighted fit when fewer than k+1
+        # effective points carry weight (exactly when the weighted fit is
+        # meaningless anyway; in-sample prices are unaffected — with no ITM
+        # paths there is nothing to exercise). Applied before the
+        # standardization so frame and fit stay consistent.
+        wsum = jnp.sum(weights)
+        if axis_name is not None:
+            wsum = lax.psum(wsum, axis_name)
+        weights = jnp.where(wsum >= float(spec.degree + 2), weights,
+                            jnp.ones_like(weights))
     if spec.scaling:
         xs = weighted_standardize(x, weights, spec.scaling_factor, axis_name=axis_name)
     elif spec.internal_standardize:

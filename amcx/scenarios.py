@@ -99,6 +99,7 @@ def _ladder_impl(key, S0_grid, sig_grid, r, q, product, spec, sim, mode,
                                       antithetic=sim.antithetic)
         else:
             res = lsmc_option_pricing(paths, product, r, spec,
+                                      return_surface=False,
                                       antithetic=sim.antithetic)
         return None, (res.price, res.stderr)
 
@@ -127,6 +128,13 @@ def scenario_ladder(
     measured single-option replay rate is ~39 G path-steps/s, so big
     grids revalue at better-than-flagship speed per cell).
     """
+    from .engine import resolve_regression_spec
+
+    # one concrete estimator for the whole grid: refit cells and the
+    # frozen-policy replays must run the SAME resolved spec or the
+    # envelope-theorem comparison (replay ~ refit at small shifts) breaks
+    # by the estimator difference, not the shift
+    spec = resolve_regression_spec(spec, product, q=market.q)
     if mode not in ("refit", "replay", "replay-mega"):
         raise ValueError(f"mode must be 'refit', 'replay', or "
                          f"'replay-mega', got {mode!r}")
@@ -146,9 +154,15 @@ def scenario_ladder(
         # fit via the mega engine: its coefficient frame is the CLOSED-FORM
         # GBM standardization, recomputable here (the XLA engine's
         # per-step empirical frame is not exported — same routing as
-        # `amcx.policy.price_out_of_sample`)
-        base = price_option(key, market, product, spec, sim, engine="mega",
-                            return_coeffs=True)
+        # `amcx.policy.price_out_of_sample`). The exported policy is the
+        # ALL-PATHS fit: scenario replay evaluates the coefficients at
+        # shifted spots/vols, and an ITM-localized fit's t=0 row is
+        # degenerate exactly at the money (zero weight mass -> zero
+        # coefficients -> cont = 0 -> spurious immediate exercise at any
+        # ITM shifted spot; docs/PARITY.md deviation 6).
+        spec_fit = dataclasses.replace(spec, regress_on="all")
+        base = price_option(key, market, product, spec_fit, sim,
+                            engine="mega", return_coeffs=True)
         coeffs = jnp.asarray(base.coeffs)
         mean_t, inv_std_t = gbm_standardization(market, product.T,
                                                 sim.n_steps)

@@ -264,6 +264,16 @@ def price_swing_option(
         raise ValueError("need 0 <= n_min <= n_rights")
     if n_min > sim.n_steps + 1:
         raise ValueError("n_min exceeds the number of exercise dates")
+    # resolve the "auto" estimator: ITM localization for the nonnegative
+    # option kind (consistent with price_option, so the 1-right swing
+    # reproduces the American engine); forward-kind fits are signed and
+    # must stay global (round-3 estimator trap: ITM localization silently
+    # disables should-exercise-while-OTM decisions on obligations)
+    if spec.regress_on == "auto":
+        import dataclasses as _dc
+
+        spec = _dc.replace(
+            spec, regress_on="itm" if payoff_kind == "option" else "all")
     phi = 1.0 if product.option_type == "call" else -1.0
     dtype = sim.jnp_dtype
     if engine == "mega":

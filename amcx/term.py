@@ -274,6 +274,9 @@ def price_option_curves(
     curve-aware scan engine above (cf/τ outputs filled). Flat curves
     reproduce the flat-market engines.
     """
+    from .engine import resolve_regression_spec
+
+    spec = resolve_regression_spec(spec, product)
     if exercise_steps is not None:
         exercise_steps = tuple(int(i) for i in exercise_steps)
     n_steps = sim.n_steps

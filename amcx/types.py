@@ -114,9 +114,17 @@ class RegressionSpec:
 
     Extensions over the reference (SURVEY Q1 and §7.4):
 
-    - ``regress_on``: ``"all"`` (reference behaviour — fit on every path,
-      `american_monte_carlo.py:127`) or ``"itm"`` (canonical
-      Longstaff-Schwartz: weight the fit by the in-the-money indicator).
+    - ``regress_on``: ``"auto"`` (default — the public pricing entry points
+      resolve it per product via `amcx.engine.resolve_regression_spec`:
+      the bias-reduced ITM-localized estimator for early-exercisable
+      vanilla products, all-paths for Europeans), ``"all"`` (the explicit
+      reference-parity opt-out — fit on every path,
+      `american_monte_carlo.py:127`, SURVEY Q1; carries a documented
+      −0.06…−0.22 policy bias at 1M paths for ITM American configs, see
+      docs/PARITY.md), or ``"itm"`` (canonical Longstaff-Schwartz: weight
+      the fit by the in-the-money indicator). Layers below the public
+      entry points treat an unresolved ``"auto"`` as ``"all"``
+      (reference behaviour).
     - ``internal_standardize``: even when the user-facing ``scaling`` flag is
       off, the design matrix is built on an internally standardized regressor.
       Fitted values of an OLS fit are invariant under affine reparametrization
@@ -137,15 +145,16 @@ class RegressionSpec:
     degree: int = 4
     scaling: bool = False
     scaling_factor: float = 2.0
-    regress_on: str = "all"
+    regress_on: str = "auto"
     internal_standardize: bool = True
     rcond: float = 1e-6
 
     def __post_init__(self):
         object.__setattr__(self, "basis", _norm(self.basis))
         object.__setattr__(self, "regress_on", _norm(self.regress_on))
-        if self.regress_on not in ("all", "itm"):
-            raise ValueError(f"regress_on must be 'all' or 'itm', got {self.regress_on!r}")
+        if self.regress_on not in ("auto", "all", "itm"):
+            raise ValueError(
+                f"regress_on must be 'auto', 'all' or 'itm', got {self.regress_on!r}")
         if self.degree < 0:
             raise ValueError("degree must be >= 0")
 

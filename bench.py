@@ -88,7 +88,12 @@ def main():
     crr = float(
         crr_price(100.0, 100.0, 1.0, 0.01, 0.2, 2000, option_type="put", american=True)
     )
-    abs_err = abs(total / iters - crr)
+    # Two estimators reported explicitly so the fields cross-check: the
+    # single warmup pricing (one seed) and the mean over the final timed
+    # batch of `iters` independent pricings (lower-variance).
+    price_mean = total / iters
+    err_single = abs(price1 - crr)
+    err_mean = abs(price_mean - crr)
 
     print(
         json.dumps(
@@ -99,9 +104,12 @@ def main():
                 "vs_baseline": round(throughput / TARGET, 4),
                 "extra": {
                     "ms_per_pricing": round(dt * 1e3, 2),
-                    "price": round(price1, 4),
+                    "price_single": round(price1, 4),
+                    "err_single": round(err_single, 4),
+                    "price_mean%d" % iters: round(price_mean, 4),
+                    "err_mean%d" % iters: round(err_mean, 4),
                     "crr2000_ref": round(crr, 4),
-                    "abs_err_vs_crr": round(abs_err, 4),
+                    "abs_err_vs_crr": round(err_mean, 4),
                     "backend": jax.default_backend(),
                     "device": str(jax.devices()[0]),
                     "n_paths": N_PATHS,

@@ -87,7 +87,10 @@ def test_megakernel_barrier_types(paths):
 
     prod = ProductSpec(K=100.0, T=1.0, barrier=130.0, option_type="call",
                        exercise="american", barrier_type="up-out")
-    ref = lsmc_option_pricing(paths, prod, 0.05, RegressionSpec(degree=4), return_surface=False)
+    # regress_on="all": the raw kernel call fits on all paths (identity test)
+    ref = lsmc_option_pricing(paths, prod, 0.05,
+                              RegressionSpec(degree=4, regress_on="all"),
+                              return_surface=False)
     p = lsmc_price_megakernel(paths, 100.0, 0.05, 1.0 / 50, 1.0, degree=4,
                               barrier=130.0, barrier_type="up-out")
     assert abs(float(p) - float(ref.price)) < 2.5e-3

@@ -16,7 +16,9 @@ from amcx import (
 from amcx.book import price_strike_grid
 
 M = MarketParams(100.0, 0.03, 0.2)
-SPEC = RegressionSpec(degree=4)
+# book "auto" resolves to the all-paths shared-Gram frame; pin it so the
+# vs-individual identity tests compare the same estimator on both routes
+SPEC = RegressionSpec(degree=4, regress_on="all")
 
 
 @pytest.fixture(scope="module")

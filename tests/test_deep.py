@@ -66,7 +66,13 @@ def test_deep_maxcall_two_assets_near_literature():
         jax.random.key(1), np.array([100.0, 100.0]), 0.05, 0.10, 0.2,
         np.eye(2), 100.0, 3.0, sim,
         DeepSpec(n_inner=100, n_pretrain=500), out_of_sample=True)
-    assert 13.3 < float(res.price) < 14.3, float(res.price)
+    # bracket-style gate (VERDICT r3 #4): the OOS replay is a true lower
+    # bound, so it must sit below the AB upper edge up to MC noise, and a
+    # competent policy keeps it within a few stderr of the lower edge
+    # (10-seed round-4 audit: mean 13.81 +- 0.04, spread 0.13 at 8k paths)
+    p, se = float(res.price), float(res.stderr)
+    assert p < 13.93 + 3.2 * se, (p, se)
+    assert p > 13.902 - 5.0 * se, (p, se)
 
 
 def test_deep_spec_validation():
@@ -115,3 +121,23 @@ def test_deep_engine_generalizes_to_heston_state():
                               sim)
     assert abs(float(res.price) - float(ref.price)) < 0.1, (
         float(res.price), float(ref.price))
+
+
+def test_deep_dual_bound_max_call_brackets_literature():
+    """Certified 2-asset max-call bracket from the frozen deep policy
+    (VERDICT r3 #4: the max-call previously shipped only a point OOS
+    estimate; the round-4 10-seed audit put the OOS mean at 13.81 ± 0.04,
+    a true lower bound below the AB interval [13.90, 13.93])."""
+    from amcx import deep_dual_bound_max_call
+
+    sim = SimConfig(n_paths=4_096, n_steps=9, antithetic=True)
+    lo, up = deep_dual_bound_max_call(
+        jax.random.key(2), np.array([100.0, 100.0]), 0.05, 0.10, 0.2,
+        np.eye(2), 100.0, 3.0, sim, DeepSpec(n_inner=60, n_pretrain=300),
+        n_outer=256, n_inner=16)
+    lo_p, lo_se = float(lo.price), float(lo.stderr)
+    up_p, up_se = float(up.upper), float(up.stderr)
+    # bracket the AB interval (true price in [13.90, 13.93])
+    assert lo_p - 4.0 * lo_se <= 13.93, (lo_p, lo_se)
+    assert up_p + 4.0 * up_se >= 13.90, (up_p, up_se)
+    assert lo_p <= up_p + 2.0 * (lo_se + up_se)

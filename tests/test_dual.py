@@ -13,7 +13,7 @@ from amcx import (
     simulate_gbm,
 )
 from amcx.dual import dual_upper_bound
-from amcx.engine_pallas import precompute_standardization
+from amcx.engine import policy_frame
 from amcx.oracle import crr_price
 
 M = MarketParams(100.0, 0.05, 0.2)
@@ -22,10 +22,13 @@ PROD = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american")
 
 @pytest.fixture(scope="module")
 def fit():
-    spec = RegressionSpec(degree=6)
+    # all-paths fit: the one-step surrogate tests below need a GLOBAL
+    # continuation estimate (the ITM-resolved default is certified
+    # separately by test_nested_brackets_auto_policy)
+    spec = RegressionSpec(degree=6, regress_on="all")
     paths = simulate_gbm(jax.random.key(0), M, 1.0, SimConfig(n_paths=50_000, n_steps=25))
     res = lsmc_option_pricing(paths, PROD, M.r, spec, return_surface=False, return_coeffs=True)
-    mean_t, inv_std_t = precompute_standardization(paths, None, spec)
+    mean_t, inv_std_t = policy_frame(paths, PROD, spec)
     return spec, res, mean_t, inv_std_t
 
 
@@ -91,7 +94,9 @@ def test_dual_from_mega_coeffs():
 
     m = MarketParams(100.0, 0.05, 0.2)
     prod = ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american")
-    spec = RegressionSpec(degree=4)
+    # all-paths on both routes: the mega call below fits all-paths
+    # (itm_weights=False), so the XLA twin must too
+    spec = RegressionSpec(degree=4, regress_on="all")
     n_steps = 10
     paths = simulate_gbm(jax.random.key(3), m, 1.0,
                          SimConfig(n_paths=16384, n_steps=n_steps))
@@ -112,3 +117,33 @@ def test_dual_from_mega_coeffs():
                              mean_t, inv_std_t, n_inner=16)
     assert float(d_mega.upper) >= float(mega.price) - 1e-3  # valid upper bound
     assert abs(float(d_mega.upper) - float(d_xla.upper)) < 5e-3
+
+
+def test_nested_brackets_auto_policy():
+    """Certify the SHIPPED estimator: nested AB dual on the auto-resolved
+    ITM policy must bracket the CRR truth with a tight gap (the one-step
+    surrogate is invalid for ITM fits — see dual_upper_bound docstring)."""
+    import warnings
+
+    from amcx.engine import policy_frame
+
+    spec = RegressionSpec(degree=6)  # regress_on="auto" -> itm
+    paths = simulate_gbm(jax.random.key(0), M, 1.0,
+                         SimConfig(n_paths=50_000, n_steps=25))
+    res = lsmc_option_pricing(paths, PROD, M.r, spec, return_surface=False,
+                              return_coeffs=True)
+    mean_t, inv_std_t = policy_frame(paths, PROD, spec)
+    paths_dual = simulate_gbm(jax.random.key(99), M, 1.0,
+                              SimConfig(n_paths=4_096, n_steps=25))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # nested must NOT warn
+        d = dual_upper_bound(jax.random.key(7), paths_dual, res, M, PROD,
+                             spec, mean_t, inv_std_t, n_inner=64, nested=True)
+    true = float(crr_price(100.0, 100.0, 1.0, 0.05, 0.2, 2000,
+                           option_type="put", american=True))
+    lower = float(res.price) - 4 * float(res.stderr)
+    upper = float(d.upper) + 4 * float(d.stderr)
+    assert lower <= true <= upper, (lower, true, upper)
+    # J=64 inner-noise inflates the pathwise max; 0.15 matches the
+    # one-step-vs-nested test's bar (the TPU RESULTS bracket runs J=512)
+    assert float(d.upper) - true < 0.15

@@ -168,7 +168,10 @@ def test_fused_ad_matches_xla_autodiff():
                                 engine="xla")
     p_f, g_f = price_and_greeks(key, M, prod, RegressionSpec(degree=4), sim,
                                 engine="fused-ad")
-    np.testing.assert_allclose(float(p_f), float(p_x), rtol=2e-4)
+    # 4e-4: the auto-resolved ITM fit's weighted Gram is worse-conditioned
+    # than the all-paths one, so kernel-vs-XLA f32 route noise flips a few
+    # more boundary decisions (~2.5e-4 relative on this config)
+    np.testing.assert_allclose(float(p_f), float(p_x), rtol=4e-4)
     for name in ("delta", "vega", "rho", "dividend_rho", "theta"):
         np.testing.assert_allclose(float(g_f[name]), float(g_x[name]),
                                    rtol=5e-3, atol=5e-3, err_msg=name)

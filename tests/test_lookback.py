@@ -110,3 +110,27 @@ def test_validation_errors():
     with pytest.raises(ValueError):
         price_lookback_option(jax.random.key(0), M, 100.0, 1.0,
                               strike_type="asian")
+
+
+def test_mc_anchor_consistent_with_local_twin():
+    """The library's exact-discrete f64 anchor (`lookback_mc_anchor`, the
+    PRIMARY RESULTS anchor since round 4) and this module's independent
+    local twin price the same discrete payoff — agreement within combined
+    MC error is a twin-vs-twin implementation gate."""
+    from amcx.models.lookback import lookback_mc_anchor
+
+    a, a_se = lookback_mc_anchor(100.0, 100.0, 1.0, 0.05, 0.25,
+                                 n_steps=50, n_paths=200_000, seed=3)
+    b, b_se = _mc_twin(lambda S, mx, mn: np.maximum(mx - 100.0, 0.0))
+    assert abs(a - b) < 4.0 * np.hypot(a_se, b_se), (a, b)
+
+
+def test_mc_anchor_floating_put_units():
+    """Floating-strike put M−S ≥ 0 pathwise and exceeds the fixed ATM call
+    lower bound sanity: anchor returns positive price below S0."""
+    from amcx.models.lookback import lookback_mc_anchor
+
+    p, se = lookback_mc_anchor(100.0, 0.0, 1.0, 0.05, 0.25, n_steps=50,
+                               n_paths=100_000, strike_type="floating",
+                               option_type="put")
+    assert 0.0 < p < 100.0 and se < 0.2

@@ -145,8 +145,10 @@ def test_cli_q0_call_advisory(capsys):
 
     from amcx.cli import main as cli_main
 
+    # --regress-on all: the explicit parity opt-in (the auto default now
+    # resolves to the bias-reduced itm spec and does not warn)
     argv = ["amcx", "price", "--option-type", "call", "--exercise", "american",
-            "--paths", "2048", "--steps", "5", "--json"]
+            "--paths", "2048", "--steps", "5", "--regress-on", "all", "--json"]
     old = sys.argv
     try:
         sys.argv = argv

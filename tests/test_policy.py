@@ -257,3 +257,30 @@ def test_valuation_interval_rejects_barrier():
                        exercise="american")
     with pytest.raises(ValueError, match="barrier"):
         valuation_interval(jax.random.key(0), M, prod)
+
+
+def test_price_out_of_sample_replay_blocks_identity():
+    """Block-chained fusedpath replay (the 16M-paths long-axis route): on
+    CPU the interpreter stubs the PRNG, so every block regenerates the
+    identical fan — B blocks must then combine to exactly the single-block
+    price with stderr shrunk by sqrt(B) (the iid-block combination math,
+    checked deterministically; the statistical version runs on hardware)."""
+    spec = RegressionSpec(degree=4)
+    sim = SimConfig(n_paths=8_192, n_steps=N_STEPS)
+    key = jax.random.key(31)
+    one = price_out_of_sample(key, M, PUT, spec, sim, engine="fusedpath",
+                              replay_engine="fusedpath")
+    four = price_out_of_sample(key, M, PUT, spec, sim, engine="fusedpath",
+                               replay_engine="fusedpath", replay_blocks=4)
+    np.testing.assert_allclose(float(four.oos.price), float(one.oos.price),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(four.oos.stderr),
+                               float(one.oos.stderr) / 2.0, rtol=1e-5)
+
+
+def test_replay_blocks_requires_fusedpath():
+    with pytest.raises(ValueError, match="replay_blocks"):
+        price_out_of_sample(
+            jax.random.key(1), M, PUT, RegressionSpec(degree=4),
+            SimConfig(n_paths=8_192, n_steps=N_STEPS), engine="mega",
+            replay_engine="mega", replay_blocks=4)

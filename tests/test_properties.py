@@ -54,7 +54,10 @@ def test_no_arbitrage_bounds_all_engines(cfg):
     paths = simulate_gbm(
         jax.random.key(zlib.crc32(str(cfg).encode()) % 2**31), m, cfg["T"], sim
     )
-    spec = RegressionSpec(degree=4)
+    # all-paths: the raw megakernel call below fits on all paths, and this
+    # test checks ENGINE agreement (the auto->itm default is covered by
+    # tests/test_autospec.py)
+    spec = RegressionSpec(degree=4, regress_on="all")
     dt = cfg["T"] / 20
     phi = 1.0 if cfg["ot"] == "call" else -1.0
 

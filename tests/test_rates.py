@@ -216,3 +216,43 @@ def test_review_fix_regressions():
         simulate_hw_rates(jax.random.key(0), HW, 1.0,
                           SimConfig(n_paths=1001, n_steps=4,
                                     antithetic=True))
+
+
+def test_swaption_dual_bracket_contains_pde():
+    """(OOS lower, nested AB dual upper) must bracket the f64 CN-PDE anchor
+    (VERDICT r3 #3). Small sizes: the gate is bracket validity, not width —
+    the production-scale bracket is regenerated on TPU in RESULTS.md."""
+    from amcx.rates import (pde_bermudan_swaption, swap_schedule,
+                            swaption_dual_bound)
+
+    hw = HW1FParams(r0=0.03, kappa=0.5, sigma_r=0.012)
+    pay = swap_schedule(1.0, 3.0, 1)
+    sim = SimConfig(n_paths=16_384, n_steps=24, antithetic=True)
+    lo, up = swaption_dual_bound(jax.random.key(3), hw, 0.0305, pay, sim=sim,
+                                 n_outer=512, n_inner=8)
+    pde = pde_bermudan_swaption(hw, 0.0305, pay)
+    lo_p, lo_se = float(lo.price), float(lo.stderr)
+    up_p, up_se = float(up.upper), float(up.stderr)
+    assert lo_p - 4.0 * lo_se <= pde, (lo_p, lo_se, pde)
+    assert up_p + 4.0 * up_se >= pde, (up_p, up_se, pde)
+    # the degree-2 cross-basis policy is near-optimal: tight bracket
+    assert up_p - lo_p < 0.0004 + 4.0 * (lo_se + up_se)  # < ~4 bp + noise
+    # policy export present on the lower result
+    assert lo.coeffs is not None and len(lo.coeffs) == 3
+
+
+def test_swaption_dual_european_limit():
+    """Single exercise date: the OOS replay reduces to plain discounted-MC
+    of the expiry payoff and must match Jamshidian to MC tolerance."""
+    from amcx.rates import (jamshidian_swaption_price, swap_schedule,
+                            swaption_dual_bound)
+
+    hw = HW1FParams(r0=0.03, kappa=0.5, sigma_r=0.012)
+    pay = swap_schedule(1.0, 3.0, 1)
+    jam = jamshidian_swaption_price(hw, 0.0305, 1.0, pay)
+    sim = SimConfig(n_paths=32_768, n_steps=12, antithetic=True)
+    lo, up = swaption_dual_bound(jax.random.key(5), hw, 0.0305, pay,
+                                 exercise_times=[1.0], sim=sim,
+                                 n_outer=256, n_inner=8)
+    assert abs(float(lo.price) - jam) < 4.0 * float(lo.stderr)
+    assert float(up.upper) + 4.0 * float(up.stderr) >= jam

@@ -20,7 +20,10 @@ def test_zero_shift_cell_equals_single_pricing():
                            spot_shifts=(-0.05, 0.0, 0.05),
                            vol_shifts=(0.0,), mode="refit")
     paths = simulate_gbm(jax.random.key(0), M, 1.0, SIM)
-    base = lsmc_option_pricing(paths, PUT, M.r, SPEC, antithetic=True)
+    # return_surface=False: match the ladder's resolution of the auto spec
+    # (a surface request would resolve to the all-paths estimator instead)
+    base = lsmc_option_pricing(paths, PUT, M.r, SPEC, return_surface=False,
+                               antithetic=True)
     np.testing.assert_allclose(float(grid.prices[1, 0]), float(base.price),
                                rtol=1e-6)
 

@@ -47,7 +47,9 @@ def test_jit_sharded_matches_single_device(mesh):
     single = price_option(key, M, PROD, SPEC, SIM)
     sharded = price_option_sharded(key, M, PROD, SPEC, SIM, mesh)
     assert abs(float(sharded.price) - float(single.price)) < 0.5 * float(single.stderr)
-    np.testing.assert_allclose(float(sharded.stderr), float(single.stderr), rtol=1e-2)
+    # 2e-2: the auto-resolved ITM fit lets a few near-boundary exercise
+    # decisions flip with shard-local reduction order, moving stderr ~1%
+    np.testing.assert_allclose(float(sharded.stderr), float(single.stderr), rtol=2e-2)
 
 
 def test_sharded_outputs_live_on_mesh(mesh):

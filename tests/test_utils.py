@@ -54,7 +54,10 @@ def test_save_load_replay(tmp_path):
 
     def price_fn(config):
         p = simulate_gbm(jax.random.key(config["seed"]), M, 1.0, SIM)
-        return lsmc_option_pricing(p, PROD, M.r, SPEC, return_surface=False).price
+        # return_surface=True: the saved run requested the surface, which
+        # resolves the auto spec to the all-paths estimator — the replay
+        # must reprice with the same resolution to reproduce the price
+        return lsmc_option_pricing(p, PROD, M.r, SPEC, return_surface=True).price
 
     assert replay(f, price_fn)
     assert not replay(f, lambda c: 0.0)

@@ -100,9 +100,12 @@ def test_antithetic_stderr_consistent_across_engines():
 
     paths = simulate_gbm(jax.random.key(3), M, 1.0,
                          SimConfig(n_paths=16384, n_steps=10, antithetic=True))
-    rx = lsmc_option_pricing(paths, PROD, M.r, SPEC, return_surface=False,
+    # pin the all-paths estimator: the raw megakernel call below fits on
+    # all paths, and the stderr identity only holds same-estimator
+    spec = RegressionSpec(degree=4, regress_on="all")
+    rx = lsmc_option_pricing(paths, PROD, M.r, spec, return_surface=False,
                              antithetic=True)
-    rf = lsmc_option_pricing_fused(paths, PROD, M.r, SPEC, antithetic=True)
+    rf = lsmc_option_pricing_fused(paths, PROD, M.r, spec, antithetic=True)
     _, se_mega = lsmc_price_megakernel(paths, 100.0, M.r, 0.1, -1.0, degree=4,
                                        return_stats=True, antithetic=True)
     assert abs(float(rx.stderr) - float(rf.stderr)) < 2e-4
