@@ -30,7 +30,8 @@ pytestmark = pytest.mark.skipif(
 )
 
 M = MarketParams(100.0, 0.01, 0.2)
-SPEC = RegressionSpec(degree=4)
+SPEC = RegressionSpec(degree=4)          # auto → ITM fit at the engine level
+SPEC_ALL = RegressionSpec(degree=4, regress_on="all")  # raw-kernel estimator
 
 
 @pytest.fixture(scope="module")
@@ -51,6 +52,17 @@ def xla_put(paths):
     )
 
 
+@pytest.fixture(scope="module")
+def xla_put_all(paths):
+    # all-paths twin for RAW kernel calls (which default to the reference
+    # estimator, itm_weights=False) — the engine-level SPEC auto-resolves
+    # to the ITM fit since round 4 and prices ~0.1 higher on this config
+    return lsmc_option_pricing(
+        paths, ProductSpec(K=100.0, T=1.0, option_type="put", exercise="american"),
+        M.r, SPEC_ALL, return_surface=False,
+    )
+
+
 def test_fused_vs_xla_onchip(paths, xla_put):
     """Two-kernel fused engine lowers and prices on hardware."""
     f = lsmc_option_pricing_fused(
@@ -61,12 +73,12 @@ def test_fused_vs_xla_onchip(paths, xla_put):
     np.testing.assert_allclose(float(f.stderr), float(xla_put.stderr), rtol=0.05)
 
 
-def test_mega_vs_xla_onchip(paths, xla_put):
+def test_mega_vs_xla_onchip(paths, xla_put_all):
     """Single-kernel engine lowers and prices on hardware (incl. stats)."""
     p, se = lsmc_price_megakernel(paths, 100.0, M.r, 1.0 / 50, -1.0, degree=4,
                                   return_stats=True)
-    assert abs(float(p) - float(xla_put.price)) < 2.5e-3
-    np.testing.assert_allclose(float(se), float(xla_put.stderr), rtol=0.05)
+    assert abs(float(p) - float(xla_put_all.price)) < 2.5e-3
+    np.testing.assert_allclose(float(se), float(xla_put_all.stderr), rtol=0.05)
 
 
 @pytest.mark.parametrize("barrier_type,barrier", [("down-in", 85.0), ("up-out", 120.0)])
@@ -76,11 +88,15 @@ def test_barrier_variants_onchip(paths, barrier_type, barrier):
                        barrier=barrier, barrier_type=barrier_type)
     ref = lsmc_option_pricing(paths, prod, M.r, SPEC, return_surface=False)
     f = lsmc_option_pricing_fused(paths, prod, M.r, SPEC)
+    # auto → ITM∧knocked fit on both engines, incl. the degenerate-weight
+    # fallback steps — the sharp on-chip gate for the round-4 use_w scalar
     assert abs(float(f.price) - float(ref.price)) < 2.5e-3, barrier_type
     if barrier_type == "down-in":  # mega supports the reference's Q4 variant
+        ref_all = lsmc_option_pricing(paths, prod, M.r, SPEC_ALL,
+                                      return_surface=False)
         p = lsmc_price_megakernel(paths, 100.0, M.r, 1.0 / 50, -1.0, degree=4,
                                   barrier=barrier, barrier_type=barrier_type)
-        assert abs(float(p) - float(ref.price)) < 2.5e-3
+        assert abs(float(p) - float(ref_all.price)) < 2.5e-3
 
 
 def test_no_dividend_call_bias():
@@ -142,7 +158,7 @@ def test_mixed_book_megakernel_onchip(paths):
     np.testing.assert_allclose(p, np.asarray(xla.prices), atol=5e-3)
 
 
-def test_fusedpath_onchip(paths, xla_put):
+def test_fusedpath_onchip(paths, xla_put_all):
     """Backward in-kernel path generation: statistical agreement with the
     forward pipeline and seed determinism on hardware."""
     from amcx.ops.lsmc_fusedpath import lsmc_price_fusedpath
@@ -151,7 +167,9 @@ def test_fusedpath_onchip(paths, xla_put):
                                   50, 262_144, -1.0, return_stats=True)
     p1, se = float(p1), float(se)
     # different PRNG stream than the forward paths: statistical agreement
-    assert abs(p1 - float(xla_put.price)) < 5 * se, (p1, float(xla_put.price), se)
+    # (both sides all-paths — the raw kernel runs the reference estimator)
+    assert abs(p1 - float(xla_put_all.price)) < 5 * se, (
+        p1, float(xla_put_all.price), se)
     # counter-based: same seed reproduces the price bit-for-bit
     p2 = float(lsmc_price_fusedpath(7, 100.0, 100.0, M.r, M.sigma, 1.0 / 50,
                                     50, 262_144, -1.0))
