@@ -259,8 +259,7 @@ hm = error_heatmap(jax.random.key(10), market,
                                exercise="american", barrier=80.0),
                    path_range=[500, 1000, 2000, 4000],
                    step_range=[10, 25, 50])
-fig = plot_error_heatmap(hm, option_type="put", exercise="american",
-                         barrier=80.0)
+fig = plot_error_heatmap(hm, option_type="put", exercise="american")
 """
 
 
