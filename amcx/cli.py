@@ -891,6 +891,25 @@ def cmd_pde(args):
     from .pde import PDEGrid, pde_price
     from .types import MarketParams, ProductSpec
 
+    if getattr(args, "barrier", None) is not None:
+        # exact discrete-monitoring semantics (the LSMC estimator's target)
+        from .pde_barrier import pde_discrete_barrier_price
+
+        price = pde_discrete_barrier_price(
+            args.s0, args.k, args.t, args.r, args.sigma, args.monitor,
+            q=args.q, option_type=args.option_type, exercise=args.exercise,
+            barrier=args.barrier, barrier_type=args.barrier_type)
+        payload = {"price": round(price, 4), "barrier": args.barrier,
+                   "barrier_type": args.barrier_type,
+                   "n_monitor": args.monitor,
+                   "method": "discrete-monitoring CN-PDE (f64)"}
+        if not args.json:
+            print(f"Discrete-barrier PDE {args.exercise.title()} "
+                  f"{args.option_type} {args.barrier_type} H={args.barrier} "
+                  f"({args.monitor} grid dates): {payload['price']:.4f}")
+        _emit(payload, args.json)
+        return payload
+
     market = MarketParams(args.s0, args.r, args.sigma, args.q)
     product = ProductSpec(K=args.k, T=args.t, option_type=args.option_type,
                           exercise=args.exercise)
@@ -1409,6 +1428,14 @@ def build_parser():
     pd.add_argument("--space", type=int, default=1024,
                     help="log-spot grid points")
     pd.add_argument("--steps", type=int, default=256, help="time steps")
+    pd.add_argument("--barrier", type=float, default=None,
+                    help="barrier level: switch to the exact "
+                         "discrete-monitoring CN-PDE (amcx.pde_barrier)")
+    pd.add_argument("--barrier-type", default="down-in",
+                    choices=["down-in", "up-in", "down-out", "up-out"])
+    pd.add_argument("--monitor", type=int, default=100,
+                    help="monitoring/exercise dates for --barrier mode "
+                         "(the LSMC simulation grid)")
     pd.add_argument("--json", action="store_true")
     pd.set_defaults(fn=cmd_pde)
 

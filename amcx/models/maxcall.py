@@ -32,7 +32,8 @@ from ..payoff import max_call_payoff
 from ..regress import pinv_solve
 from ..types import RegressionSpec, SimConfig
 
-__all__ = ["price_max_call", "max_call_fit", "backward_induction_fused_maxcall"]
+__all__ = ["price_max_call", "max_call_fit", "backward_induction_fused_maxcall",
+           "reprice_max_call_with_coeffs"]
 
 
 def _standardize_columns(X, weights, eps=1e-6):
@@ -120,6 +121,80 @@ def _price_max_call_impl(key, S0, r, q, sigma, corr, K, T, spec, sim, basis_mode
         exercise_from_step=1,
     )
     return res, paths
+
+
+@partial(jax.jit, static_argnames=("spec", "basis_mode"))
+def _reprice_maxcall_impl(paths_tm, coeffs, mean_t, inv_std_t, K, r, dt,
+                          spec, basis_mode):
+    n_steps = paths_tm.shape[0] - 1
+    n_paths = paths_tm.shape[1]
+    dtype = paths_tm.dtype
+
+    def rule_cont(S, coef, mean, inv_std):
+        X = jnp.sort(S, axis=-1)[..., ::-1] if basis_mode == "sorted" else S
+        xh = jnp.clip((X - mean) * inv_std, -2.5, 2.5)
+        A = multi_asset_design_matrix(xh, spec.basis, spec.degree, "total")
+        return jnp.maximum(jnp.sum(A * coef, axis=-1), 0.0)
+
+    coef_full = jnp.concatenate(
+        [coeffs, jnp.zeros((1, coeffs.shape[1]), dtype)], 0)
+
+    def step(carry, xs):
+        alive, val = carry
+        S_t, t = xs
+        idx = jnp.minimum(t, float(n_steps)).astype(jnp.int32)
+        h = max_call_payoff(S_t, K)
+        cont = rule_cont(S_t, coef_full[idx], mean_t[idx], inv_std_t[idx])
+        ex = jnp.where(t >= n_steps, h > 0.0, (h > 0.0) & (h > cont))
+        stop = alive & ex
+        val = jnp.where(stop, jnp.exp(-r * dt * t) * h, val)
+        return (alive & ~stop, val), None
+
+    ts = jnp.arange(1, n_steps + 1, dtype=dtype)
+    (_, val), _ = lax.scan(
+        step,
+        (jnp.ones((n_paths,), bool), jnp.zeros((n_paths,), dtype)),
+        (paths_tm[1:], ts),
+    )
+    price = jnp.mean(val)
+    stderr = jnp.std(val) / jnp.sqrt(float(n_paths))
+    return price, stderr
+
+
+def reprice_max_call_with_coeffs(
+    paths_tm: jnp.ndarray,
+    result,
+    coeff_stats,
+    K,
+    T,
+    r,
+    spec: RegressionSpec,
+    basis_mode: str = "sorted",
+) -> LSMCResult:
+    """Forward OOS replay of a frozen max-call exercise rule — the true
+    lower-bound edge of the Andersen-Broadie sandwich.
+
+    Applies EXACTLY the rule `amcx.dual.dual_upper_bound_max_call` certifies
+    (precomputed `coeff_stats` frame, ±2.5 clip, sorted order-statistic
+    basis, first exercise at step 1) to fresh key-disjoint ``paths_tm``
+    ``(n_steps+1, N, A)``, so the (OOS lower, dual upper) pair brackets the
+    value of one and the same adapted policy. ``result`` must come from
+    `price_max_call(..., return_coeffs=True)`; ``coeff_stats`` =
+    `maxcall_standardization(fit_paths, basis_mode)`.
+    """
+    if result.coeffs is None:
+        raise ValueError("run price_max_call with return_coeffs=True")
+    n_steps = paths_tm.shape[0] - 1
+    dtype = paths_tm.dtype
+    mean_t, inv_std_t = coeff_stats
+    if mean_t.shape[0] != n_steps + 1:
+        raise ValueError("coeff_stats must cover n_steps+1 rows")
+    price, stderr = _reprice_maxcall_impl(
+        paths_tm, result.coeffs.astype(dtype),
+        jnp.asarray(mean_t, dtype), jnp.asarray(inv_std_t, dtype),
+        jnp.asarray(K, dtype), jnp.asarray(r, dtype),
+        jnp.asarray(T / n_steps, dtype), spec, basis_mode)
+    return LSMCResult(price, stderr, None, None, None)
 
 
 def max_call_greeks(
