@@ -1012,6 +1012,46 @@ def cmd_spread(args):
     return payload
 
 
+def cmd_autocall(args):
+    """Autocallable (Phoenix) note or issuer-callable reverse convertible
+    vs the multi-state discrete CN-PDE oracle."""
+    from .models.autocall import (AutocallSpec, autocall_pde,
+                                  callable_note_pde, price_autocall,
+                                  price_callable_note)
+    from .types import MarketParams, RegressionSpec, SimConfig
+
+    market = MarketParams(args.s0, args.r, args.sigma, args.q)
+    cpn_b = args.coupon_barrier if args.coupon_barrier >= 0 else None
+    ki_b = args.ki_barrier if args.ki_barrier >= 0 else None
+    spec = AutocallSpec(
+        T=args.t, n_obs=args.obs, autocall_barrier=args.ac_barrier,
+        coupon=args.coupon, coupon_barrier=cpn_b,
+        memory=args.memory, ki_barrier=ki_b,
+        put_strike=args.put_strike if ki_b is not None else None)
+    sim = SimConfig(n_paths=args.paths, n_steps=args.steps,
+                    antithetic=args.antithetic, backend=args.backend)
+    if args.callable_by_issuer:
+        res = price_callable_note(jax.random.key(args.seed), market, spec,
+                                  sim, RegressionSpec(degree=args.degree))
+        pde = callable_note_pde(market, spec, args.steps)
+        kind = "issuer-callable note (LSMC min-rule)"
+    else:
+        res = price_autocall(jax.random.key(args.seed), market, spec, sim)
+        pde = autocall_pde(market, spec, args.steps)
+        kind = "autocallable note"
+    payload = {
+        "price": round(float(res.price), 6),
+        "stderr": round(float(res.stderr), 6),
+        "pde_oracle": round(pde, 6),
+        "kind": kind,
+    }
+    if not args.json:
+        print(f"{kind}: {payload['price']:.4f} ± {payload['stderr']:.4f} "
+              f"of notional (multi-state CN-PDE: {payload['pde_oracle']:.4f})")
+    _emit(payload, args.json)
+    return payload
+
+
 def cmd_lookback(args):
     """Lookback option on the running extremum vs the reflection-law
     quadrature oracle (BGK-shifted to the discrete monitoring grid)."""
@@ -1490,6 +1530,41 @@ def build_parser():
     psp.add_argument("--seed", type=int, default=42)
     psp.add_argument("--json", action="store_true")
     psp.set_defaults(fn=cmd_spread)
+
+    pac = sub.add_parser(
+        "autocall",
+        help="autocallable (Phoenix) note / issuer-callable convertible")
+    pac.add_argument("--s0", type=float, default=100.0)
+    pac.add_argument("--t", type=float, default=2.0)
+    pac.add_argument("--r", type=float, default=0.05)
+    pac.add_argument("--q", type=float, default=0.0)
+    pac.add_argument("--sigma", type=float, default=0.2)
+    pac.add_argument("--obs", type=int, default=8,
+                     help="observation dates (t_i = i*T/obs)")
+    pac.add_argument("--ac-barrier", type=float, default=100.0,
+                     help="autocall trigger level (absolute spot)")
+    pac.add_argument("--coupon", type=float, default=0.02,
+                     help="coupon per observation period on notional 1")
+    pac.add_argument("--coupon-barrier", type=float, default=70.0,
+                     help="coupon condition level; pass a negative value "
+                          "for unconditional coupons")
+    pac.add_argument("--memory", action="store_true", default=True)
+    pac.add_argument("--no-memory", dest="memory", action="store_false")
+    pac.add_argument("--ki-barrier", type=float, default=60.0,
+                     help="knock-in level (full-grid discrete monitoring); "
+                          "pass a negative value for capital protection")
+    pac.add_argument("--put-strike", type=float, default=100.0)
+    pac.add_argument("--callable-by-issuer", action="store_true",
+                     help="replace the automatic trigger with the issuer's "
+                          "optimal call (LSMC; requires --no-memory)")
+    pac.add_argument("--degree", type=int, default=4)
+    pac.add_argument("--paths", type=int, default=262_144)
+    pac.add_argument("--steps", type=int, default=96)
+    pac.add_argument("--antithetic", action="store_true")
+    pac.add_argument("--backend", choices=["xla", "pallas"], default="xla")
+    pac.add_argument("--seed", type=int, default=0)
+    pac.add_argument("--json", action="store_true")
+    pac.set_defaults(fn=cmd_autocall)
 
     plb = sub.add_parser(
         "lookback", help="lookback option on the running max/min")

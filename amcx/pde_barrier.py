@@ -35,6 +35,46 @@ import numpy as np
 __all__ = ["pde_discrete_barrier_price"]
 
 
+def _grid_and_operator(S0, K, T, r, sigma, q, n_x, n_std, barrier=None):
+    """Log-spot grid (S0 on-node, barrier mid-cell) + banded CN operator
+    rows ``(lo, dg, up)``. Returns ``(xg, S, i0, lo, dg, up)`` — shared by
+    the barrier pricer below and the structured-note oracles
+    (`amcx.models.autocall`)."""
+    x0 = np.log(S0)
+    width = n_std * sigma * np.sqrt(T) + abs(r - q) * T
+    marks = [x0, np.log(K)]
+    if barrier is not None:
+        marks.append(np.log(float(barrier)))
+    x_lo = min(marks) - width
+    x_hi = max(marks) + width
+    h0 = (x_hi - x_lo) / (n_x - 1)
+    if barrier is not None and abs(x0 - np.log(float(barrier))) > 1e-14:
+        # tune h so (x0 - lnB)/h = m + 1/2 for integer m >= 0
+        d = abs(x0 - np.log(float(barrier)))
+        m = max(0, int(round(d / h0 - 0.5)))
+        h = d / (m + 0.5)
+    else:
+        h = h0
+    n_lo = int(np.ceil((x0 - x_lo) / h))
+    n_hi = int(np.ceil((x_hi - x0) / h))
+    xg = x0 + h * np.arange(-n_lo, n_hi + 1)
+    S = np.exp(xg)
+    i0 = n_lo
+    assert abs(xg[i0] - x0) < 1e-9 * max(1.0, abs(x0))
+
+    a = 0.5 * sigma * sigma
+    mu = r - q - a
+    nx = xg.shape[0]
+    lo = np.full(nx, a / (h * h) - mu / (2.0 * h))
+    dg = np.full(nx, -2.0 * a / (h * h) - r)
+    up = np.full(nx, a / (h * h) + mu / (2.0 * h))
+    lo[0], up[0] = 0.0, max(mu, 0.0) / h  # only outflow-safe first order
+    dg[0] = -up[0] - r
+    up[-1], lo[-1] = 0.0, max(-mu, 0.0) / h
+    dg[-1] = -lo[-1] - r
+    return xg, S, i0, lo, dg, up
+
+
 def _cn_interval(V_list, lo, dg, up, dt_iv, n_sub, rannacher):
     """Advance each value array in ``V_list`` backward over one
     inter-monitoring interval: ``rannacher`` fully implicit substeps first
@@ -106,41 +146,11 @@ def pde_discrete_barrier_price(
     # lnB ± h/2): the grid projection of the knock indicator then splits
     # cleanly between knocked/unknocked nodes, restoring second-order
     # convergence (an on-node barrier smears the switch by h/2 → O(h)).
-    width = n_std * sigma * np.sqrt(T) + abs(r - q) * T
-    marks = [x0, np.log(K)]
-    if barrier is not None:
-        marks.append(np.log(float(barrier)))
-    x_lo = min(marks) - width
-    x_hi = max(marks) + width
-    h0 = (x_hi - x_lo) / (n_x - 1)
-    if barrier is not None and abs(x0 - np.log(float(barrier))) > 1e-14:
-        # tune h so (x0 - lnB)/h = m + 1/2 for integer m >= 0
-        d = abs(x0 - np.log(float(barrier)))
-        m = max(0, int(round(d / h0 - 0.5)))
-        h = d / (m + 0.5)
-    else:
-        h = h0
-    anchor = x0
-    n_lo = int(np.ceil((anchor - x_lo) / h))
-    n_hi = int(np.ceil((x_hi - anchor) / h))
-    xg = anchor + h * np.arange(-n_lo, n_hi + 1)
-    S = np.exp(xg)
-    payoff = np.maximum(phi * (S - K), 0.0)
-    i0 = n_lo
-    assert abs(xg[i0] - x0) < 1e-9 * max(1.0, abs(x0))
-
     # --- spatial operator in x = ln S (interior central; ends upwinded,
     # zero curvature — the wide grid makes the boundary error negligible)
-    a = 0.5 * sigma * sigma
-    mu = r - q - a
-    nx = xg.shape[0]
-    lo = np.full(nx, a / (h * h) - mu / (2.0 * h))
-    dg = np.full(nx, -2.0 * a / (h * h) - r)
-    up = np.full(nx, a / (h * h) + mu / (2.0 * h))
-    lo[0], up[0] = 0.0, max(mu, 0.0) / h  # only outflow-safe first order
-    dg[0] = -up[0] - r
-    up[-1], lo[-1] = 0.0, max(-mu, 0.0) / h
-    dg[-1] = -lo[-1] - r
+    xg, S, i0, lo, dg, up = _grid_and_operator(S0, K, T, r, sigma, q, n_x,
+                                               n_std, barrier)
+    payoff = np.maximum(phi * (S - K), 0.0)
 
     dt_iv = T / n_monitor
 
