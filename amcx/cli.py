@@ -1030,6 +1030,36 @@ def cmd_autocall(args):
         put_strike=args.put_strike if ki_b is not None else None)
     sim = SimConfig(n_paths=args.paths, n_steps=args.steps,
                     antithetic=args.antithetic, backend=args.backend)
+    if args.worst_of > 1:
+        from .models.autocall import price_autocall_worst_of, worst_of_mc_anchor
+
+        # worst-of quotes levels as S0-normalized PERFORMANCE fractions
+        frac = AutocallSpec(
+            T=args.t, n_obs=args.obs,
+            autocall_barrier=args.ac_barrier / args.s0,
+            coupon=args.coupon,
+            coupon_barrier=None if cpn_b is None else cpn_b / args.s0,
+            memory=args.memory,
+            ki_barrier=None if ki_b is None else ki_b / args.s0,
+            put_strike=args.put_strike / args.s0 if ki_b is not None else None)
+        A = args.worst_of
+        corr = np.full((A, A), args.corr) + (1.0 - args.corr) * np.eye(A)
+        res = price_autocall_worst_of(
+            jax.random.key(args.seed), [args.s0] * A, args.r, args.sigma,
+            corr, frac, sim, q=args.q)
+        ref, se = worst_of_mc_anchor([args.s0] * A, args.r, args.sigma, corr,
+                                     frac, args.steps, q=args.q,
+                                     n_paths=200_000)
+        payload = {"price": round(float(res.price), 6),
+                   "stderr": round(float(res.stderr), 6),
+                   "f64_twin": round(ref, 6), "twin_stderr": round(se, 6),
+                   "kind": f"worst-of-{A} autocallable note"}
+        if not args.json:
+            print(f"worst-of-{A} autocallable: {payload['price']:.4f} ± "
+                  f"{payload['stderr']:.4f} of notional (f64 twin "
+                  f"{payload['f64_twin']:.4f} ± {payload['twin_stderr']:.4f})")
+        _emit(payload, args.json)
+        return payload
     if args.callable_by_issuer:
         res = price_callable_note(jax.random.key(args.seed), market, spec,
                                   sim, RegressionSpec(degree=args.degree))
@@ -1557,6 +1587,11 @@ def build_parser():
     pac.add_argument("--callable-by-issuer", action="store_true",
                      help="replace the automatic trigger with the issuer's "
                           "optimal call (LSMC; requires --no-memory)")
+    pac.add_argument("--worst-of", type=int, default=1, metavar="A",
+                     help="price on the worst of A equicorrelated assets "
+                          "(levels are rescaled to S0-performance fractions)")
+    pac.add_argument("--corr", type=float, default=0.5,
+                     help="pairwise correlation for --worst-of")
     pac.add_argument("--degree", type=int, default=4)
     pac.add_argument("--paths", type=int, default=262_144)
     pac.add_argument("--steps", type=int, default=96)

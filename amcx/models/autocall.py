@@ -66,8 +66,13 @@ from ..types import MarketParams, RegressionSpec, SimConfig
 __all__ = [
     "AutocallSpec",
     "price_autocall",
+    "price_autocall_worst_of",
     "autocall_mc_anchor",
+    "worst_of_mc_anchor",
     "autocall_pde",
+    "autocall_pde_greeks",
+    "autocall_greeks",
+    "callable_note_pde",
     "price_callable_note",
 ]
 
@@ -195,22 +200,76 @@ def price_autocall(key, market: MarketParams, spec: AutocallSpec,
     return NoteResult(price, stderr)
 
 
+@partial(jax.jit, static_argnames=("spec", "sim"))
+def _price_worst_of_impl(key, S0, r, sigma, q, corr, spec, sim):
+    from ..paths import simulate_gbm_multi
+
+    paths = simulate_gbm_multi(key, S0, r, sigma, spec.T, sim, q=q,
+                               corr=corr)  # (n_steps+1, n_paths, A)
+    W = jnp.min(paths / S0, axis=-1)  # worst S0-normalized performance
+    payout = _note_payout(W, spec, r)
+    if sim.antithetic:
+        half = sim.n_paths // 2
+        stat = 0.5 * (payout[:half] + payout[half:])
+    else:
+        stat = payout
+    price = jnp.mean(stat)
+    stderr = jnp.std(stat) / jnp.sqrt(float(stat.shape[0]))
+    return price, stderr
+
+
+def price_autocall_worst_of(key, S0, r, sigma, corr, spec: AutocallSpec,
+                            sim: SimConfig, q=0.0) -> NoteResult:
+    """Worst-of autocallable on a correlated basket — the dominant
+    production variant: every trigger (autocall, coupon, knock-in) and the
+    geared maturity delivery read the WORST S0-normalized performance
+    ``W_t = min_i S_t^i / S0^i`` (W_0 = 1), so ``spec`` levels must be
+    quoted as PERFORMANCE fractions (e.g. ``autocall_barrier=1.0,
+    ki_barrier=0.6, put_strike=1.0``), unlike the absolute-spot
+    single-asset route. With identical assets at perfect correlation this
+    reduces exactly to `price_autocall` on the normalized spot — the
+    degenerate PDE gate in tests/test_autocall.py."""
+    dtype = sim.jnp_dtype
+    S0 = jnp.atleast_1d(jnp.asarray(S0, dtype))
+    corr_m = None if corr is None else jnp.asarray(corr, dtype)
+    price, stderr = _price_worst_of_impl(key, S0, r, sigma, q, corr_m,
+                                         spec, sim)
+    return NoteResult(price, stderr)
+
+
+def autocall_greeks(key, market: MarketParams, spec: AutocallSpec,
+                    sim: SimConfig, rel_bump: float = 0.02):
+    """Common-random-number central-difference delta/gamma/vega of the
+    autocallable. The payout is an indicator staircase in S0, so pathwise
+    AD is biased (the trigger moves are invisible to the tangent) — CRN FD
+    with a NON-infinitesimal bump is the standard estimator; the PDE
+    delta/gamma (`autocall_pde_greeks`) is the exact anchor."""
+    h = rel_bump * float(market.S0)
+    hv = rel_bump * float(market.sigma)
+
+    def p(s0, sig):
+        m = MarketParams(s0, market.r, sig, market.q)
+        return float(_price_autocall_impl(key, m.astuple(), spec, sim)[0])
+
+    up, mid, dn = (p(float(market.S0) + h, market.sigma), p(float(market.S0),
+                   market.sigma), p(float(market.S0) - h, market.sigma))
+    delta = (up - dn) / (2 * h)
+    gamma = (up - 2 * mid + dn) / (h * h)
+    vega = (p(float(market.S0), float(market.sigma) + hv)
+            - p(float(market.S0), float(market.sigma) - hv)) / (2 * hv)
+    return {"price": mid, "delta": delta, "gamma": gamma, "vega": vega}
+
+
 # --------------------------------------------------------------------------
 # f64 NumPy twin — same contract, independent code path and RNG
 # --------------------------------------------------------------------------
 
-def autocall_mc_anchor(market: MarketParams, spec: AutocallSpec,
-                       n_steps: int, n_paths: int = 1_000_000,
-                       seed: int = 17):
-    """Exact-discrete f64 anchor ``(price, stderr)`` for `price_autocall`."""
-    S0, r, sigma, q = (float(v) for v in market.astuple())
-    dt = spec.T / n_steps
-    rng = np.random.default_rng(seed)
-    z = rng.standard_normal((n_steps, n_paths))
-    logS = np.log(S0) + np.cumsum(
-        (r - q - 0.5 * sigma * sigma) * dt + sigma * np.sqrt(dt) * z, axis=0)
-    S = np.exp(np.vstack([np.full((1, n_paths), np.log(S0)), logS]))
-
+def _payout_np(S, spec: AutocallSpec, r):
+    """f64 NumPy mirror of `_note_payout` on a time-major monitored series
+    ``S`` ``(n_steps+1, n_paths)`` (spot for single-asset notes, worst-of
+    performance for `worst_of_mc_anchor`)."""
+    n_steps = S.shape[0] - 1
+    n_paths = S.shape[1]
     stride = n_steps // spec.n_obs
     S_obs = S[stride::stride]
     t_obs = np.arange(1, spec.n_obs + 1) * (spec.T / spec.n_obs)
@@ -247,7 +306,42 @@ def autocall_mc_anchor(market: MarketParams, spec: AutocallSpec,
                        spec.notional)
     principal = np.where(called_by[-1], pv_called,
                          np.exp(-r * spec.T) * red)
-    payout = coup + principal
+    return coup + principal
+
+
+def autocall_mc_anchor(market: MarketParams, spec: AutocallSpec,
+                       n_steps: int, n_paths: int = 1_000_000,
+                       seed: int = 17):
+    """Exact-discrete f64 anchor ``(price, stderr)`` for `price_autocall`."""
+    S0, r, sigma, q = (float(v) for v in market.astuple())
+    dt = spec.T / n_steps
+    rng = np.random.default_rng(seed)
+    z = rng.standard_normal((n_steps, n_paths))
+    logS = np.log(S0) + np.cumsum(
+        (r - q - 0.5 * sigma * sigma) * dt + sigma * np.sqrt(dt) * z, axis=0)
+    S = np.exp(np.vstack([np.full((1, n_paths), np.log(S0)), logS]))
+    payout = _payout_np(S, spec, r)
+    return float(payout.mean()), float(payout.std() / np.sqrt(n_paths))
+
+
+def worst_of_mc_anchor(S0, r, sigma, corr, spec: AutocallSpec, n_steps: int,
+                       q=0.0, n_paths: int = 500_000, seed: int = 23):
+    """f64 anchor for `price_autocall_worst_of`: correlated GBM, monitored
+    series = worst S0-normalized performance. ``(price, stderr)``."""
+    S0 = np.atleast_1d(np.asarray(S0, float))
+    A = S0.shape[0]
+    sigma = np.broadcast_to(np.asarray(sigma, float), (A,))
+    q = np.broadcast_to(np.asarray(q, float), (A,))
+    corr_m = np.eye(A) if corr is None else np.asarray(corr, float)
+    chol = np.linalg.cholesky(corr_m)
+    dt = spec.T / n_steps
+    rng = np.random.default_rng(seed)
+    z = rng.standard_normal((n_steps, n_paths, A)) @ chol.T
+    drift = (float(r) - q - 0.5 * sigma * sigma) * dt
+    logret = drift + sigma * np.sqrt(dt) * z
+    perf = np.exp(np.cumsum(logret, axis=0))  # S_t / S0 per asset
+    W = np.concatenate([np.ones((1, n_paths)), perf.min(axis=-1)], 0)
+    payout = _payout_np(W, spec, float(r))
     return float(payout.mean()), float(payout.std() / np.sqrt(n_paths))
 
 
@@ -257,7 +351,7 @@ def autocall_mc_anchor(market: MarketParams, spec: AutocallSpec,
 
 def _note_pde(market: MarketParams, spec: AutocallSpec, n_steps: int,
               callable_by_issuer: bool, n_x: int, n_sub: int, n_std: float,
-              rannacher: int) -> float:
+              rannacher: int, return_greeks: bool = False):
     """Value lattice ``V[knocked ∈ {0,1}][p ∈ 0..n_obs]``: ``p`` is the
     made-whole coupon high-watermark (collapses to ``{0}`` without memory).
     Knock-in projection every grid date; coupon/trigger transitions at
@@ -333,6 +427,13 @@ def _note_pde(market: MarketParams, spec: AutocallSpec, n_steps: int,
             for p in range(n_p):
                 V[0, p] = np.where(hit, V[1, p], V[0, p])
     k0 = 1 if (has_ki and S0 <= spec.ki_barrier) else 0
+    if return_greeks:
+        v = V[k0, 0]
+        h = xg[i0 + 1] - xg[i0]
+        vx = (v[i0 + 1] - v[i0 - 1]) / (2 * h)
+        vxx = (v[i0 + 1] - 2 * v[i0] + v[i0 - 1]) / (h * h)
+        return (float(v[i0]), float(vx / S0),
+                float((vxx - vx) / (S0 * S0)))
     return float(V[k0, 0, i0])
 
 
@@ -344,6 +445,16 @@ def autocall_pde(market: MarketParams, spec: AutocallSpec, n_steps: int,
     grid dates)."""
     return _note_pde(market, spec, n_steps, False, n_x, n_sub, n_std,
                      rannacher)
+
+
+def autocall_pde_greeks(market: MarketParams, spec: AutocallSpec,
+                        n_steps: int, n_x: int = 2001, n_sub: int = 8,
+                        n_std: float = 7.5, rannacher: int = 2):
+    """Exact ``(price, delta, gamma)`` from the PDE grid (central
+    differences in log-spot at the on-node S0) — the anchor for the CRN
+    finite-difference `autocall_greeks`."""
+    return _note_pde(market, spec, n_steps, False, n_x, n_sub, n_std,
+                     rannacher, return_greeks=True)
 
 
 def callable_note_pde(market: MarketParams, spec: AutocallSpec, n_steps: int,

@@ -161,3 +161,57 @@ def test_validation_errors():
         price_autocall(jax.random.key(0), M,
                        AutocallSpec(T=1.0, n_obs=3, autocall_barrier=100.0),
                        SimConfig(n_paths=64, n_steps=8))
+
+
+PHOENIX_FRAC = AutocallSpec(T=2.0, n_obs=8, autocall_barrier=1.0,
+                            coupon=0.02, coupon_barrier=0.70, memory=True,
+                            ki_barrier=0.60, put_strike=1.0)
+
+
+def test_worst_of_corr1_reduces_to_single_asset_pde():
+    # identical assets at perfect correlation: the worst performance IS the
+    # (normalized) single asset -> the 1-D multi-state PDE is exact
+    from amcx.models.autocall import price_autocall_worst_of
+    corr = np.full((3, 3), 1.0 - 1e-7) + 1e-7 * np.eye(3)
+    sim = SimConfig(n_paths=262_144, n_steps=96, antithetic=True)
+    res = price_autocall_worst_of(jax.random.key(4), [100.0, 100.0, 100.0],
+                                  0.05, 0.2, corr, PHOENIX_FRAC, sim)
+    pde = autocall_pde(MarketParams(1.0, 0.05, 0.2), PHOENIX_FRAC, 96)
+    assert abs(float(res.price) - pde) < 4.0 * float(res.stderr) + 3e-4, (
+        float(res.price), pde, float(res.stderr))
+
+
+def test_worst_of_vs_f64_twin():
+    from amcx.models.autocall import price_autocall_worst_of, worst_of_mc_anchor
+    corr = np.array([[1.0, 0.5, 0.5], [0.5, 1.0, 0.5], [0.5, 0.5, 1.0]])
+    sig = [0.2, 0.25, 0.3]
+    sim = SimConfig(n_paths=262_144, n_steps=96, antithetic=True)
+    res = price_autocall_worst_of(jax.random.key(6), [90.0, 100.0, 110.0],
+                                  0.05, sig, corr, PHOENIX_FRAC, sim, q=0.02)
+    ref, se = worst_of_mc_anchor([90.0, 100.0, 110.0], 0.05, sig, corr,
+                                 PHOENIX_FRAC, 96, q=0.02, n_paths=300_000)
+    tol = 4.0 * np.hypot(float(res.stderr), se) + 3e-4
+    assert abs(float(res.price) - ref) < tol, (float(res.price), ref, tol)
+
+
+def test_worst_of_cheaper_than_single():
+    # the worst-of note is dominated path-wise by its single-asset twin
+    # (worse coupons, later autocall, likelier knock-in)
+    from amcx.models.autocall import price_autocall_worst_of
+    corr = np.array([[1.0, 0.3], [0.3, 1.0]])
+    sim = SimConfig(n_paths=131_072, n_steps=96, antithetic=True)
+    wo = price_autocall_worst_of(jax.random.key(8), [100.0, 100.0], 0.05,
+                                 0.2, corr, PHOENIX_FRAC, sim)
+    single = autocall_pde(MarketParams(1.0, 0.05, 0.2), PHOENIX_FRAC, 96)
+    assert float(wo.price) < single - 4.0 * float(wo.stderr)
+
+
+def test_greeks_vs_pde():
+    from amcx.models.autocall import autocall_greeks, autocall_pde_greeks
+    sim = SimConfig(n_paths=262_144, n_steps=96, antithetic=True)
+    g = autocall_greeks(jax.random.key(10), M, PHOENIX, sim, rel_bump=0.02)
+    p, d, gam = autocall_pde_greeks(M, PHOENIX, 96)
+    assert abs(g["price"] - p) < 1e-3
+    assert abs(g["delta"] - d) < 0.15 * abs(d) + 2e-4, (g["delta"], d)
+    # KI-put short leg: positive delta, negative vega
+    assert d > 0 and g["vega"] < 0
