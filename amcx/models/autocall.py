@@ -72,6 +72,7 @@ __all__ = [
     "autocall_pde",
     "autocall_pde_greeks",
     "autocall_greeks",
+    "autocall_ccr_profile",
     "callable_note_pde",
     "price_callable_note",
 ]
@@ -351,7 +352,8 @@ def worst_of_mc_anchor(S0, r, sigma, corr, spec: AutocallSpec, n_steps: int,
 
 def _note_pde(market: MarketParams, spec: AutocallSpec, n_steps: int,
               callable_by_issuer: bool, n_x: int, n_sub: int, n_std: float,
-              rannacher: int, return_greeks: bool = False):
+              rannacher: int, return_greeks: bool = False,
+              snapshot_step: Optional[int] = None):
     """Value lattice ``V[knocked ∈ {0,1}][p ∈ 0..n_obs]``: ``p`` is the
     made-whole coupon high-watermark (collapses to ``{0}`` without memory).
     Knock-in projection every grid date; coupon/trigger transitions at
@@ -426,6 +428,11 @@ def _note_pde(market: MarketParams, spec: AutocallSpec, n_steps: int,
         if has_ki:
             for p in range(n_p):
                 V[0, p] = np.where(hit, V[1, p], V[0, p])
+        if snapshot_step is not None and step == snapshot_step:
+            # V now holds the LIVE-note value at t_step as a function of
+            # (knocked, watermark, x) — the pointwise anchor for the
+            # AMC-regression exposure surface (`autocall_ccr_profile`)
+            return np.log(S), V.copy()
     k0 = 1 if (has_ki and S0 <= spec.ki_barrier) else 0
     if return_greeks:
         v = V[k0, 0]
@@ -464,6 +471,135 @@ def callable_note_pde(market: MarketParams, spec: AutocallSpec, n_steps: int,
     observation date) — the oracle for `price_callable_note`."""
     return _note_pde(market, spec, n_steps, True, n_x, n_sub, n_std,
                      rannacher)
+
+
+# --------------------------------------------------------------------------
+# AMC exposures: regression-based counterparty-value surface for the note
+# --------------------------------------------------------------------------
+
+def _fit_unclamped_nd(X, y, spec: RegressionSpec, weights):
+    """Weighted UNCLAMPED least squares on a feature matrix ``X`` of shape
+    ``(n, F)`` through the total-degree cross basis — per-feature
+    standardization under the same weights. Returns fitted values."""
+    from ..basis import multi_asset_design_matrix
+
+    wsum = jnp.maximum(jnp.sum(weights), 1.0)
+    mu = jnp.sum(weights[:, None] * X, 0) / wsum
+    sd = jnp.sqrt(jnp.sum(weights[:, None] * jnp.square(X - mu), 0) / wsum)
+    Xh = (X - mu) / jnp.maximum(sd, 1e-6)
+    A = multi_asset_design_matrix(Xh, spec.basis, spec.degree, "total")
+    w = weights[:, None]
+    coef = pinv_solve((A * w).T @ A, (A * w).T @ y)
+    return A @ coef
+
+
+@partial(jax.jit, static_argnames=("spec", "sim", "reg"))
+def _autocall_ccr_impl(key, market_tuple, spec, sim, reg):
+    S0, r, sigma, q = market_tuple
+    market = MarketParams(S0, r, sigma, q)
+    paths = simulate_gbm(key, market, spec.T, sim)
+    n_steps = sim.n_steps
+    stride = n_steps // spec.n_obs
+    dtype = paths.dtype
+    dt = spec.T / n_steps
+    S_obs = paths[stride::stride]
+    t_obs = (jnp.arange(1, spec.n_obs + 1, dtype=dtype)
+             * (spec.T / spec.n_obs))[:, None]
+    df_obs = jnp.exp(-r * t_obs)
+
+    trigger = S_obs >= spec.autocall_barrier
+    if not spec.final_autocall:
+        trigger = trigger.at[-1].set(False)
+    called_by = lax.associative_scan(jnp.logical_or, trigger, axis=0)
+    alive_obs = jnp.concatenate(
+        [jnp.ones((1,) + S_obs.shape[1:], bool), ~called_by[:-1]], 0)
+    first_call = alive_obs & trigger
+    ever_called = called_by[-1]
+
+    # time-0-discounted cashflow per observation date
+    cf0 = df_obs * (_coupon_flow(S_obs, spec, dtype) * alive_obs
+                    + spec.notional * first_call.astype(dtype))
+    if spec.ki_barrier is None:
+        red = jnp.full(paths.shape[1:], spec.notional, dtype)
+    else:
+        knocked_T = jnp.any(paths <= spec.ki_barrier, axis=0)
+        red = jnp.where(knocked_T,
+                        spec.notional * jnp.minimum(
+                            1.0, paths[-1] / spec.put_strike),
+                        spec.notional)
+    cf0 = cf0.at[-1].add(jnp.where(ever_called, 0.0, df_obs[-1] * red))
+
+    # future (strictly-after-t_k) cashflows per grid step, in t_k units
+    suffix_after = jnp.cumsum(cf0[::-1], 0)[::-1]  # Σ_{j>=i}
+    suffix_after = jnp.concatenate(
+        [suffix_after, jnp.zeros((1,) + cf0.shape[1:], dtype)], 0)
+    m = jnp.arange(n_steps + 1) // stride  # observations elapsed by step k
+    future0 = suffix_after[m]
+    t_grid = jnp.arange(n_steps + 1, dtype=dtype) * dt
+    Y = jnp.exp(r * t_grid)[:, None] * future0
+
+    # alive: the note has not redeemed at any observation <= t_k
+    tau_obs = jnp.argmax(first_call, axis=0)  # 0 when never called
+    tau_step = jnp.where(ever_called, stride * (tau_obs + 1), n_steps)
+    alive = jnp.arange(n_steps + 1)[:, None] < tau_step[None, :]
+
+    has_ki = spec.ki_barrier is not None
+    knocked = (lax.associative_scan(jnp.logical_or,
+                                    paths <= spec.ki_barrier, axis=0)
+               if has_ki else jnp.zeros(paths.shape, bool))
+    use_memory = bool(spec.memory and spec.coupon)
+    if use_memory:
+        cond = (jnp.ones(S_obs.shape, bool) if spec.coupon_barrier is None
+                else S_obs >= spec.coupon_barrier)
+        idx = jnp.arange(1, spec.n_obs + 1, dtype=dtype)[:, None]
+        wm_obs = lax.associative_scan(jnp.maximum,
+                                      jnp.where(cond, idx, 0.0), axis=0)
+        wm_obs = jnp.concatenate(
+            [jnp.zeros((1,) + S_obs.shape[1:], dtype), wm_obs], 0)
+        unpaid = m.astype(dtype)[:, None] - wm_obs[m]  # coupons in arrears
+    else:
+        unpaid = jnp.zeros(Y.shape, dtype)
+
+    def fit_step(_, xs):
+        S_k, kn_k, al_k, Y_k, u_k = xs
+        w_alive = al_k.astype(dtype)
+        feats = (jnp.stack([S_k, u_k], -1) if use_memory
+                 else S_k[:, None])
+        if has_ki:
+            w_k = w_alive * kn_k.astype(dtype)
+            fit = jnp.where(kn_k,
+                            _fit_unclamped_nd(feats, Y_k, reg, w_k),
+                            _fit_unclamped_nd(feats, Y_k, reg,
+                                              w_alive * (1.0 - kn_k)))
+        else:
+            fit = _fit_unclamped_nd(feats, Y_k, reg, w_alive)
+        return None, jnp.where(al_k, fit, 0.0)
+
+    _, surface = lax.scan(
+        fit_step, None,
+        (paths, knocked, alive, Y, unpaid))
+    return surface
+
+
+def autocall_ccr_profile(key, market: MarketParams, spec: AutocallSpec,
+                         sim: SimConfig,
+                         reg: RegressionSpec | None = None):
+    """Counterparty exposure profile of a live autocallable by AMC
+    regression — the 'American Monte Carlo' XVA workhorse: at every grid
+    date the note's MtM per path is the UNCLAMPED conditional expectation
+    of its strictly-future cashflows (discounted to that date), fitted on
+    the Markov state — spot, knock flag (separate weighted fits), and the
+    coupons-in-arrears count for memory notes (cross-basis feature).
+    Redeemed paths carry zero exposure (trade settled). Returns
+    ``(CCRExposures, surface_tm)``; the pointwise anchor is the PDE value
+    lattice via ``_note_pde(snapshot_step=k)`` (tests/test_autocall.py)."""
+    from ..exposures import compute_ccr_exposures
+
+    if sim.n_steps % spec.n_obs:
+        raise ValueError("sim.n_steps must be a multiple of spec.n_obs")
+    reg = reg or RegressionSpec(degree=4)
+    surface = _autocall_ccr_impl(key, market.astuple(), spec, sim, reg)
+    return compute_ccr_exposures(surface), surface
 
 
 # --------------------------------------------------------------------------

@@ -215,3 +215,48 @@ def test_greeks_vs_pde():
     assert abs(g["delta"] - d) < 0.15 * abs(d) + 2e-4, (g["delta"], d)
     # KI-put short leg: positive delta, negative vega
     assert d > 0 and g["vega"] < 0
+
+
+def test_ccr_profile_epe0_and_shape():
+    from amcx.models.autocall import autocall_ccr_profile
+    sim = SimConfig(n_paths=65_536, n_steps=96)
+    exp_, surf = autocall_ccr_profile(jax.random.key(12), M, PHOENIX, sim)
+    res = price_autocall(jax.random.key(12), M, PHOENIX, sim)
+    # k=0: degenerate fit == mean of discounted future cashflows == price
+    assert abs(float(exp_.epe[0]) - float(res.price)) < 1e-5
+    assert surf.shape == (97, 65_536)
+    # settled trades carry zero exposure at maturity
+    assert float(jnp.max(jnp.abs(surf[-1]))) == 0.0
+    # exposure ordering wherever the note is still alive in bulk
+    epe = np.asarray(exp_.epe)
+    pfe95 = np.asarray(exp_.pfe95)
+    assert np.all(pfe95[:-1] >= epe[:-1] - 1e-6)
+
+
+def test_ccr_surface_pointwise_vs_pde():
+    # sharp functional gate: the per-path fitted MtM at a NON-observation
+    # grid date must sit on the PDE value lattice V(t_k, x, knocked)
+    # (no-memory deck so the (S, knocked) state is complete)
+    from amcx.models.autocall import _note_pde, autocall_ccr_profile
+    spec = AutocallSpec(T=2.0, n_obs=8, autocall_barrier=100.0, coupon=0.02,
+                        coupon_barrier=70.0, memory=False, ki_barrier=60.0,
+                        put_strike=100.0)
+    sim = SimConfig(n_paths=131_072, n_steps=96)
+    key = jax.random.key(14)
+    _, surf = autocall_ccr_profile(key, M, spec, sim)
+    from amcx.paths import simulate_gbm
+    paths = simulate_gbm(key, M, spec.T, sim)
+    k = 42  # between obs 3 (step 36) and obs 4 (step 48)
+    xg, V = _note_pde(M, spec, 96, False, 2001, 8, 7.5, 2, snapshot_step=k)
+    S_k = np.asarray(paths[k])
+    kn_k = np.asarray(jnp.any(paths[:k + 1] <= spec.ki_barrier, axis=0))
+    v_true = np.where(kn_k,
+                      np.interp(np.log(S_k), xg, V[1, 0]),
+                      np.interp(np.log(S_k), xg, V[0, 0]))
+    fit = np.asarray(surf[k])
+    alive = fit != 0.0
+    err = (fit - v_true)[alive]
+    rms = float(np.sqrt(np.mean(err ** 2)))
+    # degree-4 polynomial per knock state vs the exact kinked value fn
+    assert rms < 0.004, rms
+    assert abs(float(np.mean(err))) < 0.002, float(np.mean(err))
