@@ -54,6 +54,7 @@ __all__ = [
     "price_bermudan_swaption_shardmap",
     "price_book_shardmap",
     "price_book_shardmap_mega",
+    "price_autocall_shardmap",
     "init_multihost",
 ]
 
@@ -216,6 +217,66 @@ def price_option_shardmap(
         T,
         barrier,
     )
+
+
+def price_autocall_shardmap(
+    key: jax.Array,
+    market: MarketParams,
+    spec,
+    sim: SimConfig,
+    mesh: Optional[Mesh] = None,
+):
+    """Autocallable note on a mesh: each rank simulates its folded-key path
+    shard and evaluates the decision-free payout epilogue locally; the ONLY
+    cross-chip traffic is one final (sum, sumsq, n) psum — structured-note
+    books scale linearly on paths. Returns an object with
+    ``(price, stderr)`` like `amcx.models.autocall.price_autocall`."""
+    from ..models.autocall import NoteResult, _note_payout
+    from ..paths import simulate_gbm
+
+    mesh = make_mesh() if mesh is None else mesh
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    if sim.n_paths % n_dev:
+        raise ValueError(f"n_paths={sim.n_paths} not divisible by mesh size {n_dev}")
+    if sim.antithetic and (sim.n_paths // n_dev) % 2:
+        raise ValueError("antithetic shards must hold whole pairs")
+    dtype = sim.jnp_dtype
+    local_sim = SimConfig(n_paths=sim.n_paths // n_dev, n_steps=sim.n_steps,
+                          dtype=sim.dtype, antithetic=sim.antithetic,
+                          backend=sim.backend)
+
+    @jax.jit
+    def run(key, S0, r, sigma, q):
+        def local(key, S0, r, sigma, q):
+            rank = jax.lax.axis_index(axis)
+            local_key = jax.random.fold_in(key, rank)
+            paths = simulate_gbm(local_key, MarketParams(S0, r, sigma, q),
+                                 spec.T, local_sim)
+            payout = _note_payout(paths, spec, r)
+            if sim.antithetic:
+                half = local_sim.n_paths // 2
+                stat = 0.5 * (payout[:half] + payout[half:])
+            else:
+                stat = payout
+            s1 = jax.lax.psum(jnp.sum(stat), axis)
+            s2 = jax.lax.psum(jnp.sum(jnp.square(stat)), axis)
+            n = jax.lax.psum(jnp.asarray(stat.shape[0], dtype), axis)
+            price = s1 / n
+            var = jnp.maximum(s2 / n - jnp.square(price), 0.0)
+            return price, jnp.sqrt(var / n)
+
+        from jax import shard_map
+
+        return shard_map(local, mesh=mesh, in_specs=(P(),) * 5,
+                         out_specs=(P(), P()), check_vma=False)(
+            key, S0, r, sigma, q)
+
+    price, stderr = run(key, jnp.asarray(market.S0, dtype),
+                        jnp.asarray(market.r, dtype),
+                        jnp.asarray(market.sigma, dtype),
+                        jnp.asarray(market.q, dtype))
+    return NoteResult(price, stderr)
 
 
 def price_option_shardmap_mega(

@@ -105,3 +105,20 @@ def test_book_shardmap_matches_single_device():
     # monotone in strike (puts)
     p = np.asarray(prices)
     assert (np.diff(p) > 0).all()
+
+
+def test_autocall_shardmap_matches_single_device(mesh):
+    from amcx.models.autocall import AutocallSpec, price_autocall
+    from amcx.parallel.sharding import price_autocall_shardmap
+
+    spec = AutocallSpec(T=2.0, n_obs=8, autocall_barrier=100.0, coupon=0.02,
+                        coupon_barrier=70.0, memory=True, ki_barrier=60.0,
+                        put_strike=100.0)
+    sim = SimConfig(n_paths=32_768, n_steps=32, antithetic=True)
+    sharded = price_autocall_shardmap(jax.random.key(5), M, spec, sim,
+                                      mesh=mesh)
+    single = price_autocall(jax.random.key(5), M, spec, sim)
+    # folded per-rank keys => a different valid sample: MC-tolerance gate
+    tol = 6.0 * np.hypot(float(sharded.stderr), float(single.stderr))
+    assert abs(float(sharded.price) - float(single.price)) < tol
+    assert 0 < float(sharded.stderr) < 0.01
