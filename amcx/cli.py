@@ -1082,6 +1082,34 @@ def cmd_autocall(args):
     return payload
 
 
+def cmd_tarf(args):
+    """Target redemption forward vs the exact no-knockout analytic strip
+    and the f64 twin."""
+    from .models.tarf import (TARFSpec, price_tarf, tarf_mc_anchor,
+                              tarf_strip_value)
+    from .types import MarketParams, SimConfig
+
+    market = MarketParams(args.s0, args.r, args.sigma, args.q)
+    spec = TARFSpec(K=args.k, T=args.t, n_fix=args.fixings,
+                    target=args.target, leverage=args.leverage,
+                    knock=args.knock)
+    sim = SimConfig(n_paths=args.paths, n_steps=args.steps,
+                    antithetic=args.antithetic, backend=args.backend)
+    res = price_tarf(jax.random.key(args.seed), market, spec, sim)
+    ref, se = tarf_mc_anchor(market, spec, n_paths=200_000)
+    payload = {"price": round(float(res.price), 6),
+               "stderr": round(float(res.stderr), 6),
+               "f64_twin": round(ref, 6), "twin_stderr": round(se, 6),
+               "strip_no_knock": round(tarf_strip_value(market, spec), 6)}
+    if not args.json:
+        print(f"TARF ({args.knock} knock @ target {args.target}): "
+              f"{payload['price']:.4f} ± {payload['stderr']:.4f} per unit "
+              f"notional (f64 twin {payload['f64_twin']:.4f}; no-knock "
+              f"analytic strip {payload['strip_no_knock']:.4f})")
+    _emit(payload, args.json)
+    return payload
+
+
 def cmd_lookback(args):
     """Lookback option on the running extremum vs the reflection-law
     quadrature oracle (BGK-shifted to the discrete monitoring grid)."""
@@ -1600,6 +1628,28 @@ def build_parser():
     pac.add_argument("--seed", type=int, default=0)
     pac.add_argument("--json", action="store_true")
     pac.set_defaults(fn=cmd_autocall)
+
+    ptf = sub.add_parser(
+        "tarf", help="target redemption forward (accumulator)")
+    ptf.add_argument("--s0", type=float, default=100.0)
+    ptf.add_argument("--k", type=float, default=100.0)
+    ptf.add_argument("--t", type=float, default=1.0)
+    ptf.add_argument("--r", type=float, default=0.03)
+    ptf.add_argument("--q", type=float, default=0.0)
+    ptf.add_argument("--sigma", type=float, default=0.15)
+    ptf.add_argument("--fixings", type=int, default=12)
+    ptf.add_argument("--target", type=float, default=15.0,
+                     help="accumulated-gain knockout level")
+    ptf.add_argument("--leverage", type=float, default=2.0)
+    ptf.add_argument("--knock", choices=["full", "capped", "none"],
+                     default="capped")
+    ptf.add_argument("--paths", type=int, default=262_144)
+    ptf.add_argument("--steps", type=int, default=48)
+    ptf.add_argument("--antithetic", action="store_true")
+    ptf.add_argument("--backend", choices=["xla", "pallas"], default="xla")
+    ptf.add_argument("--seed", type=int, default=0)
+    ptf.add_argument("--json", action="store_true")
+    ptf.set_defaults(fn=cmd_tarf)
 
     plb = sub.add_parser(
         "lookback", help="lookback option on the running max/min")
