@@ -389,6 +389,45 @@ def main():
           f"ENE {float(np.asarray(ene_sw)[16]) * 1e4:.1f} bp "
           f"(signed exercised-swap tail)")
 
+    section("Structured notes: Phoenix autocall, worst-of, TARF")
+    from amcx import (AutocallSpec, TARFSpec, autocall_ccr_profile,
+                      autocall_pde, price_autocall, price_autocall_worst_of,
+                      price_tarf, tarf_strip_value)
+
+    m_ac = MarketParams(100.0, 0.05, 0.2)
+    phoenix = AutocallSpec(T=2.0, n_obs=8, autocall_barrier=100.0,
+                           coupon=0.02, coupon_barrier=70.0, memory=True,
+                           ki_barrier=60.0, put_strike=100.0)
+    sim_ac = SimConfig(n_paths=131_072, n_steps=96, antithetic=True)
+    r_ac = price_autocall(key, m_ac, phoenix, sim_ac)
+    print(f"  Phoenix 2y (memory coupons, KI put 60/100): "
+          f"{float(r_ac.price):.4f} ± {float(r_ac.stderr):.4f} of notional "
+          f"(multi-state CN-PDE {autocall_pde(m_ac, phoenix, 96):.4f})")
+    frac = AutocallSpec(T=2.0, n_obs=8, autocall_barrier=1.0, coupon=0.02,
+                        coupon_barrier=0.70, memory=True, ki_barrier=0.60,
+                        put_strike=1.0)
+    corr3 = np.full((3, 3), 0.5) + 0.5 * np.eye(3)
+    r_wo = price_autocall_worst_of(key, [90.0, 100.0, 110.0], 0.05,
+                                   [0.2, 0.25, 0.3], corr3, frac, sim_ac,
+                                   q=0.02)
+    print(f"  worst-of-3 Phoenix (ρ=0.5): {float(r_wo.price):.4f} ± "
+          f"{float(r_wo.stderr):.4f} — the correlation discount vs the "
+          f"single-asset deck")
+    exp_ac, _ = autocall_ccr_profile(key, m_ac, phoenix, sim_ac)
+    print(f"  AMC exposure at 1y: EPE "
+          f"{float(np.asarray(exp_ac.epe)[48]):.4f}, PFE95 "
+          f"{float(np.asarray(exp_ac.pfe95)[48]):.4f} of notional "
+          f"(regression MtM sits on the PDE lattice)")
+    m_tf = MarketParams(100.0, 0.03, 0.15)
+    tf = TARFSpec(K=100.0, T=1.0, n_fix=12, target=15.0, leverage=2.0,
+                  knock="capped")
+    r_tf = price_tarf(key, m_tf, tf,
+                      SimConfig(n_paths=131_072, n_steps=48,
+                                antithetic=True))
+    print(f"  TARF (2× leverage, capped knockout at +15): "
+          f"{float(r_tf.price):.4f} ± {float(r_tf.stderr):.4f} "
+          f"(no-knock analytic strip {tarf_strip_value(m_tf, tf):.4f})")
+
 
 if __name__ == "__main__":
     main()
