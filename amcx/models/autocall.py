@@ -67,6 +67,7 @@ __all__ = [
     "AutocallSpec",
     "price_autocall",
     "price_autocall_worst_of",
+    "price_autocall_heston",
     "autocall_mc_anchor",
     "worst_of_mc_anchor",
     "autocall_pde",
@@ -235,6 +236,35 @@ def price_autocall_worst_of(key, S0, r, sigma, corr, spec: AutocallSpec,
     corr_m = None if corr is None else jnp.asarray(corr, dtype)
     price, stderr = _price_worst_of_impl(key, S0, r, sigma, q, corr_m,
                                          spec, sim)
+    return NoteResult(price, stderr)
+
+
+@partial(jax.jit, static_argnames=("hp", "spec", "sim"))
+def _price_autocall_heston_impl(key, hp, spec, sim):
+    from ..dynamics import simulate_heston
+
+    paths = simulate_heston(key, hp, spec.T, sim)
+    payout = _note_payout(paths, spec, jnp.asarray(hp.r, paths.dtype))
+    if sim.antithetic:
+        half = sim.n_paths // 2
+        stat = 0.5 * (payout[:half] + payout[half:])
+    else:
+        stat = payout
+    return jnp.mean(stat), jnp.std(stat) / jnp.sqrt(float(stat.shape[0]))
+
+
+def price_autocall_heston(key, hp, spec: AutocallSpec,
+                          sim: SimConfig) -> NoteResult:
+    """Autocallable under Heston stochastic volatility — the desk setup
+    (the KI put leg is a down-side smile product; flat-vol GBM misprices
+    it). The payout epilogue is the SAME `_note_payout` already anchored
+    three ways on GBM; the Heston simulator is separately gated against
+    its CF oracle (tests/test_dynamics.py). Degenerate gate: ξ=0 with
+    v0=θ=σ² freezes the variance at σ² and must reproduce the GBM
+    multi-state PDE price (tests/test_autocall.py)."""
+    if sim.n_steps % spec.n_obs:
+        raise ValueError("sim.n_steps must be a multiple of spec.n_obs")
+    price, stderr = _price_autocall_heston_impl(key, hp, spec, sim)
     return NoteResult(price, stderr)
 
 

@@ -260,3 +260,23 @@ def test_ccr_surface_pointwise_vs_pde():
     # degree-4 polynomial per knock state vs the exact kinked value fn
     assert rms < 0.004, rms
     assert abs(float(np.mean(err))) < 0.002, float(np.mean(err))
+
+
+def test_heston_autocall_degenerate_and_smile():
+    from amcx.dynamics import HestonParams
+    from amcx.models.autocall import price_autocall_heston
+
+    sim = SimConfig(n_paths=262_144, n_steps=96, antithetic=True)
+    # xi=0, v0=theta=sigma^2: variance frozen at sigma^2 -> exact GBM
+    hp0 = HestonParams(S0=100.0, r=0.05, q=0.0, v0=0.04, kappa=1.5,
+                       theta=0.04, xi=0.0, rho=0.0)
+    r0 = price_autocall_heston(jax.random.key(3), hp0, PHOENIX, sim)
+    pde = autocall_pde(M, PHOENIX, 96)
+    assert abs(float(r0.price) - pde) < 4.0 * float(r0.stderr) + 3e-4, (
+        float(r0.price), pde)
+    # negative-rho smile: fatter down tail -> dearer KI put leg -> the note
+    # must be WORTH LESS than under flat vol at the same total variance
+    hp = HestonParams(S0=100.0, r=0.05, q=0.0, v0=0.04, kappa=1.5,
+                      theta=0.04, xi=0.6, rho=-0.7)
+    r1 = price_autocall_heston(jax.random.key(4), hp, PHOENIX, sim)
+    assert float(r1.price) < pde - 4.0 * float(r1.stderr)
