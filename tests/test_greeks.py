@@ -22,11 +22,37 @@ def euro_greeks():
 
 
 def test_european_delta_vega_rho_match_closed_form(euro_greeks):
+    # Vega gate pinned by a 10-seed study (round 5): the pathwise estimator
+    # is UNBIASED (mean rel-deviation +0.05%, pathwise-vs-CRN-FD gap 5e-4 at
+    # 1M paths); per-seed MC sd is 0.58% at 100k paths, and this fixture's
+    # deterministic seed-42 value sits −0.22% from closed form — rtol 1%
+    # leaves 4.5× margin while a 2× regression of the real gap trips CI.
     _, g = euro_greeks
     want = bs_greeks(100.0, 100.0, 1.0, 0.05, 0.2, option_type="call")
     np.testing.assert_allclose(float(g["delta"]), float(want["delta"]), atol=0.01)
-    np.testing.assert_allclose(float(g["vega"]), float(want["vega"]), rtol=0.02)
+    np.testing.assert_allclose(float(g["vega"]), float(want["vega"]), rtol=0.01)
     np.testing.assert_allclose(float(g["rho"]), float(want["rho"]), rtol=0.02)
+
+
+def test_european_vega_matches_fd_through_refit():
+    """Estimator-unbiasedness gate: pathwise vega vs central FD of the FULL
+    pipeline (incl. the regression refit) under common random numbers. The
+    two estimators share every path, so the gap isolates autodiff-vs-refit
+    bias from MC noise — measured ≤ 6e-3 across seeds at 100k paths (round-5
+    study; 5e-4 at 1M). A stop-grad-style coefficient bias would show here
+    first, long before the closed-form gate moves."""
+    import dataclasses
+
+    from amcx import price_option
+
+    prod = ProductSpec(K=100.0, T=1.0, option_type="call", exercise="european")
+    key = jax.random.key(42)
+    _, g = price_and_greeks(key, M, prod, SPEC, SIM)
+    h = 0.005
+    up = price_option(key, dataclasses.replace(M, sigma=0.2 + h), prod, SPEC, SIM)
+    dn = price_option(key, dataclasses.replace(M, sigma=0.2 - h), prod, SPEC, SIM)
+    fd = (float(up.price) - float(dn.price)) / (2 * h)
+    assert abs(float(g["vega"]) - fd) < 0.02
 
 
 def test_european_theta_sign(euro_greeks):
