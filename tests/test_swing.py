@@ -180,7 +180,7 @@ def test_forward_swing_vs_lattice():
                           payoff_kind="forward")
     res = price_swing_option(jax.random.key(0), M, KPUT, 2, FSPEC, FSIM,
                              payoff_kind="forward")
-    assert abs(float(res.price) - lat) < 3.5 * float(res.stderr) + 0.01
+    assert abs(float(res.price) - lat) < 3.5 * float(res.stderr)  # −0.35σ measured
 
 
 def test_must_exercise_once_is_zero():
@@ -199,9 +199,13 @@ def test_take_or_pay_vs_lattice():
     lat = crr_swing_price(100.0, 100.0, 1.0, 0.05, 0.25, 3, n_steps=8,
                           n_sub=100, option_type="put",
                           payoff_kind="forward", n_min=2)
+    # No additive slack: a 12-seed replication at the RESULTS config
+    # (131k×20) put the estimator at −0.8 seed-sem vs the exact lattice —
+    # the signed-fit take-or-pay engine is NOT upward-biased (the round-4
+    # published +1.5σ was one seed's MC draw); this config sits at −0.18σ.
     res = price_swing_option(jax.random.key(2), M, KPUT, 3, FSPEC, FSIM,
                              payoff_kind="forward", n_min=2)
-    assert abs(float(res.price) - lat) < 3.5 * float(res.stderr) + 0.02
+    assert abs(float(res.price) - lat) < 3.5 * float(res.stderr)
 
 
 def test_fully_forced_swing_is_forward_strip():
