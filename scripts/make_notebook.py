@@ -43,9 +43,8 @@ these oracles to QuantLib itself on the reference's 12-case grid.
 CELL_IMPORTS = """\
 import pathlib, sys
 sys.path.insert(0, str(pathlib.Path.cwd().parent))  # repo root when run from examples/
-import matplotlib
-matplotlib.use("Agg")  # headless; figures still embed via %matplotlib inline
 %matplotlib inline
+from IPython.display import display
 import numpy as np
 import jax
 
@@ -95,6 +94,7 @@ paths.shape
 
 CELL_PATHFAN = """\
 fig = plot_asset_paths(paths[:, :100], T, n_paths_to_plot=100)
+fig
 """
 
 CELL_LSMC = """\
@@ -114,6 +114,7 @@ fig = plot_lsmc_results(paths[:, :256], res.continuation[:, :256],
                         res.exposures, compute_ccr_exposures(grid),
                         key_S_lines=[S0, K], S0=S0, K=K,
                         n_plotted_paths=10)
+fig
 """
 
 CELL_COMPARE = """\
@@ -154,12 +155,13 @@ def run_config(params):
                               option_type=product.option_type,
                               exercise=product.exercise,
                               barrier=product.barrier, crr_steps=50)
-    plot_lsmc_results(paths[:, :n_grid], res.continuation[:, :n_grid],
-                      np.asarray(grid), dt, res.exposures,
-                      compute_ccr_exposures(grid),
-                      key_S_lines=[market.S0, product.K],
-                      S0=market.S0, K=product.K, barrier=product.barrier,
-                      n_plotted_paths=10)
+    fig = plot_lsmc_results(paths[:, :n_grid], res.continuation[:, :n_grid],
+                            np.asarray(grid), dt, res.exposures,
+                            compute_ccr_exposures(grid),
+                            key_S_lines=[market.S0, product.K],
+                            S0=market.S0, K=product.K, barrier=product.barrier,
+                            n_plotted_paths=10)
+    display(fig)
     oracle = float(oracle_price(market.S0, product.K, product.T, market.r,
                                 market.sigma, n_steps=sim.n_steps,
                                 option_type=product.option_type,
@@ -229,6 +231,7 @@ by_basis = price_vs_degree(jax.random.key(7), market,
                                        exercise="american"),
                            max_degree=8, n_paths=4000, n_steps=50)
 fig = plot_error_vs_basis_degree(by_basis)
+fig
 """
 
 CELL_CONV_PATHS = """\
@@ -240,6 +243,7 @@ conv_p = price_vs_paths(jax.random.key(8), market,
                         n_steps=50)
 fig = plot_convergence(conv_p, "Number of MC paths",
                        "LSMC convergence vs paths", log_x=True)
+fig
 """
 
 CELL_CONV_STEPS = """\
@@ -250,6 +254,7 @@ conv_s = price_vs_steps(jax.random.key(9), market,
                         step_range=[10, 25, 50, 100], n_paths=8000)
 fig = plot_convergence(conv_s, "Number of time steps",
                        "LSMC convergence vs time steps")
+fig
 """
 
 CELL_HEATMAP = """\
@@ -260,6 +265,7 @@ hm = error_heatmap(jax.random.key(10), market,
                    path_range=[500, 1000, 2000, 4000],
                    step_range=[10, 25, 50])
 fig = plot_error_heatmap(hm, option_type="put", exercise="american")
+fig
 """
 
 
