@@ -635,6 +635,7 @@ def deep_dual_bound_max_call(
     dspec: DeepSpec = DeepSpec(),
     n_outer: int = 2_048,
     n_inner: int = 64,
+    n_replay: int | None = None,
 ):
     """Certified (OOS lower, nested AB dual upper) bracket for the Bermudan
     max-call under the frozen deep policy (VERDICT r3 #4: the max-call
@@ -643,6 +644,12 @@ def deep_dual_bound_max_call(
     Key discipline mirrors `deep_dual_bound`: fit paths, network init,
     replay paths, dual outer paths and dual inner normals all draw from
     disjoint streams. Returns ``(lower_result, DualResult)``.
+
+    ``n_replay`` sizes the OOS replay sample independently of the FIT
+    sample (default: ``sim.n_paths``). Replaying the frozen network is a
+    forward pass only, so a much larger replay than fit set is nearly free
+    and directly tightens the bracket's lower edge (VERDICT r4 weak #4:
+    the lower stderr, not the policy, dominated the published width).
     """
     from .dual import DualResult
     from .paths import simulate_gbm_multi
@@ -660,7 +667,10 @@ def deep_dual_bound_max_call(
     _, _, policy = _deep_backward_impl(
         X, r, dt, payoff, dspec, k_net, True, sim.antithetic, 1,
         collect_policy=True)
-    X2 = simulate_gbm_multi(k_replay, S0, r, sigma, T, sim, q=q, corr=corr)
+    sim_replay = (sim if n_replay is None
+                  else dataclasses.replace(sim, n_paths=int(n_replay)))
+    X2 = simulate_gbm_multi(k_replay, S0, r, sigma, T, sim_replay, q=q,
+                            corr=corr)
     lo_price, lo_stderr = _deep_replay_impl(
         X2, policy, r, dt, payoff, True, sim.antithetic, 1)
     sim_outer = dataclasses.replace(sim, n_paths=n_outer, antithetic=False)
