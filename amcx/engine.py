@@ -507,11 +507,6 @@ def price_option(
                 "use return_coeffs=True + "
                 "amcx.exposures.exposures_from_coeffs on any same-law paths"
             )
-        if product.has_barrier:
-            raise ValueError(
-                "engine='fusedpath' generates paths backward; the knock "
-                "state needs forward history — use 'mega' for barriers"
-            )
         from .ops.gbm_pallas import _key_to_seed
         from .ops.lsmc_fusedpath import lsmc_price_fusedpath
 
@@ -525,6 +520,7 @@ def price_option(
             antithetic=sim.antithetic, return_stats=True,
             exercise_steps=exercise_steps,
             return_cf_tau=return_cf_tau, return_coeffs=return_coeffs,
+            barrier=product.barrier, barrier_type=product.barrier_type,
         )
         if return_cf_tau or return_coeffs:
             return LSMCResult(out.price, out.stderr, out.cashflows,

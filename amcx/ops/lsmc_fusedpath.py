@@ -22,10 +22,23 @@ Same statistical footing as the forward kernel (counter-based hardware PRNG,
 streams keyed by (seed, t, chunk)); prices agree with the pathgen+mega
 pipeline to MC tolerance, not bit-for-bit. Standardization uses the
 closed-form GBM statistics (`amcx.paths.gbm_standardization` semantics) —
-pure conditioning, fitted values are affine-invariant. Barriers are NOT
-supported here: the knock state at step t depends on the forward path
-history min/max, which a backward generator does not know yet (use the
-forward pipeline). Analytics: ``return_cf_tau``/``return_coeffs`` emit the
+pure conditioning, fitted values are affine-invariant.
+
+**Barriers** (all four knock kinds) run zero-path-HBM too: the knock state
+at step t is the *prefix* extremum of the forward path, which the bridge
+recursion cannot see — so barrier mode switches the generator to the
+counter-based FORWARD walk. Grid step 0 sweeps each chunk forward
+(W ← W + √dt·ξ_s, streams keyed by (seed, s, chunk)), records the first
+barrier-crossing step τ_B in one VMEM plane (the only extra state), and
+lands on W_T for the maturity leg; every backward step then regenerates the
+SAME path by backward-differencing the SAME increments
+(W_t = W_{t+1} − √dt·ξ_{t+1} — exact in real arithmetic; the ~√T·ulp f32
+replay drift vs the forward sweep is ≤1e-7 relative on S and cannot move
+the knock plane, which is fixed by the prepass). The gate ``τ_B ≤ t``
+(knocked for -in, its complement for -out) masks the maturity cashflow,
+the exercise select, and the ITM fit weights — exactly the
+`barrier_gate` semantics of the XLA engine (engine.py Q4) and the mega
+kernel's sign-bit encoding. Analytics: ``return_cf_tau``/``return_coeffs`` emit the
 per-path (cashflow, τ) planes and per-step regression coefficients (same
 contract as the mega kernel), so Greeks, dual bounds, and coefficient-route
 exposures run off the zero-HBM engine too.
@@ -68,10 +81,12 @@ def _fusedpath_kernel(seed_ref, scal_ref, stats_ref, *refs,
                       degree, american, itm_weights, antithetic,
                       schedule=False, ring_axis=None, ring_size=1,
                       emit_cf_tau=False, emit_coeffs=False, replay=False,
-                      curves=False):
+                      curves=False, barrier=False, barrier_down=True,
+                      barrier_in=True):
     # refs = outputs (price Σ, ΣV², [cf, τ], [coeff rows]) then scratch
-    # (V, W, Sp, macc, [ring comm buffers]) — unpacked by the same static
-    # flags that built the pallas_call signature (mirrors _mega_kernel).
+    # (V, W, Sp, macc, [τ_B knock plane], [ring comm buffers]) — unpacked by
+    # the same static flags that built the pallas_call signature (mirrors
+    # _mega_kernel).
     it = iter(refs)
     out_ref, out_sq_ref = next(it), next(it)
     cf_ref = tau_ref = coef_ref = None
@@ -80,6 +95,7 @@ def _fusedpath_kernel(seed_ref, scal_ref, stats_ref, *refs,
     if emit_coeffs:
         coef_ref = next(it)
     V, W, Sp, macc = next(it), next(it), next(it), next(it)
+    TB = next(it) if barrier else None
     rest = tuple(it)
     if ring_axis is not None:
         comm, send_sem, recv_sem = rest
@@ -120,9 +136,13 @@ def _fusedpath_kernel(seed_ref, scal_ref, stats_ref, *refs,
     n_chunks = n_rows // chunk_rows
     half_chunks = n_chunks // 2
 
-    def draw(c):
-        """Fresh ξ tile for (step t, chunk c); antithetic mirrors the
-        second half of the chunks onto the first half's stream."""
+    def draw(c, step=None):
+        """Fresh ξ tile for (step, chunk c); antithetic mirrors the
+        second half of the chunks onto the first half's stream. ``step``
+        defaults to this grid step's time index t; barrier mode passes it
+        explicitly so the backward difference replays the forward prepass's
+        exact increments (counter-based: same (seed, step, chunk) → same
+        bits)."""
         if antithetic:
             mirror = c >= half_chunks
             base = jnp.where(mirror, c - half_chunks, c)
@@ -132,8 +152,20 @@ def _fusedpath_kernel(seed_ref, scal_ref, stats_ref, *refs,
             sign = 1.0
         # Mosaic prng_seed takes ≤ 2 values: fold (step, chunk) into one
         # stream index (chunk count < 2^16 at any realistic path count)
-        pltpu.prng_seed(seed_ref[0], t * 65536 + base)
+        pltpu.prng_seed(seed_ref[0], (t if step is None else step) * 65536 + base)
         return _box_muller((chunk_rows, LANES)) * sign
+
+    if barrier:
+        B_lvl = scal_ref[8]
+        NEVER = float(n_steps + 1)
+        sqrt_dt = jnp.sqrt(dt)
+
+        def _cross(S):
+            return S <= B_lvl if barrier_down else S >= B_lvl
+
+        def _gate(tb, upto):
+            kn = tb <= upto
+            return kn if barrier_in else jnp.logical_not(kn)
 
     @pl.when(i == 0)
     def _maturity():
@@ -144,13 +176,39 @@ def _fusedpath_kernel(seed_ref, scal_ref, stats_ref, *refs,
 
         def body(c, _):
             sl = pl.ds(c * chunk_rows, chunk_rows)
-            Wt = wT * draw(c)
+            if barrier:
+                # FORWARD walk (prefix knock state is unknowable backward):
+                # accumulate W and the first-crossing step τ_B per path;
+                # τ_B = 0 covers the S_0 monitor date (constant per config).
+                tb0 = jnp.where(_cross(S0), 0.0, NEVER)
+
+                def fwd(s, carry):
+                    Wc, tb = carry
+                    Wc = Wc + sqrt_dt * draw(c, step=s)
+                    Sg = S0 * jnp.exp(drift_dt * s.astype(jnp.float32)
+                                      + sigma * Wc)
+                    tb = jnp.minimum(
+                        tb, jnp.where(_cross(Sg), s.astype(jnp.float32),
+                                      NEVER))
+                    return Wc, tb
+
+                Wt, tb = jax.lax.fori_loop(
+                    1, n_steps + 1, fwd,
+                    (jnp.zeros((chunk_rows, LANES), jnp.float32),
+                     jnp.zeros((chunk_rows, LANES), jnp.float32) + tb0))
+                TB[sl, :] = tb
+            else:
+                Wt = wT * draw(c)
             W[sl, :] = Wt
             if curves:
                 S = S0 * jnp.exp(D_t + Wt)  # W carries X = B(v)
             else:
                 S = S0 * jnp.exp(drift_dt * float(n_steps) + sigma * Wt)
             vT = jnp.maximum(phi * (S - K), 0.0)
+            if barrier:
+                # maturity cashflow only where the gate is open (Q4 parity
+                # with engine.py's knocked_tm[n_steps] select)
+                vT = jnp.where(_gate(tb, float(n_steps)), vT, 0.0)
             V[sl, :] = vT
             if emit_cf_tau:
                 # cashflow carry stores UNdiscounted exercise values (Q5);
@@ -196,7 +254,12 @@ def _fusedpath_kernel(seed_ref, scal_ref, stats_ref, *refs,
 
         def pass1(c, _):
             sl = pl.ds(c * chunk_rows, chunk_rows)
-            Wt = a * W[sl, :] + bscale * draw(c)
+            if barrier:
+                # backward-difference the forward walk's own increments
+                # (same (seed, t+1, chunk) stream the prepass consumed)
+                Wt = W[sl, :] - sqrt_dt * draw(c, step=t + 1)
+            else:
+                Wt = a * W[sl, :] + bscale * draw(c)
             W[sl, :] = Wt
             if curves:
                 S = S0 * jnp.exp(D_t + Wt)
@@ -209,6 +272,11 @@ def _fusedpath_kernel(seed_ref, scal_ref, stats_ref, *refs,
             xhat = (S - mean) * inv_std
             w = ((jnp.maximum(phi * (S - K), 0.0) > 0.0).astype(jnp.float32)
                  if itm_weights else None)
+            if itm_weights and barrier:
+                # canonical LS fit weights: ITM ∧ gate (mega pass1 parity);
+                # the all-paths fit stays ungated (y already carries the
+                # gated cashflows)
+                w = w * _gate(TB[sl, :], tf).astype(jnp.float32)
             if layout == "identity":
                 n_pow = 2 * degree + 1
                 cols = _basis_cols(xhat, basis, 2 * degree)
@@ -264,6 +332,9 @@ def _fusedpath_kernel(seed_ref, scal_ref, stats_ref, *refs,
             mask = ex > cont  # ex>cont ⟹ ITM
             if schedule:
                 mask = mask & (allow > 0.0)
+            if barrier:
+                # Q4: exercise only where the knock gate is open at t
+                mask = mask & _gate(TB[sl, :], tf)
             # exercised paths re-anchor at ex·e^{+r·dt·(n_steps−t)}
             V[sl, :] = jnp.where(mask, ex * inv_c_t, V[sl, :])
             if emit_cf_tau:
@@ -295,13 +366,15 @@ def _fusedpath_kernel(seed_ref, scal_ref, stats_ref, *refs,
     static_argnames=("n_steps", "n_rows", "basis", "degree", "american",
                      "itm_weights", "antithetic", "interpret", "schedule",
                      "ring_axis", "ring_size", "emit_cf_tau", "emit_coeffs",
-                     "replay", "curves"),
+                     "replay", "curves", "barrier", "barrier_down",
+                     "barrier_in"),
 )
 def _run_fusedpath(seed, scalars, stats, n_steps, n_rows, basis, degree,
                    american, itm_weights, antithetic, interpret,
                    schedule=False, ring_axis=None, ring_size=1,
                    emit_cf_tau=False, emit_coeffs=False, replay=False,
-                   curves=False):
+                   curves=False, barrier=False, barrier_down=True,
+                   barrier_in=True):
     _, P = _moment_layout(basis, degree)
     kernel = functools.partial(
         _fusedpath_kernel,
@@ -320,6 +393,9 @@ def _run_fusedpath(seed, scalars, stats, n_steps, n_rows, basis, degree,
         emit_coeffs=emit_coeffs,
         replay=replay,
         curves=curves,
+        barrier=barrier,
+        barrier_down=barrier_down,
+        barrier_in=barrier_in,
     )
     scratch_shapes = [
         pltpu.VMEM((n_rows, LANES), jnp.float32),  # V carry
@@ -327,6 +403,9 @@ def _run_fusedpath(seed, scalars, stats, n_steps, n_rows, basis, degree,
         pltpu.VMEM((n_rows, LANES), jnp.float32),  # S_t stage for pass 2
         pltpu.VMEM((P, LANES), jnp.float32),
     ]
+    if barrier:
+        # τ_B first-crossing plane (written once by the forward prepass)
+        scratch_shapes.append(pltpu.VMEM((n_rows, LANES), jnp.float32))
     compiler_kwargs = dict(vmem_limit_bytes=64 * 1024 * 1024)
     if ring_axis is not None:
         scratch_shapes += [
@@ -406,6 +485,8 @@ def lsmc_price_fusedpath(
     return_cf_tau: bool = False,
     return_coeffs: bool = False,
     replay_coeffs=None,
+    barrier=None,
+    barrier_type: str = "down-in",
 ):
     """American/European vanilla GBM price with ZERO path HBM traffic.
 
@@ -454,6 +535,15 @@ def lsmc_price_fusedpath(
     discounting — zero path HBM under any deterministic term structure.
     Composes with replay/schedules/collective mode; flat scalars are
     bitwise-unchanged.
+
+    **Barriers**: ``barrier`` (knock level) + ``barrier_type`` in
+    {down,up}×{in,out} switch the kernel to the forward-walk + τ_B-plane
+    scheme (module docstring): one extra VMEM plane, still zero path HBM.
+    Gate semantics are exactly the XLA engine's `barrier_gate` (Q4):
+    maturity cashflow, exercise select, and ITM fit weights are masked by
+    knocked-by-t (-in) or never-knocked-by-t (-out); the all-paths fit is
+    ungated. Monitoring is discrete on the step grid including t = 0.
+    Term-structure curves are not yet supported together with barriers.
     """
     if n_paths % (8 * LANES):
         raise ValueError(
@@ -476,6 +566,20 @@ def lsmc_price_fusedpath(
     sig_a = jnp.asarray(sigma, jnp.float32)
     q_a = jnp.asarray(q, jnp.float32)
     curves = any(x.ndim > 0 for x in (r_a, sig_a, q_a))
+    has_barrier = barrier is not None
+    if has_barrier:
+        bt = barrier_type.strip().lower()
+        if bt not in ("down-in", "down-out", "up-in", "up-out"):
+            raise ValueError(f"unknown barrier_type {barrier_type!r}")
+        if curves:
+            raise NotImplementedError(
+                "fusedpath barriers under term-structure curves are not "
+                "implemented yet; use the forward pipeline (engine='mega')"
+            )
+        barrier_down = bt.startswith("down")
+        barrier_in = bt.endswith("in")
+    else:
+        barrier_down = barrier_in = True
     if curves:
         for name, x in (("r", r_a), ("sigma", sig_a), ("q", q_a)):
             if x.ndim > 1 or (x.ndim == 1 and x.shape != (n_steps,)):
@@ -512,6 +616,7 @@ def lsmc_price_fusedpath(
         drift_eff,
         jnp.asarray(dt, jnp.float32),
         jnp.asarray(S0, jnp.float32),
+        jnp.asarray(barrier if has_barrier else 0.0, jnp.float32),
     ])
     dt_f = jnp.asarray(dt, jnp.float32)
     if curves:
@@ -569,7 +674,8 @@ def lsmc_price_fusedpath(
         schedule=exercise_steps is not None,
         ring_axis=axis_name, ring_size=axis_size,
         emit_cf_tau=return_cf_tau, emit_coeffs=return_coeffs, replay=replay,
-        curves=curves)
+        curves=curves, barrier=has_barrier, barrier_down=barrier_down,
+        barrier_in=barrier_in)
     n_glob = n_paths * (axis_size if axis_name is not None else 1)
     if axis_name is not None:
         sums = jax.lax.psum(sums, axis_name)

@@ -370,9 +370,12 @@ def price_option_shardmap_fusedpath(
     Each rank's PRNG stream is seeded with ``fold_in(key, rank)`` so the
     union of shards is a valid global sample. Returns ``(price, stderr)``
     (replicated scalars).
+
+    Barrier products ride along: the knock prepass + τ_B plane
+    (`lsmc_price_fusedpath` barrier mode) is rank-local state, so the
+    moment-ring algebra is untouched — zero-HBM barrier pricing across the
+    mesh.
     """
-    if product.has_barrier:
-        raise ValueError("fusedpath generates paths backward; no barriers")
     spec = resolve_regression_spec(spec, product, q=market.q)
     mesh = make_mesh() if mesh is None else mesh
     axis = mesh.axis_names[0]
@@ -401,6 +404,7 @@ def price_option_shardmap_fusedpath(
                 itm_weights=spec.regress_on == "itm",
                 antithetic=sim.antithetic, return_stats=True,
                 axis_name=axis, axis_size=n_dev,
+                barrier=product.barrier, barrier_type=product.barrier_type,
             )
 
         return shard_map(

@@ -57,11 +57,18 @@ def test_engine_selector():
                                  exercise="american"),
                      RegressionSpec(), sim, return_surface=True,
                      engine="fusedpath")
-    with pytest.raises(ValueError, match="backward"):
-        price_option(jax.random.key(0), m,
-                     ProductSpec(K=100.0, T=1.0, option_type="put",
-                                 exercise="american", barrier=80.0),
-                     RegressionSpec(), sim, engine="fusedpath")
+    res_b = price_option(jax.random.key(0), m,
+                         ProductSpec(K=100.0, T=1.0, option_type="put",
+                                     exercise="american", barrier=80.0),
+                         RegressionSpec(), sim, engine="fusedpath")
+    assert np.isfinite(float(res_b.price))
+    with pytest.raises(NotImplementedError, match="curves"):
+        lsmc_price_fusedpath(0, 100.0, 100.0,
+                             jnp.full((20,), 0.05), 0.2, 0.05, 20, 8192,
+                             -1.0, barrier=80.0)
+    with pytest.raises(ValueError, match="barrier_type"):
+        lsmc_price_fusedpath(0, 100.0, 100.0, 0.05, 0.2, 0.05, 20, 8192,
+                             -1.0, barrier=80.0, barrier_type="sideways")
     res = price_option(jax.random.key(0), m,
                        ProductSpec(K=100.0, T=1.0, option_type="put",
                                    exercise="american"),
@@ -114,3 +121,64 @@ def test_price_option_fusedpath_feeds_fast_greeks():
     g = fast_greeks(res, m, prod, sim.n_steps)
     for v in g.values():
         assert np.isfinite(float(v))
+
+
+def test_barrier_gate_identities_zero_noise():
+    """Barrier mode exercises the forward-prepass + τ_B-plane path; under
+    the interpreter's zero-bit PRNG every path IS the deterministic forward
+    curve, so the gate identities are exact:
+
+    - a barrier the curve never touches ⟹ knock-out == vanilla (gate all
+      open), knock-in == 0 (gate never opens);
+    - a barrier crossed at t = 0 ⟹ knock-in == vanilla, knock-out == 0;
+    - a barrier crossed mid-grid (r=0, σ=0.3 ⟹ S_t = 100·e^{−0.045·t·dt},
+      first ≤ 97 at step 34) ⟹ the down-out policy exercises at step 33
+      (S = 97.07, intrinsic 2.93) — the exact deterministic optimum.
+    """
+    args = (0, 100.0, 100.0, 0.0, 0.3, 0.02, 50, 8192, -1.0)
+    van = float(lsmc_price_fusedpath(*args))
+    assert van > 4.0  # declining deterministic curve: put is ITM at T
+    # never-touched barriers
+    assert float(lsmc_price_fusedpath(*args, barrier=1e-6,
+                                      barrier_type="down-out")) == van
+    assert float(lsmc_price_fusedpath(*args, barrier=1e-6,
+                                      barrier_type="down-in")) == 0.0
+    assert float(lsmc_price_fusedpath(*args, barrier=101.0,
+                                      barrier_type="up-out")) == van
+    assert float(lsmc_price_fusedpath(*args, barrier=101.0,
+                                      barrier_type="up-in")) == 0.0
+    # knocked at t = 0 (S_0 itself crosses)
+    assert float(lsmc_price_fusedpath(*args, barrier=150.0,
+                                      barrier_type="down-in")) == van
+    assert float(lsmc_price_fusedpath(*args, barrier=150.0,
+                                      barrier_type="down-out")) == 0.0
+    assert float(lsmc_price_fusedpath(*args, barrier=100.0,
+                                      barrier_type="up-in")) == van
+    # mid-grid crossing: down-out exercises just above the barrier
+    out_mid = float(lsmc_price_fusedpath(*args, barrier=97.0,
+                                         barrier_type="down-out"))
+    s33 = 100.0 * np.exp(-0.045 * 33 * 0.02)
+    np.testing.assert_allclose(out_mid, 100.0 - s33, atol=1e-3)
+    # down-in with the same barrier: knock precedes the vanilla's optimal
+    # late exercise on this curve, so the gated price equals the vanilla
+    in_mid = float(lsmc_price_fusedpath(*args, barrier=97.0,
+                                        barrier_type="down-in"))
+    assert in_mid == van
+
+
+def test_barrier_cf_tau_and_replay_compose():
+    """Barrier mode composes with the (cf, τ) export (price identity) and
+    with frozen-policy replay (same seed + own coeffs ⟹ same price)."""
+    r, dt, n_steps, n_paths = 0.0, 0.02, 50, 8192
+    out = lsmc_price_fusedpath(3, 100.0, 100.0, r, 0.3, dt, n_steps, n_paths,
+                               -1.0, barrier=97.0, barrier_type="down-out",
+                               return_cf_tau=True, return_coeffs=True)
+    cf = np.asarray(out.cashflows)
+    tau = np.asarray(out.exercise_times)
+    recon = float(np.mean(cf * np.exp(-r * dt * tau)))
+    np.testing.assert_allclose(recon, float(out.price), rtol=1e-5, atol=1e-6)
+    replayed = lsmc_price_fusedpath(3, 100.0, 100.0, r, 0.3, dt, n_steps,
+                                    n_paths, -1.0, barrier=97.0,
+                                    barrier_type="down-out",
+                                    replay_coeffs=out.coeffs)
+    np.testing.assert_allclose(float(replayed), float(out.price), rtol=1e-6)

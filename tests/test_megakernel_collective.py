@@ -254,6 +254,49 @@ def test_collective_fusedpath_four_dev():
     assert "OK" in out
 
 
+_FUSEDPATH_BARRIER_CASE = r"""
+import sys
+sys.setswitchinterval(5e-5)
+sys.path.insert(0, {repo!r})
+import os
+os.environ['JAX_PLATFORMS'] = 'cpu'
+os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count={n_dev}'
+import jax
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_compilation_cache_dir', {repo!r} + '/.jax_cache')
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+from amcx import MarketParams, ProductSpec, RegressionSpec, SimConfig
+from amcx.ops.lsmc_fusedpath import lsmc_price_fusedpath
+from amcx.parallel.sharding import make_mesh, price_option_shardmap_fusedpath
+N, steps = {n_dev}, {steps}
+M = MarketParams(100.0, 0.01, 0.2)
+# zero-noise stub curve S_s = 100*exp(-0.01*s/steps) crosses 99.5 mid-grid,
+# so the knock prepass + gate genuinely fire inside the collective program
+prod = ProductSpec(K=100.0, T=1.0, option_type='put', exercise='american',
+                   barrier=99.5, barrier_type='down-out')
+mesh = make_mesh(jax.devices()[:N])
+p, se = price_option_shardmap_fusedpath(
+    jax.random.key(0), M, prod, RegressionSpec(degree=2),
+    SimConfig(n_paths=4096 * N, n_steps=steps), mesh)
+s = float(lsmc_price_fusedpath(1, M.S0, prod.K, M.r, M.sigma, 1.0 / steps,
+                               steps, 4096, -1.0, degree=2, barrier=99.5,
+                               barrier_type='down-out', itm_weights=True))
+gap = abs(float(p) - s)
+assert gap < 1e-4, f'collective barrier fusedpath vs single stub: {{gap}}'
+print(f'OK gap={{gap:.2e}}')
+"""
+
+
+def test_collective_fusedpath_barrier_two_dev():
+    """Barrier mode (forward knock prepass + τ_B plane) composed with the
+    RDMA moment ring: the knock state is rank-local, so the ring algebra is
+    untouched — collective price must equal the single-rank stub exactly."""
+    code = _FUSEDPATH_BARRIER_CASE.format(repo=_REPO, n_dev=2, steps=4)
+    out = _run_code(code, "fusedpath_barrier", 2, 4, timeout=28, attempts=2)
+    assert "OK" in out
+
+
 _MA_MEGA_CASE = r"""
 import sys
 sys.setswitchinterval(5e-5)

@@ -256,3 +256,26 @@ def test_asian_fused_onchip():
                             "american", "arithmetic", "fixed", spec, sim,
                             engine="fused")
     assert abs(float(rx.price) - float(rf.price)) < 2.5e-3
+
+
+def test_fusedpath_barrier_onchip():
+    """Zero-HBM barriers (VERDICT r4 next #10): the fusedpath forward-
+    prepass + τ_B-plane scheme must lower on hardware and agree with the
+    forward pipeline (pathgen → sign-bit mega) for every knock kind —
+    independent PRNG streams, so the gate is statistical (k·σ)."""
+    from amcx.engine import price_option
+
+    m = MarketParams(100.0, 0.05, 0.2)
+    sim = SimConfig(n_paths=262_144, n_steps=50)
+    spec = RegressionSpec(degree=4, regress_on="all")
+    for bt, B in [("down-in", 85.0), ("down-out", 85.0),
+                  ("up-out", 120.0), ("up-in", 120.0)]:
+        prod = ProductSpec(K=100.0, T=1.0, option_type="put",
+                           exercise="american", barrier=B, barrier_type=bt)
+        fp = price_option(jax.random.key(7), m, prod, spec, sim,
+                          engine="fusedpath")
+        mg = price_option(jax.random.key(3), m, prod, spec, sim,
+                          engine="mega")
+        se = float(np.hypot(float(fp.stderr), float(mg.stderr)))
+        assert abs(float(fp.price) - float(mg.price)) < 4 * se + 1e-4, (
+            bt, float(fp.price), float(mg.price), se)

@@ -75,6 +75,20 @@ def test_fusedpath_ring_compiles(mesh8):
         k, M, PUT_A, RegressionSpec(degree=4), SIM, mesh=mesh8))
 
 
+def test_fusedpath_barrier_ring_compiles(mesh8):
+    """Zero-HBM barrier mode (forward knock prepass + τ_B plane) composed
+    with the in-kernel RDMA moment ring: the prepass fori_loop + the
+    collective schedule is exactly the combination only a real-backend AOT
+    compile can vet (Mosaic collective lowering; the CPU interpreter cannot
+    see this bug class)."""
+    import dataclasses
+
+    prod_b = dataclasses.replace(PUT_A, barrier=85.0,
+                                 barrier_type="down-in")
+    _aot(lambda k: sh.price_option_shardmap_fusedpath(
+        k, M, prod_b, RegressionSpec(degree=4), SIM, mesh=mesh8))
+
+
 def test_ma_mega_maxcall_ring_compiles(mesh8):
     """Deep ma-mega collective schedule: only ≤2-step 2-dev configs ever
     complete under the interpreter — this compiles the real 9-date 8-dev
