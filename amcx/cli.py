@@ -362,6 +362,38 @@ def cmd_book(args):
     return payload
 
 
+def cmd_roughvol(args):
+    """Vanilla option under rough Bergomi volatility."""
+    from .oracle import bs_price
+    from .roughvol import RBergomiParams, price_option_rbergomi
+    from .types import ProductSpec, RegressionSpec, SimConfig
+
+    rp = RBergomiParams(S0=args.s0, r=args.r, q=args.q, xi0=args.xi0,
+                        eta=args.eta, rho=args.rho, H=args.hurst)
+    product = ProductSpec(K=args.k, T=args.t, option_type=args.option_type,
+                          exercise=args.exercise)
+    spec = RegressionSpec(basis=args.basis, degree=args.degree)
+    sim = SimConfig(n_paths=args.paths, n_steps=args.steps,
+                    antithetic=args.antithetic)
+    res = price_option_rbergomi(jax.random.key(args.seed), rp, product,
+                                spec, sim, engine=args.engine)
+    bs_flat = bs_price(args.s0, args.k, args.t, args.r, args.xi0 ** 0.5,
+                       q=args.q, option_type=args.option_type)
+    payload = {
+        "price": round(float(res.price), 4),
+        "stderr": round(float(res.stderr), 4),
+        "bs_eta0_european": round(float(bs_flat), 4),
+    }
+    if not args.json:
+        ex = product.exercise.title()
+        print(f"rBergomi {ex} {product.option_type} (H={args.hurst}, "
+              f"η={args.eta}, ρ={args.rho}): {payload['price']:.4f} "
+              f"± {payload['stderr']:.4f}  (η→0 BS European reference: "
+              f"{payload['bs_eta0_european']:.4f})")
+    _emit(payload, args.json)
+    return payload
+
+
 def cmd_heston(args):
     """Vanilla option under Heston (or, with --jump-lam > 0, Bates SVJ)."""
     from .dynamics import (HestonParams, MertonJumps, bates_price_cf,
@@ -1328,6 +1360,34 @@ def build_parser():
     ph.add_argument("--seed", type=int, default=42)
     ph.add_argument("--json", action="store_true")
     ph.set_defaults(fn=cmd_heston)
+
+    prb = sub.add_parser(
+        "roughvol", help="vanilla option under rough Bergomi volatility")
+    prb.add_argument("--s0", type=float, default=100.0)
+    prb.add_argument("--k", type=float, default=100.0)
+    prb.add_argument("--t", type=float, default=1.0)
+    prb.add_argument("--r", type=float, default=0.03)
+    prb.add_argument("--q", type=float, default=0.0)
+    prb.add_argument("--xi0", type=float, default=0.04,
+                     help="flat forward variance ξ₀")
+    prb.add_argument("--eta", type=float, default=1.5, help="vol of vol η")
+    prb.add_argument("--rho", type=float, default=-0.7)
+    prb.add_argument("--hurst", type=float, default=0.1,
+                     help="Hurst index H (H<0.5 = rough)")
+    prb.add_argument("--option-type", choices=["put", "call"], default="put")
+    prb.add_argument("--exercise", choices=["european", "american"],
+                     default="american")
+    prb.add_argument("--basis", default="chebyshev")
+    prb.add_argument("--degree", type=int, default=3)
+    prb.add_argument("--paths", type=int, default=100_000)
+    prb.add_argument("--steps", type=int, default=100)
+    prb.add_argument("--antithetic", action="store_true")
+    prb.add_argument("--engine", choices=["xla", "fused", "mega"],
+                     default="xla",
+                     help="fused = 2 kernels/step; mega = ONE kernel total")
+    prb.add_argument("--seed", type=int, default=42)
+    prb.add_argument("--json", action="store_true")
+    prb.set_defaults(fn=cmd_roughvol)
 
     pk2 = sub.add_parser(
         "basket", help="basket option on correlated GBM assets")

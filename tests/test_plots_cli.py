@@ -249,6 +249,20 @@ def test_cli_bates_jump_flags(capsys):
     assert payload["price"] > payload["cf_european"] - 3 * payload["stderr"]
 
 
+def test_cli_roughvol_json(capsys):
+    import json as _json
+
+    from amcx.cli import main
+
+    main(["roughvol", "--paths", "32768", "--steps", "20", "--eta", "0.0",
+          "--exercise", "european", "--antithetic", "--json"])
+    payload = _json.loads(capsys.readouterr().out)
+    # η=0 collapses rBergomi to BS exactly — the reference line the CLI
+    # prints is then the MC target itself
+    assert abs(payload["price"] - payload["bs_eta0_european"]) < (
+        4 * payload["stderr"])
+
+
 def test_cli_jump_merton_json(capsys):
     from amcx.cli import main
 

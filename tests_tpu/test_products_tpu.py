@@ -272,3 +272,37 @@ def test_bermudan_swaption_mega_onchip():
                                   exercise_times=[1.0], engine="mega", **kw)
     assert abs(float(r_e.price) - exact) < 4.0 * float(r_e.stderr) + 1e-5, (
         float(r_e.price), exact, float(r_e.stderr))
+
+
+def test_rbergomi_mega_onchip():
+    """Rough Bergomi rides the ma-mega kernel on chip: the (S, v) planes
+    come from the exact joint-covariance Volterra matmul (MXU), the
+    induction is ONE pallas_call; fused vs mega vs XLA must agree, and the
+    η=0 sanity collapse to BS holds on hardware-PRNG statistics."""
+    from amcx.oracle import bs_price
+    from amcx.roughvol import RBergomiParams, price_option_rbergomi
+
+    rp = RBergomiParams(S0=100.0, r=0.03, xi0=0.04, eta=1.5, rho=-0.7,
+                        H=0.1)
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put",
+                       exercise="american")
+    sim = SimConfig(n_paths=262_144, n_steps=50, antithetic=True)
+    spec = RegressionSpec(degree=2, regress_on="all")
+    r_x = price_option_rbergomi(jax.random.key(1), rp, prod, spec, sim)
+    r_f = price_option_rbergomi(jax.random.key(1), rp, prod, spec, sim,
+                                engine="fused")
+    r_m = price_option_rbergomi(jax.random.key(1), rp, prod, spec, sim,
+                                engine="mega")
+    assert abs(float(r_f.price) - float(r_m.price)) < 5e-3, (
+        float(r_f.price), float(r_m.price))
+    assert abs(float(r_x.price) - float(r_m.price)) < max(
+        1e-2, 0.5 * float(r_x.stderr)), (float(r_x.price), float(r_m.price))
+
+    rp0 = RBergomiParams(S0=100.0, r=0.03, xi0=0.04, eta=0.0, rho=-0.7,
+                         H=0.1)
+    prod_e = ProductSpec(K=100.0, T=1.0, option_type="put",
+                         exercise="european")
+    r_e = price_option_rbergomi(jax.random.key(2), rp0, prod_e, spec, sim)
+    bs = float(bs_price(100.0, 100.0, 1.0, 0.03, 0.2, option_type="put"))
+    assert abs(float(r_e.price) - bs) < 4.0 * float(r_e.stderr), (
+        float(r_e.price), bs, float(r_e.stderr))
