@@ -394,6 +394,36 @@ def cmd_roughvol(args):
     return payload
 
 
+def cmd_sabr(args):
+    """Vanilla option under SABR (Hagan European reference printed)."""
+    from .sabr import SABRParams, price_option_sabr, sabr_european_price
+    from .types import ProductSpec, RegressionSpec, SimConfig
+
+    sp = SABRParams(S0=args.s0, r=args.r, q=args.q, alpha=args.alpha,
+                    beta=args.beta, rho=args.rho, nu=args.nu)
+    product = ProductSpec(K=args.k, T=args.t, option_type=args.option_type,
+                          exercise=args.exercise)
+    spec = RegressionSpec(basis=args.basis, degree=args.degree)
+    sim = SimConfig(n_paths=args.paths, n_steps=args.steps,
+                    antithetic=args.antithetic)
+    res = price_option_sabr(jax.random.key(args.seed), sp, product,
+                            spec, sim, engine=args.engine)
+    hag = sabr_european_price(sp, args.k, args.t, args.option_type)
+    payload = {
+        "price": round(float(res.price), 4),
+        "stderr": round(float(res.stderr), 4),
+        "hagan_european": round(float(hag), 4),
+    }
+    if not args.json:
+        ex = product.exercise.title()
+        print(f"SABR {ex} {product.option_type} (α={args.alpha}, "
+              f"β={args.beta}, ρ={args.rho}, ν={args.nu}): "
+              f"{payload['price']:.4f} ± {payload['stderr']:.4f}  "
+              f"(Hagan European: {payload['hagan_european']:.4f})")
+    _emit(payload, args.json)
+    return payload
+
+
 def cmd_heston(args):
     """Vanilla option under Heston (or, with --jump-lam > 0, Bates SVJ)."""
     from .dynamics import (HestonParams, MertonJumps, bates_price_cf,
@@ -1388,6 +1418,35 @@ def build_parser():
     prb.add_argument("--seed", type=int, default=42)
     prb.add_argument("--json", action="store_true")
     prb.set_defaults(fn=cmd_roughvol)
+
+    psb = sub.add_parser(
+        "sabr", help="vanilla option under SABR stochastic volatility")
+    psb.add_argument("--s0", type=float, default=100.0)
+    psb.add_argument("--k", type=float, default=100.0)
+    psb.add_argument("--t", type=float, default=1.0)
+    psb.add_argument("--r", type=float, default=0.03)
+    psb.add_argument("--q", type=float, default=0.0)
+    psb.add_argument("--alpha", type=float, default=0.2,
+                     help="initial vol level σ₀")
+    psb.add_argument("--beta", type=float, default=1.0,
+                     help="CEV backbone exponent")
+    psb.add_argument("--rho", type=float, default=-0.4)
+    psb.add_argument("--nu", type=float, default=0.6, help="vol of vol ν")
+    psb.add_argument("--option-type", choices=["put", "call"],
+                     default="put")
+    psb.add_argument("--exercise", choices=["european", "american"],
+                     default="american")
+    psb.add_argument("--basis", default="chebyshev")
+    psb.add_argument("--degree", type=int, default=3)
+    psb.add_argument("--paths", type=int, default=100_000)
+    psb.add_argument("--steps", type=int, default=100)
+    psb.add_argument("--antithetic", action="store_true")
+    psb.add_argument("--engine", choices=["xla", "fused", "mega"],
+                     default="xla",
+                     help="fused = 2 kernels/step; mega = ONE kernel total")
+    psb.add_argument("--seed", type=int, default=42)
+    psb.add_argument("--json", action="store_true")
+    psb.set_defaults(fn=cmd_sabr)
 
     pk2 = sub.add_parser(
         "basket", help="basket option on correlated GBM assets")

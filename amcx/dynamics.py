@@ -262,22 +262,21 @@ def heston_price_cf(hp: HestonParams, K, T, option_type: str = "call",
     return float(call - S0 * np.exp(-q * T) + K * np.exp(-r * T))
 
 
-@partial(jax.jit, static_argnames=("hp", "product", "spec", "sim", "engine"))
-def _price_heston_kernel_impl(key, hp, product, spec, sim, engine):
-    """Whole fused/mega Heston pricing under ONE jit: simulate + stack +
-    induction. The pre/post-kernel glue (moveaxis/standardization/payoff)
-    otherwise executes eagerly, paying one tunnel round-trip per op — the
-    fused 2-kernel/step route measured 41× its one-kernel sibling purely
-    from that dispatch overhead (VERDICT r4 weak #2)."""
+def two_state_kernel_tail(X, r, product, spec, sim, engine):
+    """Fused/mega engine tail shared by every two-state (S, state) model
+    (Heston, Bates, rough Bergomi, SABR): the stacked ``(T+1, n, 2)``
+    regression state feeds either the two fused multi-asset kernels per
+    step or the ONE-kernel ma-mega induction. Callers jit the whole
+    simulate+tail pipeline — eager glue pays one tunnel round-trip per op
+    (the fused Heston route measured 41× its one-kernel sibling purely
+    from that dispatch overhead, VERDICT r4 weak #2)."""
     phi = 1.0 if product.option_type == "call" else -1.0
-    S, v = simulate_heston(key, hp, product.T, sim, return_variance=True)
-    X = jnp.stack([S, v], axis=-1)
     dt = product.T / sim.n_steps
     if engine == "mega":
         from .ops.lsmc_ma_mega import lsmc_price_ma_mega
 
         price, stderr = lsmc_price_ma_mega(
-            X, product.K, hp.r, dt, phi=phi, payoff_kind="first",
+            X, product.K, r, dt, phi=phi, payoff_kind="first",
             basis=spec.basis, degree=spec.degree, mode="total",
             rcond=spec.rcond, itm_weights=spec.regress_on == "itm",
             exercise_from_step=0, antithetic=sim.antithetic)
@@ -285,9 +284,37 @@ def _price_heston_kernel_impl(key, hp, product, spec, sim, engine):
     from .models.maxcall import backward_induction_fused_maxcall
 
     return backward_induction_fused_maxcall(
-        X, product.K, hp.r, dt, spec, basis_mode="total",
+        X, product.K, r, dt, spec, basis_mode="total",
         exercise_from_step=0, payoff_kind="first", phi=phi,
     )
+
+
+def two_state_xla_tail(X, r, product, spec, return_surface):
+    """XLA-scan engine tail shared by the two-state models: backward
+    induction on the (S, state) pair with the total-degree cross basis
+    (`amcx.models.maxcall.max_call_fit`)."""
+    from .models.maxcall import max_call_fit
+
+    dt = product.T / (X.shape[0] - 1)
+    knocked = jnp.ones(X.shape[:2], dtype=bool)
+    payoff = lambda st: intrinsic_value(st[..., 0], product.K,
+                                        product.option_type)
+    return backward_induction(
+        X, knocked, r, dt, payoff, spec,
+        american=product.is_american, return_surface=return_surface,
+        fit_fn=partial(max_call_fit, mode="total"),
+        fit_fn_returns_coeffs=True,
+    )
+
+
+@partial(jax.jit, static_argnames=("hp", "product", "spec", "sim", "engine"))
+def _price_heston_kernel_impl(key, hp, product, spec, sim, engine):
+    """Whole fused/mega Heston pricing under ONE jit: simulate + stack +
+    induction (see `two_state_kernel_tail` for the dispatch-amortization
+    rationale)."""
+    S, v = simulate_heston(key, hp, product.T, sim, return_variance=True)
+    X = jnp.stack([S, v], axis=-1)
+    return two_state_kernel_tail(X, hp.r, product, spec, sim, engine)
 
 
 def price_option_heston(
@@ -316,8 +343,6 @@ def price_option_heston(
     price/cf/τ outputs, n_paths divisible by 4096. ``engine="mega"`` runs
     the WHOLE (S, v) induction in one kernel (`amcx.ops.lsmc_ma_mega`).
     """
-    from .models.maxcall import max_call_fit
-
     if product.has_barrier:
         raise ValueError("Heston barrier pricing is not implemented")
     if engine in ("fused", "mega"):
@@ -329,21 +354,12 @@ def price_option_heston(
             raise ValueError(f"engine={engine!r} emits no continuation "
                              "surface")
         return _price_heston_kernel_impl(key, hp, product, spec, sim, engine)
-    phi = 1.0 if product.option_type == "call" else -1.0
-    S, v = simulate_heston(key, hp, product.T, sim, return_variance=True)
-    X = jnp.stack([S, v], axis=-1)  # (T+1, n, 2) regression state
-    dt = product.T / sim.n_steps
     if engine != "xla":
         raise ValueError(f"engine must be 'xla', 'fused', or 'mega', "
                          f"got {engine!r}")
-    knocked = jnp.ones(S.shape, dtype=bool)
-    payoff = lambda st: intrinsic_value(st[..., 0], product.K, product.option_type)
-    fit_fn = partial(max_call_fit, mode="total")
-    return backward_induction(
-        X, knocked, hp.r, dt, payoff, spec,
-        american=product.is_american, return_surface=return_surface,
-        fit_fn=fit_fn, fit_fn_returns_coeffs=True,
-    )
+    S, v = simulate_heston(key, hp, product.T, sim, return_variance=True)
+    X = jnp.stack([S, v], axis=-1)  # (T+1, n, 2) regression state
+    return two_state_xla_tail(X, hp.r, product, spec, return_surface)
 
 
 # ---------------------------------------------------------------------------
@@ -568,15 +584,11 @@ def price_option_bates(
     two-kernel-per-step multi-asset pair, ``"mega"`` the one-kernel
     multi-asset engine — the reference's one-engine-any-dynamics contract
     (`american_monte_carlo.py:139-167`) at every speed tier."""
-    from .models.maxcall import max_call_fit
-
     if product.has_barrier:
         raise ValueError("Bates barrier pricing is not implemented")
-    phi = 1.0 if product.option_type == "call" else -1.0
     S, v = simulate_bates(key, hp, jumps, product.T, sim,
                           return_variance=True)
     X = jnp.stack([S, v], axis=-1)
-    dt = product.T / sim.n_steps
     if engine in ("fused", "mega"):
         if not product.is_american:
             raise ValueError(f"engine={engine!r} Bates prices American only "
@@ -585,33 +597,11 @@ def price_option_bates(
         if return_surface:
             raise ValueError(f"engine={engine!r} emits no continuation "
                              "surface")
-        if engine == "mega":
-            from .ops.lsmc_ma_mega import lsmc_price_ma_mega
-
-            price, stderr = lsmc_price_ma_mega(
-                X, product.K, hp.r, dt, phi=phi, payoff_kind="first",
-                basis=spec.basis, degree=spec.degree, mode="total",
-                rcond=spec.rcond, itm_weights=spec.regress_on == "itm",
-                exercise_from_step=0, antithetic=sim.antithetic)
-            return LSMCResult(price, stderr, None, None, None)
-        from .models.maxcall import backward_induction_fused_maxcall
-
-        return backward_induction_fused_maxcall(
-            X, product.K, hp.r, dt, spec, basis_mode="total",
-            exercise_from_step=0, payoff_kind="first", phi=phi,
-        )
+        return two_state_kernel_tail(X, hp.r, product, spec, sim, engine)
     if engine != "xla":
         raise ValueError(f"engine must be 'xla', 'fused', or 'mega', "
                          f"got {engine!r}")
-    knocked = jnp.ones(S.shape, dtype=bool)
-    payoff = lambda st: intrinsic_value(st[..., 0], product.K,
-                                        product.option_type)
-    fit_fn = partial(max_call_fit, mode="total")
-    return backward_induction(
-        X, knocked, hp.r, dt, payoff, spec,
-        american=product.is_american, return_surface=return_surface,
-        fit_fn=fit_fn, fit_fn_returns_coeffs=True,
-    )
+    return two_state_xla_tail(X, hp.r, product, spec, return_surface)
 
 
 def _price_univariate_markov(S, market, product, spec, sim,

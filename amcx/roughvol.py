@@ -58,8 +58,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .engine import LSMCResult, backward_induction
-from .payoff import intrinsic_value
 from .types import ProductSpec, RegressionSpec, SimConfig
 
 __all__ = [
@@ -223,27 +221,13 @@ def simulate_rbergomi(key, rp: RBergomiParams, T, sim: SimConfig,
 def _price_rbergomi_kernel_impl(key, rp, product, spec, sim, engine):
     """Whole fused/mega rBergomi pricing under ONE jit (simulate + stack +
     induction) — same dispatch-amortization lesson as the Heston route
-    (`dynamics._price_heston_kernel_impl`: eager glue pays one tunnel
+    (`dynamics.two_state_kernel_tail`: eager glue pays one tunnel
     round-trip per op)."""
-    phi = 1.0 if product.option_type == "call" else -1.0
+    from .dynamics import two_state_kernel_tail
+
     S, v = simulate_rbergomi(key, rp, product.T, sim, return_variance=True)
     X = jnp.stack([S, v], axis=-1)
-    dt = product.T / sim.n_steps
-    if engine == "mega":
-        from .ops.lsmc_ma_mega import lsmc_price_ma_mega
-
-        price, stderr = lsmc_price_ma_mega(
-            X, product.K, rp.r, dt, phi=phi, payoff_kind="first",
-            basis=spec.basis, degree=spec.degree, mode="total",
-            rcond=spec.rcond, itm_weights=spec.regress_on == "itm",
-            exercise_from_step=0, antithetic=sim.antithetic)
-        return LSMCResult(price, stderr, None, None, None)
-    from .models.maxcall import backward_induction_fused_maxcall
-
-    return backward_induction_fused_maxcall(
-        X, product.K, rp.r, dt, spec, basis_mode="total",
-        exercise_from_step=0, payoff_kind="first", phi=phi,
-    )
+    return two_state_kernel_tail(X, rp.r, product, spec, sim, engine)
 
 
 def price_option_rbergomi(
@@ -254,7 +238,7 @@ def price_option_rbergomi(
     sim: SimConfig = SimConfig(),
     return_surface: bool = False,
     engine: str = "xla",
-) -> LSMCResult:
+):
     """American/European vanilla under rough Bergomi volatility.
 
     The continuation value is regressed on the observable pair (S_t, v_t)
@@ -270,7 +254,7 @@ def price_option_rbergomi(
     (`amcx.ops.lsmc_ma_mega`) — both American-only, mirroring the Heston
     route's constraints (n_paths divisible by 4096).
     """
-    from .models.maxcall import max_call_fit
+    from .dynamics import two_state_xla_tail
 
     if product.has_barrier:
         raise ValueError("rBergomi barrier pricing is not implemented")
@@ -287,16 +271,6 @@ def price_option_rbergomi(
     if engine != "xla":
         raise ValueError(f"engine must be 'xla', 'fused', or 'mega', "
                          f"got {engine!r}")
-    phi = 1.0 if product.option_type == "call" else -1.0
     S, v = simulate_rbergomi(key, rp, product.T, sim, return_variance=True)
     X = jnp.stack([S, v], axis=-1)
-    dt = product.T / sim.n_steps
-    knocked = jnp.ones(S.shape, dtype=bool)
-    payoff = lambda st: intrinsic_value(st[..., 0], product.K,
-                                        product.option_type)
-    fit_fn = partial(max_call_fit, mode="total")
-    return backward_induction(
-        X, knocked, rp.r, dt, payoff, spec,
-        american=product.is_american, return_surface=return_surface,
-        fit_fn=fit_fn, fit_fn_returns_coeffs=True,
-    )
+    return two_state_xla_tail(X, rp.r, product, spec, return_surface)

@@ -263,6 +263,20 @@ def test_cli_roughvol_json(capsys):
         4 * payload["stderr"])
 
 
+def test_cli_sabr_json(capsys):
+    import json as _json
+
+    from amcx.cli import main
+
+    main(["sabr", "--paths", "32768", "--steps", "20", "--nu", "0.0",
+          "--exercise", "european", "--antithetic", "--json"])
+    payload = _json.loads(capsys.readouterr().out)
+    # ν=0: Hagan degenerates to exact BS — the printed reference is the
+    # MC target itself
+    assert abs(payload["price"] - payload["hagan_european"]) < (
+        4 * payload["stderr"])
+
+
 def test_cli_jump_merton_json(capsys):
     from amcx.cli import main
 

@@ -306,3 +306,39 @@ def test_rbergomi_mega_onchip():
     bs = float(bs_price(100.0, 100.0, 1.0, 0.03, 0.2, option_type="put"))
     assert abs(float(r_e.price) - bs) < 4.0 * float(r_e.stderr), (
         float(r_e.price), bs, float(r_e.stderr))
+
+
+def test_sabr_mega_onchip():
+    """SABR rides the shared two-state tails on chip: fused vs mega vs XLA
+    agreement on the (S, σ) induction, plus the exact conditional-mixing
+    European twin (β=1, ρ=0 variant) on hardware-PRNG statistics."""
+    from amcx.sabr import (SABRParams, price_option_sabr,
+                           sabr_mixing_price, simulate_sabr)
+
+    sp = SABRParams(S0=100.0, r=0.03, alpha=0.2, beta=1.0, rho=-0.5,
+                    nu=0.6)
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put",
+                       exercise="american")
+    sim = SimConfig(n_paths=262_144, n_steps=50, antithetic=True)
+    spec = RegressionSpec(degree=2, regress_on="all")
+    r_x = price_option_sabr(jax.random.key(1), sp, prod, spec, sim)
+    r_f = price_option_sabr(jax.random.key(1), sp, prod, spec, sim,
+                            engine="fused")
+    r_m = price_option_sabr(jax.random.key(1), sp, prod, spec, sim,
+                            engine="mega")
+    assert abs(float(r_f.price) - float(r_m.price)) < 5e-3, (
+        float(r_f.price), float(r_m.price))
+    assert abs(float(r_x.price) - float(r_m.price)) < max(
+        1e-2, 0.5 * float(r_x.stderr)), (float(r_x.price), float(r_m.price))
+
+    sp0 = SABRParams(S0=100.0, r=0.03, alpha=0.2, beta=1.0, rho=0.0,
+                     nu=0.6)
+    S = simulate_sabr(jax.random.key(2), sp0, 1.0, sim)
+    pay = jnp.maximum(S[-1] - 100.0, 0.0) * np.exp(-0.03)
+    half = sim.n_paths // 2
+    pair = 0.5 * (pay[:half] + pay[half:])
+    mc = float(jnp.mean(pair))
+    se = float(jnp.std(pair)) / np.sqrt(half)
+    mix, se_mix = sabr_mixing_price(jax.random.key(3), sp0, 100.0, 1.0, sim)
+    assert abs(mc - float(mix)) < 4.0 * np.hypot(se, float(se_mix)), (
+        mc, float(mix))
