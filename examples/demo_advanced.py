@@ -109,6 +109,43 @@ def main():
           f"(CF European {cf:.4f});  EPE(t=dt) = {epe0:.4f}")
 
     # ------------------------------------------------------------------
+    section("Rough Bergomi (H=0.1): exact-in-law Volterra via one MXU matmul")
+    from amcx import RBergomiParams, price_option_rbergomi
+    rp = RBergomiParams(S0=95.0, r=0.01, xi0=0.04, eta=1.5, rho=-0.7, H=0.1)
+    rb = price_option_rbergomi(jax.random.key(11), rp, prod,
+                               RegressionSpec(degree=3),
+                               SimConfig(n_paths=65_536, n_steps=50,
+                                         antithetic=True))
+    rb0 = price_option_rbergomi(
+        jax.random.key(11),
+        RBergomiParams(S0=95.0, r=0.01, xi0=0.04, eta=0.0, rho=-0.7, H=0.1),
+        ProductSpec(K=100.0, T=1.0, option_type="put", exercise="european"),
+        RegressionSpec(degree=3),
+        SimConfig(n_paths=65_536, n_steps=50, antithetic=True))
+    print(f"  American (S, v) {float(rb.price):.4f} ± "
+          f"{float(rb.stderr):.4f}; η=0 European sanity "
+          f"{float(rb0.price):.4f} vs BS {bs_price(95., 100., 1., .01, .2, option_type='put'):.4f}")
+
+    # ------------------------------------------------------------------
+    section("SABR: Hagan smile oracle + (S, σ) American + slice calibration")
+    from amcx import (SABRParams, calibrate_sabr, hagan_implied_vol,
+                      price_option_sabr, sabr_european_price)
+    sp_d = SABRParams(S0=95.0, r=0.01, alpha=0.2, beta=1.0, rho=-0.5,
+                      nu=0.6)
+    sa = price_option_sabr(jax.random.key(12), sp_d, prod,
+                           RegressionSpec(degree=3),
+                           SimConfig(n_paths=65_536, n_steps=50,
+                                     antithetic=True))
+    ks = np.linspace(75.0, 120.0, 10)
+    ivs = hagan_implied_vol(95.0 * np.exp(0.01), ks, 1.0, 0.2, 1.0, -0.5,
+                            0.6)
+    fit = calibrate_sabr(95.0 * np.exp(0.01), 1.0, ks, ivs, beta=1.0)
+    print(f"  American (S, σ) {float(sa.price):.4f} ± "
+          f"{float(sa.stderr):.4f} (Hagan European "
+          f"{float(sabr_european_price(sp_d, 100.0, 1.0, 'put')):.4f}); "
+          f"smile refit α={fit.alpha:.4f} ρ={fit.rho:.3f} ν={fit.nu:.3f}")
+
+    # ------------------------------------------------------------------
     section("Asian options: (S, A) state augmentation, exact geometric oracle")
     from amcx import geometric_asian_price, price_asian_option
 
