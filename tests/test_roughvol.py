@@ -176,3 +176,66 @@ def test_xi0_curve_and_validation():
         RBergomiParams(H=1.5)
     with pytest.raises(ValueError, match="rho"):
         RBergomiParams(rho=-1.2)
+
+
+def test_interleaved_transform_matches_permuted_covariance():
+    """The interleaved Cholesky (the dual's conditional-resampling engine)
+    factorizes the SAME Σ in (Ṽ₁, ΔW₁, Ṽ₂, ΔW₂, …) order — deterministic."""
+    from amcx.roughvol import (_joint_covariance,
+                               _rbergomi_transform_interleaved)
+
+    T_, H_ = 12, 0.1
+    Li = _rbergomi_transform_interleaved(T_, 1.0, H_)
+    cov = _joint_covariance(T_, 1.0, H_)
+    perm = np.ravel(np.column_stack([np.arange(T_), T_ + np.arange(T_)]))
+    assert np.abs(Li @ Li.T - cov[np.ix_(perm, perm)]).max() < 1e-12
+    # lower-triangular: history really is a prefix of the normals
+    assert np.abs(np.triu(Li, 1)).max() == 0.0
+
+
+def test_dual_bound_brackets_pde_at_eta_zero():
+    """η=0 collapse: the [OOS lower, AB-dual upper] bracket must contain
+    the Bermudan-6 CN-PDE truth (the dual's inner resampler degenerates to
+    plain GBM resimulation — conditioning on history is a no-op there, so
+    this also regression-tests the conditional machinery end to end)."""
+    from amcx.pde_barrier import pde_discrete_barrier_price
+    from amcx.roughvol import rbergomi_dual_bound
+
+    rp0 = RBergomiParams(S0=95.0, r=0.05, xi0=0.04, eta=0.0, rho=-0.5,
+                         H=0.1)
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put",
+                       exercise="american")
+    lo, lo_se, up, up_se = rbergomi_dual_bound(
+        jax.random.key(0), rp0, prod,
+        RegressionSpec(degree=3, regress_on="all"),
+        SimConfig(n_paths=16_384, n_steps=6), n_outer=1_024, n_inner=32,
+        n_replay=32_768)
+    pde = pde_discrete_barrier_price(95.0, 100.0, 1.0, 0.05, 0.2, 6,
+                                     option_type="put",
+                                     exercise="american")
+    assert float(lo) - 4.0 * float(lo_se) <= pde, (float(lo), pde)
+    assert pde <= float(up) + 4.0 * float(up_se), (float(up), pde)
+    assert float(up) - float(lo) < 0.25  # J=32 inner-noise bias included
+
+
+def test_dual_bound_rough_bracket_is_tight():
+    """Rough case (the point of the machinery): the bracket certifies the
+    restricted-information (S, v) policy loses little — width bounds the
+    information gap + MC noise."""
+    from amcx.roughvol import rbergomi_dual_bound
+
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put",
+                       exercise="american")
+    lo, lo_se, up, up_se = rbergomi_dual_bound(
+        jax.random.key(1), RP, prod,
+        RegressionSpec(degree=3, regress_on="all"),
+        SimConfig(n_paths=16_384, n_steps=6), n_outer=1_024, n_inner=32,
+        n_replay=32_768)
+    assert float(up) >= float(lo) - 2.0 * np.hypot(float(lo_se),
+                                                   float(up_se))
+    assert float(up) - float(lo) < 0.3, (float(lo), float(up))
+    with pytest.raises(ValueError, match="regress_on"):
+        rbergomi_dual_bound(jax.random.key(0), RP, prod,
+                            RegressionSpec(degree=3, regress_on="itm"))
+    with pytest.raises(ValueError, match="even"):
+        rbergomi_dual_bound(jax.random.key(0), RP, prod, n_inner=7)

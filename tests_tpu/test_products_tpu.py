@@ -342,3 +342,23 @@ def test_sabr_mega_onchip():
     mix, se_mix = sabr_mixing_price(jax.random.key(3), sp0, 100.0, 1.0, sim)
     assert abs(mc - float(mix)) < 4.0 * np.hypot(se, float(se_mix)), (
         mc, float(mix))
+
+
+def test_rbergomi_dual_bound_onchip():
+    """The conditional-resampling AB dual lowers and runs on chip (the
+    (2T×2T) @ (2T, J·n) inner matmuls ride the MXU); the bracket must be
+    ordered and tight at a mid-size rough config."""
+    from amcx.roughvol import RBergomiParams, rbergomi_dual_bound
+
+    rp = RBergomiParams(S0=100.0, r=0.03, xi0=0.04, eta=1.5, rho=-0.7,
+                        H=0.1)
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put",
+                       exercise="american")
+    lo, lo_se, up, up_se = rbergomi_dual_bound(
+        jax.random.key(7), rp, prod,
+        RegressionSpec(degree=3, regress_on="all"),
+        SimConfig(n_paths=65_536, n_steps=25), n_outer=2_048, n_inner=64,
+        n_replay=262_144)
+    assert float(up) >= float(lo) - 2.0 * np.hypot(float(lo_se),
+                                                   float(up_se))
+    assert float(up) - float(lo) < 0.25, (float(lo), float(up))
