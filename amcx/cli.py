@@ -443,12 +443,14 @@ def cmd_heston(args):
         jp = MertonJumps(lam=args.jump_lam, mu_j=args.jump_mu,
                          sigma_j=args.jump_sigma)
         res = price_option_bates(jax.random.key(args.seed), hp, jp, product,
-                                 spec, sim, engine=args.engine)
+                                 spec, sim, engine=args.engine,
+                                 scheme=args.scheme)
         cf = bates_price_cf(hp, jp, args.k, args.t, args.option_type)
         label = "Bates"
     else:
         res = price_option_heston(jax.random.key(args.seed), hp, product,
-                                  spec, sim, engine=args.engine)
+                                  spec, sim, engine=args.engine,
+                                  scheme=args.scheme)
         cf = heston_price_cf(hp, args.k, args.t, args.option_type)
         label = "Heston"
     payload = {
@@ -1370,6 +1372,9 @@ def build_parser():
                     help="long-run variance θ")
     ph.add_argument("--xi", type=float, default=0.5, help="vol of vol")
     ph.add_argument("--rho", type=float, default=-0.7)
+    ph.add_argument("--scheme", choices=["euler", "qe"], default="euler",
+                    help="variance discretization: full-truncation Euler "
+                         "or Andersen QE-M (near-unbiased at coarse steps)")
     ph.add_argument("--jump-lam", type=float, default=0.0,
                     help="jump intensity λ; > 0 switches to Bates SVJ")
     ph.add_argument("--jump-mu", type=float, default=-0.1,

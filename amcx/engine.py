@@ -43,9 +43,9 @@ from .payoff import barrier_gate, payoff_fn_for
 from .regress import fit_continuation
 from .types import MarketParams, ProductSpec, RegressionSpec, SimConfig
 
-__all__ = ["LSMCResult", "backward_induction", "lsmc_option_pricing",
-           "price_option", "q0_call_advisory", "resolve_regression_spec",
-           "policy_frame"]
+__all__ = ["LSMCResult", "backward_induction", "backward_induction_tvr",
+           "lsmc_option_pricing", "price_option", "q0_call_advisory",
+           "resolve_regression_spec", "policy_frame"]
 
 
 def resolve_regression_spec(
@@ -327,6 +327,76 @@ def backward_induction(
         exposures=exposures,
         coeffs=coefs if return_coeffs else None,
     )
+
+
+def backward_induction_tvr(
+    paths_tm: jnp.ndarray,
+    r,
+    dt,
+    payoff: Callable[[jnp.ndarray], jnp.ndarray],
+    spec: RegressionSpec,
+    regressor: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    antithetic: bool = False,
+) -> LSMCResult:
+    """Tsitsiklis–van Roy (2001) fitted value iteration — the OTHER classic
+    regression estimator, for comparison against Longstaff-Schwartz.
+
+    Where LS regresses the REALIZED discounted future cashflow along each
+    path and uses the fit only for the exercise decision
+    (:func:`backward_induction`, reference semantics
+    `american_monte_carlo.py:139-167`), TvR regresses the one-step-
+    discounted FITTED value ``V_{t+1}`` and propagates
+    ``V_t = max(exercise, Ĉ_t)`` itself — the fitted surface replaces the
+    path value entirely. Projection errors therefore COMPOUND through the
+    recursion, and the per-step max over fitted noise makes the in-sample
+    estimate upward-biased; with a well-specified basis both converge, and
+    the LS/TvR gap is a practical basis-misspecification diagnostic
+    (tests/test_tvr.py pins both properties). LS stays the default
+    everywhere; this exists as a certification tool.
+
+    Returns an :class:`LSMCResult` with price/stderr only (the TvR carry
+    has no exercise-time vector — cashflows/tau/surface are None). The
+    t=0 "regression" of the reference loop (Q3) is a rank-1 design — the
+    fit is just the cross-path mean — so it is evaluated explicitly:
+    ``price = max(intrinsic(S₀), mean(e^{-rΔ} V₁))``, with the stderr of
+    that mean (pair-folded under ``antithetic``) as the error bar."""
+    n_steps = paths_tm.shape[0] - 1
+    n_paths = paths_tm.shape[1]
+    dtype = paths_tm.dtype
+    r = jnp.asarray(r, dtype)
+    dt = jnp.asarray(dt, dtype)
+    from .regress import fit_continuation_with_coeffs
+
+    disc1 = jnp.exp(-r * dt)
+    V_T = payoff(paths_tm[n_steps])
+
+    def step(V, xs):
+        S_t, t = xs
+        y = V * disc1  # one-step discount of the time-(t+1) value
+        x = S_t if regressor is None else regressor(S_t)
+        ex = payoff(S_t)
+        if spec.regress_on == "itm":
+            weights = (ex > 0).astype(dtype)
+        else:
+            weights = None
+        cont, _ = fit_continuation_with_coeffs(x, y, spec, weights, None)
+        V2 = jnp.maximum(ex, cont)  # value iteration: fitted value carries
+        return V2, None
+
+    # scan stops at t=1; the degenerate t=0 leg is the explicit mean below
+    ts = jnp.arange(1, n_steps, dtype=dtype)
+    V1, _ = lax.scan(step, V_T, (paths_tm[1:n_steps], ts), reverse=True)
+    y0 = V1 * disc1
+    if antithetic:
+        half = n_paths // 2
+        stat = 0.5 * (y0[:half] + y0[half:])
+    else:
+        stat = y0
+    cont0 = jnp.mean(stat)
+    ex0 = payoff(paths_tm[0])[0]
+    price = jnp.maximum(ex0, cont0)
+    stderr = jnp.std(stat) / jnp.sqrt(stat.shape[0])
+    return LSMCResult(price, stderr, None, None, None)
 
 
 def lsmc_option_pricing(

@@ -132,3 +132,22 @@ def test_validation_errors():
                                        exercise="american"),
                            sim=SimConfig(n_paths=4096, n_steps=8),
                            engine="nope")
+
+
+def test_qe_scheme_coarse_steps_match_cf():
+    """Andersen QE-M diffusion leg + exact jump overlay: at 8 steps on a
+    Feller-violating config the European lands on the CF oracle while the
+    Euler leg carries a visible positive truncation bias."""
+    hp = HestonParams(S0=100.0, r=0.03, q=0.0, v0=0.04, kappa=1.0,
+                      theta=0.04, xi=1.0, rho=-0.9)
+    sim = SimConfig(n_paths=131_072, n_steps=8, antithetic=True)
+    prod = ProductSpec(K=100.0, T=1.0, option_type="call",
+                       exercise="european")
+    ref = bates_price_cf(hp, JP, 100.0, 1.0, "call")
+    qe = price_option_bates(jax.random.key(9), hp, JP, prod,
+                            RegressionSpec(degree=2), sim, scheme="qe")
+    assert abs(float(qe.price) - ref) < 4.0 * float(qe.stderr) + 0.02, (
+        float(qe.price), ref, float(qe.stderr))
+    eu = price_option_bates(jax.random.key(9), hp, JP, prod,
+                            RegressionSpec(degree=2), sim, scheme="euler")
+    assert float(eu.price) - ref > 0.5  # the bias QE removes

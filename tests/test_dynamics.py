@@ -167,3 +167,94 @@ def test_heston_fused_matches_xla():
             jax.random.key(0), HP,
             ProductSpec(K=100.0, T=1.0, option_type="put", exercise="european"),
             spec, sim, engine="fused")
+
+
+# ---------------------------------------------------------------------------
+# Andersen QE scheme
+# ---------------------------------------------------------------------------
+
+# Feller-violating config (2κθ = 0.08 < ξ² = 1.0) where the coarse-step
+# Euler truncation bias is unmistakable: measured (524k paths) Euler
+# n_steps=8 bias +1.46, QE bias −0.015
+HP_QE = HestonParams(S0=100.0, r=0.03, q=0.0, v0=0.04, kappa=1.0,
+                     theta=0.04, xi=1.0, rho=-0.9)
+
+
+def test_qe_variance_transition_moments():
+    """One QE step reproduces the EXACT CIR conditional mean/variance —
+    in both the quadratic (ψ ≤ 1.5) and exponential (ψ > 1.5) regimes."""
+    for hp, label in ((HestonParams(v0=0.04, kappa=1.5, theta=0.04, xi=0.3),
+                       "quadratic"),
+                      (HP_QE, "exponential")):
+        T = 1.0
+        sim = SimConfig(n_paths=262_144, n_steps=1, antithetic=False)
+        _, v = simulate_heston(jax.random.key(11), hp, T, sim,
+                               return_variance=True, scheme="qe")
+        e = np.exp(-hp.kappa * T)
+        m = hp.theta + (hp.v0 - hp.theta) * e
+        s2 = (hp.v0 * hp.xi**2 * e * (1 - e) / hp.kappa
+              + hp.theta * hp.xi**2 * (1 - e) ** 2 / (2 * hp.kappa))
+        psi = s2 / m**2
+        if label == "quadratic":
+            assert psi <= 1.5, psi
+        else:
+            assert psi > 1.5, psi
+        v1 = np.asarray(v[-1], dtype=np.float64)
+        n = v1.size
+        np.testing.assert_allclose(v1.mean(), m,
+                                   atol=5 * np.sqrt(s2 / n), rtol=0)
+        np.testing.assert_allclose(v1.var(), s2, rtol=0.03)
+        assert v1.min() >= 0.0
+
+
+def test_qe_coarse_steps_kill_euler_bias():
+    """At 8 steps on the Feller-violating config the QE European lands on
+    the CF oracle while full-truncation Euler is off by O(1)."""
+    sim = SimConfig(n_paths=131_072, n_steps=8, antithetic=True)
+    cf = heston_price_cf(HP_QE, 100.0, 1.0, "call")
+    out = {}
+    for scheme in ("euler", "qe"):
+        S = simulate_heston(jax.random.key(5), HP_QE, 1.0, sim,
+                            scheme=scheme)
+        pay = jnp.maximum(S[-1] - 100.0, 0.0) * np.exp(-HP_QE.r)
+        h = sim.n_paths // 2
+        pair = 0.5 * (pay[:h] + pay[h:])
+        out[scheme] = (float(jnp.mean(pair)),
+                       float(jnp.std(pair)) / np.sqrt(h))
+    mc, se = out["qe"]
+    assert abs(mc - cf) < 4 * se + 0.02, (mc, cf, se)
+    assert out["euler"][0] - cf > 0.5  # the bias QE removes
+
+
+def test_qe_martingale_exact_per_step():
+    """The K₀* correction makes the discounted spot drift exact (not just
+    O(Δ)): E[e^{-(r-q)T} S_T] = S0 to MC noise even at 4 steps."""
+    sim = SimConfig(n_paths=262_144, n_steps=4, antithetic=True)
+    S = simulate_heston(jax.random.key(6), HP_QE, 1.0, sim, scheme="qe")
+    h = sim.n_paths // 2
+    pair = 0.5 * (S[-1][:h] + S[-1][h:]) * np.exp(-(HP_QE.r - HP_QE.q))
+    m = float(jnp.mean(pair))
+    se = float(jnp.std(pair)) / np.sqrt(h)
+    assert abs(m - HP_QE.S0) < 4 * se, (m, se)
+
+
+def test_qe_american_engines_agree():
+    """scheme='qe' flows through the XLA scan and the one-kernel ma-mega
+    identically (shared paths; kernel-vs-scan f32 boundary noise only)."""
+    sim = SimConfig(n_paths=16_384, n_steps=20)
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put",
+                       exercise="american")
+    spec = RegressionSpec(degree=2, regress_on="all")
+    x = price_option_heston(jax.random.key(7), HP, prod, spec, sim,
+                            scheme="qe")
+    m = price_option_heston(jax.random.key(7), HP, prod, spec, sim,
+                            engine="mega", scheme="qe")
+    assert abs(float(m.price) - float(x.price)) < max(
+        2e-2, 0.5 * float(x.stderr))
+    eu = price_option_heston(
+        jax.random.key(7), HP,
+        ProductSpec(K=100.0, T=1.0, option_type="put", exercise="european"),
+        spec, sim, scheme="qe")
+    assert float(x.price) >= float(eu.price) - 1e-3
+    with pytest.raises(ValueError, match="scheme"):
+        simulate_heston(jax.random.key(0), HP, 1.0, sim, scheme="bogus")

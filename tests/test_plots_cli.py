@@ -249,6 +249,21 @@ def test_cli_bates_jump_flags(capsys):
     assert payload["price"] > payload["cf_european"] - 3 * payload["stderr"]
 
 
+def test_cli_heston_qe_scheme(capsys):
+    import json as _json
+
+    from amcx.cli import main
+
+    main(["heston", "--scheme", "qe", "--xi", "1.0", "--rho", "-0.9",
+          "--kappa", "1.0", "--paths", "32768", "--steps", "8",
+          "--exercise", "european", "--antithetic", "--json"])
+    payload = _json.loads(capsys.readouterr().out)
+    # at 8 Euler steps this Feller-violating config is ~+1.0 off the CF
+    # oracle; QE lands within MC noise of it
+    assert abs(payload["price"] - payload["cf_european"]) < \
+        4 * payload["stderr"] + 0.03
+
+
 def test_cli_roughvol_json(capsys):
     import json as _json
 

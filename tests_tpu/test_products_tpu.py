@@ -164,6 +164,39 @@ def test_ma_mega_heston_onchip():
         float(r_f.price), float(r_m.price))
 
 
+def test_heston_qe_onchip():
+    """Andersen QE-M on hardware: the coarse-grid European lands on the CF
+    oracle (f32 Φ/log/sqrt chain is the lowering risk), and the American
+    via the one-kernel ma-mega agrees with the XLA scan on shared paths."""
+    import numpy as np
+
+    from amcx.dynamics import (HestonParams, heston_price_cf,
+                               price_option_heston, simulate_heston)
+
+    hp = HestonParams(S0=100.0, r=0.03, v0=0.04, kappa=1.0, theta=0.04,
+                      xi=1.0, rho=-0.9)
+    sim = SimConfig(n_paths=262_144, n_steps=8, antithetic=True)
+    S = simulate_heston(jax.random.key(5), hp, 1.0, sim, scheme="qe")
+    pay = jnp.maximum(S[-1] - 100.0, 0.0) * np.exp(-hp.r)
+    h = sim.n_paths // 2
+    pair = 0.5 * (pay[:h] + pay[h:])
+    mc = float(jnp.mean(pair))
+    se = float(jnp.std(pair)) / np.sqrt(h)
+    cf = heston_price_cf(hp, 100.0, 1.0, "call")
+    assert abs(mc - cf) < 4 * se + 0.02, (mc, cf, se)
+
+    prod = ProductSpec(K=100.0, T=1.0, option_type="put",
+                       exercise="american")
+    spec = RegressionSpec(degree=2, regress_on="all")
+    sim_a = SimConfig(n_paths=262_144, n_steps=20, antithetic=True)
+    r_x = price_option_heston(jax.random.key(6), hp, prod, spec, sim_a,
+                              scheme="qe")
+    r_m = price_option_heston(jax.random.key(6), hp, prod, spec, sim_a,
+                              engine="mega", scheme="qe")
+    assert abs(float(r_x.price) - float(r_m.price)) < 5e-3, (
+        float(r_x.price), float(r_m.price))
+
+
 def test_deep_engine_onchip():
     """Deep LSMC on hardware: the warm-started Adam scan (optax state in
     the scan carry) compiles and the OOS replay stays a tight lower bound
