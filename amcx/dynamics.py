@@ -47,7 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from .engine import LSMCResult, backward_induction
-from .payoff import intrinsic_value
+from .payoff import barrier_gate, intrinsic_value
 from .types import ProductSpec, RegressionSpec, SimConfig
 
 __all__ = [
@@ -295,8 +295,6 @@ def price_option_local_vol(
     matrix; the empirical per-step standardization replaces the GBM
     closed form).
     """
-    if product.has_barrier:
-        raise ValueError("local-vol barrier pricing is not implemented")
     S = simulate_local_vol(key, S0, r, q, sigma_fn, product.T, sim)
     if engine == "mega":
         if return_surface:
@@ -308,12 +306,13 @@ def price_option_local_vol(
             S, product.K, r, product.T / sim.n_steps, phi,
             basis=spec.basis, degree=spec.degree, rcond=spec.rcond,
             american=product.is_american,
+            barrier=product.barrier, barrier_type=product.barrier_type,
             itm_weights=spec.regress_on == "itm", return_stats=True,
             antithetic=sim.antithetic)
         return LSMCResult(price, stderr, None, None, None)
     if engine != "xla":
         raise ValueError(f"engine must be 'xla' or 'mega', got {engine!r}")
-    knocked = jnp.ones(S.shape, dtype=bool)
+    knocked = barrier_gate(S, product.barrier, product.barrier_type)
     payoff = lambda st: intrinsic_value(st, product.K, product.option_type)
     return backward_induction(
         S, knocked, r, product.T / sim.n_steps, payoff, spec,
@@ -401,11 +400,16 @@ def two_state_kernel_tail(X, r, product, spec, sim, engine):
 def two_state_xla_tail(X, r, product, spec, return_surface):
     """XLA-scan engine tail shared by the two-state models: backward
     induction on the (S, state) pair with the total-degree cross basis
-    (`amcx.models.maxcall.max_call_fit`)."""
+    (`amcx.models.maxcall.max_call_fit`). Barrier products gate on the
+    SPOT plane (discrete monitoring on the simulation grid, the engine's
+    Q4 semantics) — stochastic-vol knock-in/out American pricing falls
+    out of the same induction."""
+    from .payoff import barrier_gate
+
     from .models.maxcall import max_call_fit
 
     dt = product.T / (X.shape[0] - 1)
-    knocked = jnp.ones(X.shape[:2], dtype=bool)
+    knocked = barrier_gate(X[..., 0], product.barrier, product.barrier_type)
     payoff = lambda st: intrinsic_value(st[..., 0], product.K,
                                         product.option_type)
     return backward_induction(
@@ -459,9 +463,15 @@ def price_option_heston(
     the engine choice): at 8 exercise dates on a Feller-violating config
     the Euler European is +1.46 off the CF oracle, QE −0.015 — prefer QE
     whenever the exercise grid is the step grid and coarse.
+
+    Barrier products (any up/down × in/out `ProductSpec`) price through
+    the XLA engine: discrete monitoring of the spot plane gates the
+    (S, v) induction (hermetic gates: exact pathwise in-out parity for
+    Europeans, ξ→0 collapse to the GBM barrier engine).
     """
-    if product.has_barrier:
-        raise ValueError("Heston barrier pricing is not implemented")
+    if product.has_barrier and engine != "xla":
+        raise ValueError("Heston barrier pricing runs on engine='xla' "
+                         "(the kernel engines price vanilla exercise)")
     if engine in ("fused", "mega"):
         if not product.is_american:
             raise ValueError(f"engine={engine!r} Heston prices American "
@@ -756,9 +766,12 @@ def price_option_bates(
     multi-asset engine — the reference's one-engine-any-dynamics contract
     (`american_monte_carlo.py:139-167`) at every speed tier.
     ``scheme="qe"`` swaps the diffusion leg to Andersen QE-M (jump overlay
-    unchanged)."""
-    if product.has_barrier:
-        raise ValueError("Bates barrier pricing is not implemented")
+    unchanged). Barrier products price through ``engine="xla"`` exactly as
+    in :func:`price_option_heston` (discrete monitoring on the spot
+    plane)."""
+    if product.has_barrier and engine != "xla":
+        raise ValueError("Bates barrier pricing runs on engine='xla' "
+                         "(the kernel engines price vanilla exercise)")
     S, v = simulate_bates(key, hp, jumps, product.T, sim,
                           return_variance=True, scheme=scheme)
     X = jnp.stack([S, v], axis=-1)
@@ -783,9 +796,10 @@ def _price_univariate_markov(S, market, product, spec, sim,
     simulated paths feed either the XLA backward induction or the
     univariate one-kernel mega engine with empirical per-step
     standardization — the reference's one-engine-any-dynamics contract
-    (`american_monte_carlo.py:139-167`) in one place."""
-    if product.has_barrier:
-        raise ValueError(f"{model_name} barrier pricing is not implemented")
+    (`american_monte_carlo.py:139-167`) in one place. Barrier products
+    (any up/down × in/out) ride BOTH engines: the mega kernel carries the
+    knock state in the spot's sign bit, the XLA tail gates on
+    `barrier_gate` (discrete monitoring on the simulation grid)."""
     dt = product.T / sim.n_steps
     if engine == "mega":
         if return_surface:
@@ -797,12 +811,13 @@ def _price_univariate_markov(S, market, product, spec, sim,
             S, product.K, market.r, dt, phi_sign,
             basis=spec.basis, degree=spec.degree, rcond=spec.rcond,
             american=product.is_american,
+            barrier=product.barrier, barrier_type=product.barrier_type,
             itm_weights=spec.regress_on == "itm", return_stats=True,
             antithetic=sim.antithetic)
         return LSMCResult(price, stderr, None, None, None)
     if engine != "xla":
         raise ValueError(f"engine must be 'xla' or 'mega', got {engine!r}")
-    knocked = jnp.ones(S.shape, dtype=bool)
+    knocked = barrier_gate(S, product.barrier, product.barrier_type)
     payoff = lambda st: intrinsic_value(st, product.K, product.option_type)
     return backward_induction(
         S, knocked, market.r, dt, payoff, spec,
