@@ -435,7 +435,8 @@ def cmd_heston(args):
                       kappa=args.kappa, theta=args.theta_v, xi=args.xi,
                       rho=args.rho)
     product = ProductSpec(K=args.k, T=args.t, option_type=args.option_type,
-                          exercise=args.exercise)
+                          exercise=args.exercise, barrier=args.barrier,
+                          barrier_type=args.barrier_type)
     spec = RegressionSpec(basis=args.basis, degree=args.degree)
     sim = SimConfig(n_paths=args.paths, n_steps=args.steps,
                     antithetic=args.antithetic)
@@ -1372,6 +1373,12 @@ def build_parser():
                     help="long-run variance θ")
     ph.add_argument("--xi", type=float, default=0.5, help="vol of vol")
     ph.add_argument("--rho", type=float, default=-0.7)
+    ph.add_argument("--barrier", type=float, default=None,
+                    help="barrier level (discrete monitoring on the step "
+                         "grid; engine='xla')")
+    ph.add_argument("--barrier-type",
+                    choices=["down-in", "up-in", "down-out", "up-out"],
+                    default="down-in")
     ph.add_argument("--scheme", choices=["euler", "qe"], default="euler",
                     help="variance discretization: full-truncation Euler "
                          "or Andersen QE-M (near-unbiased at coarse steps)")

@@ -264,6 +264,20 @@ def test_cli_heston_qe_scheme(capsys):
         4 * payload["stderr"] + 0.03
 
 
+def test_cli_heston_barrier(capsys):
+    import json as _json
+
+    from amcx.cli import main
+
+    main(["heston", "--barrier", "85", "--paths", "16384", "--steps",
+          "25", "--exercise", "american", "--antithetic", "--json"])
+    knockin = _json.loads(capsys.readouterr().out)
+    main(["heston", "--paths", "16384", "--steps", "25", "--exercise",
+          "american", "--antithetic", "--json"])
+    vanilla = _json.loads(capsys.readouterr().out)
+    assert 0.0 < knockin["price"] < vanilla["price"]
+
+
 def test_cli_roughvol_json(capsys):
     import json as _json
 
