@@ -468,6 +468,45 @@ def cmd_heston(args):
     return payload
 
 
+def cmd_divs(args):
+    """Vanilla option on a discrete cash-dividend payer (PDE oracle)."""
+    from .dividends import DividendSchedule, price_option_divs
+    from .pde import PDEGrid, pde_price
+    from .types import MarketParams, ProductSpec, RegressionSpec, SimConfig
+
+    times = [float(t) for t in args.div_times.split(",") if t]
+    amounts = [float(a) for a in args.div_amounts.split(",") if a]
+    divs = DividendSchedule(times, amounts)
+    m = MarketParams(args.s0, args.r, args.sigma, q=args.q)
+    product = ProductSpec(K=args.k, T=args.t, option_type=args.option_type,
+                          exercise=args.exercise, barrier=args.barrier,
+                          barrier_type=args.barrier_type)
+    spec = RegressionSpec(basis=args.basis, degree=args.degree)
+    sim = SimConfig(n_paths=args.paths, n_steps=args.steps,
+                    antithetic=args.antithetic)
+    res = price_option_divs(jax.random.key(args.seed), m, divs, product,
+                            spec, sim, engine=args.engine)
+    payload = {
+        "price": round(float(res.price), 4),
+        "stderr": round(float(res.stderr), 4),
+        "div_pv": round(divs.pv(args.r, args.t), 4),
+    }
+    if product.barrier is None:
+        pde = pde_price(m, product, PDEGrid(n_steps=512, n_space=512),
+                        dividends=divs)
+        payload["pde"] = round(float(pde.price), 4)
+        payload["abs_err"] = round(abs(payload["price"] - payload["pde"]), 4)
+    if not args.json:
+        ex = product.exercise.title()
+        line = (f"Dividend {ex} {product.option_type}: "
+                f"{payload['price']:.4f} ± {payload['stderr']:.4f}")
+        if "pde" in payload:
+            line += f"  (CN-PDE: {payload['pde']:.4f})"
+        print(line)
+    _emit(payload, args.json)
+    return payload
+
+
 def cmd_asian(args):
     """Average (Asian) option on the (S, A) augmented state."""
     from .models.asian import geometric_asian_price, price_asian_option
@@ -1334,6 +1373,35 @@ def build_parser():
     pk.add_argument("--book-engine", choices=["xla", "mega"], default="xla")
     pk.add_argument("--json", action="store_true")
     pk.set_defaults(fn=cmd_book)
+
+    pv = sub.add_parser("divs",
+                        help="option on a discrete cash-dividend payer")
+    pv.add_argument("--s0", type=float, default=100.0)
+    pv.add_argument("--k", type=float, default=100.0)
+    pv.add_argument("--t", type=float, default=1.0)
+    pv.add_argument("--r", type=float, default=0.05)
+    pv.add_argument("--q", type=float, default=0.0)
+    pv.add_argument("--sigma", type=float, default=0.2)
+    pv.add_argument("--div-times", default="0.3,0.7",
+                    help="comma-separated ex-dates (years)")
+    pv.add_argument("--div-amounts", default="2.0,2.0",
+                    help="comma-separated cash amounts")
+    pv.add_argument("--option-type", choices=["put", "call"], default="put")
+    pv.add_argument("--exercise", choices=["european", "american"],
+                    default="american")
+    pv.add_argument("--barrier", type=float, default=None)
+    pv.add_argument("--barrier-type",
+                    choices=["down-in", "up-in", "down-out", "up-out"],
+                    default="down-in")
+    pv.add_argument("--basis", default="chebyshev")
+    pv.add_argument("--degree", type=int, default=4)
+    pv.add_argument("--paths", type=int, default=100_000)
+    pv.add_argument("--steps", type=int, default=50)
+    pv.add_argument("--antithetic", action="store_true")
+    pv.add_argument("--engine", choices=["xla", "mega"], default="xla")
+    pv.add_argument("--seed", type=int, default=42)
+    pv.add_argument("--json", action="store_true")
+    pv.set_defaults(fn=cmd_divs)
 
     pa = sub.add_parser("asian", help="average (Asian) option")
     pa.add_argument("--s0", type=float, default=100.0)

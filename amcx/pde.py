@@ -157,7 +157,8 @@ def _as_step_array(v, n_steps, dtype):
 
 @partial(
     jax.jit,
-    static_argnames=("n_steps", "option_type", "american", "rannacher", "theta_w"),
+    static_argnames=("n_steps", "option_type", "american", "rannacher",
+                     "theta_w", "with_divs"),
 )
 def _pde_core(
     x,
@@ -173,6 +174,8 @@ def _pde_core(
     american,
     rannacher,
     theta_w,
+    with_divs=False,
+    div_t=None,
 ):
     """Backward induction on the log-spot grid; returns (V0, V_dt) planes.
 
@@ -181,6 +184,13 @@ def _pde_core(
     ``exercise_mask`` is a per-step 0/1 vector applied when ``american`` is
     False (Bermudan projection dates); Americans apply the Ikonen-Toivanen
     splitting every step.
+
+    ``with_divs`` (static) enables discrete CASH dividends: ``div_t[i]`` is
+    the amount dropping at grid boundary ``t_{i+1}`` (the `amcx.dividends`
+    snap convention). Going backward, the jump condition
+    ``V_cum(S, t⁻) = V_ex(S − D, t)`` is applied by linear interpolation in
+    S BEFORE diffusing across [t_i, t_{i+1}] — including the maturity
+    boundary, where it composes with the (ex-dividend) payoff plane.
     """
     dtype = x.dtype
     n = x.shape[-1]
@@ -206,8 +216,19 @@ def _pde_core(
 
     s_lo = s_grid[0]
     s_hi = s_grid[-1]
-    euro_lo = jnp.maximum(phi * (s_lo * jnp.exp(-int_q) - K * jnp.exp(-int_r)), 0.0)
-    euro_hi = jnp.maximum(phi * (s_hi * jnp.exp(-int_q) - K * jnp.exp(-int_r)), 0.0)
+    if with_divs:
+        # far-field forward must shed the PV of the dividends remaining
+        # between the boundary time and T: rem[m] = Σ_{j≤m} D_j ·
+        # exp(−(∫r over [τ_j, τ_{m+1}])) with D_j dropping at τ = j·dt
+        div_rev_bc = div_t[::-1].astype(dtype)
+        cum_j = jnp.concatenate([jnp.zeros((1,), dtype), int_r[:-1]])
+        rem = jnp.exp(-int_r) * jnp.cumsum(div_rev_bc * jnp.exp(cum_j))
+    else:
+        rem = jnp.zeros((n_steps,), dtype)
+    euro_lo = jnp.maximum(
+        phi * (s_lo * jnp.exp(-int_q) - rem - K * jnp.exp(-int_r)), 0.0)
+    euro_hi = jnp.maximum(
+        phi * (s_hi * jnp.exp(-int_q) - rem - K * jnp.exp(-int_r)), 0.0)
     if american:
         bc_lo = jnp.maximum(euro_lo, psi[0])
         bc_hi = jnp.maximum(euro_hi, psi[-1])
@@ -228,7 +249,17 @@ def _pde_core(
     shift = _shift
     def body(carry, xs):
         v, lam = carry
-        r_m, q_m, sig_m, th, bcl, bch, allow = xs
+        if with_divs:
+            r_m, q_m, sig_m, th, bcl, bch, allow, d_m = xs
+            # jump condition at the step's END boundary: the cum-dividend
+            # value at S equals the ex-dividend value at S − D (linear
+            # interp on the uneven s-grid; flat extrapolation to v[0]
+            # below the grid). d_m == 0 reproduces v at grid points.
+            s_shift = jnp.maximum(s_grid - d_m, s_grid[0])
+            v = jnp.interp(s_shift, s_grid, v)
+            lam = jnp.interp(s_shift, s_grid, lam)
+        else:
+            r_m, q_m, sig_m, th, bcl, bch, allow = xs
         sig2 = sig_m * sig_m
         mu = r_m - q_m - 0.5 * sig2
         lo = 0.5 * sig2 * inv_dx2 - mu * inv_2dx
@@ -270,7 +301,12 @@ def _pde_core(
         return (v_new, lam), v_new[0] * 0.0
 
     init = (psi, jnp.zeros_like(psi))
-    xs = (r_rev, q_rev, sig_rev, thetas, bc_lo, bc_hi, mask_rev)
+    if with_divs:
+        div_rev = div_t[::-1].astype(dtype)
+        xs = (r_rev, q_rev, sig_rev, thetas, bc_lo, bc_hi, mask_rev,
+              div_rev)
+    else:
+        xs = (r_rev, q_rev, sig_rev, thetas, bc_lo, bc_hi, mask_rev)
 
     # Run all but the last step, keep the dt-plane for calendar theta.
     xs_head = jax.tree_util.tree_map(lambda t: t[:-1], xs)
@@ -319,6 +355,7 @@ def pde_price(
     sigma_t=None,
     q_t=None,
     exercise_steps=None,
+    dividends=None,
     dtype=jnp.float32,
 ) -> PDEResult:
     """Price a vanilla option by Crank-Nicolson finite differences.
@@ -328,7 +365,10 @@ def pde_price(
     forward-interval curves of length ``grid.n_steps`` (the `amcx.term`
     convention). ``exercise_steps`` restricts early exercise to a subset of
     time steps (Bermudan projection); ``product.exercise`` picks
-    European/American otherwise.
+    European/American otherwise. ``dividends`` (an
+    `amcx.dividends.DividendSchedule` or ``(times, amounts)`` pair) adds
+    discrete cash dividends via the backward jump condition
+    ``V(S, t⁻) = V(S − D, t)`` — the oracle leg of `amcx.dividends`.
 
     Role parity: the validation engines of the reference closure
     (`/root/reference/american_monte_carlo.py:30-68`) — here as an
@@ -344,6 +384,13 @@ def pde_price(
     if exercise_steps is not None:
         mask = mask.at[jnp.asarray(exercise_steps)].set(1.0)
 
+    div_t = None
+    if dividends is not None:
+        from .dividends import dividend_step_amounts
+
+        div_t = jnp.asarray(
+            dividend_step_amounts(dividends, product.T, n_steps), dtype)
+
     x, i0 = _prep(market, product, grid, sigma=sig_arr, dtype=dtype)
     v0, v_dt = _pde_core(
         x,
@@ -358,6 +405,8 @@ def pde_price(
         american=american,
         rannacher=grid.rannacher,
         theta_w=grid.theta,
+        with_divs=dividends is not None,
+        div_t=div_t,
     )
     dt = jnp.asarray(product.T, dtype) / n_steps
     return _result_from_planes(v0, v_dt, x, i0, float(market.S0), dt)

@@ -278,6 +278,18 @@ def test_cli_heston_barrier(capsys):
     assert 0.0 < knockin["price"] < vanilla["price"]
 
 
+def test_cli_divs_json(capsys):
+    import json as _json
+
+    from amcx.cli import main
+
+    main(["divs", "--paths", "16384", "--steps", "25", "--antithetic",
+          "--json"])
+    payload = _json.loads(capsys.readouterr().out)
+    assert payload["abs_err"] < 4 * payload["stderr"] + 0.05
+    assert payload["div_pv"] > 3.8
+
+
 def test_cli_roughvol_json(capsys):
     import json as _json
 
