@@ -468,18 +468,27 @@ def pde_price_ladder(
     return jax.vmap(one)(strikes)
 
 
-def pde_greeks(market, product, grid: PDEGrid = PDEGrid(), *, dtype=jnp.float32):
+def pde_greeks(market, product, grid: PDEGrid = PDEGrid(), *,
+               dividends=None, dtype=jnp.float32):
     """Delta/gamma/theta from the grid plus vega/rho by autodiff.
 
     The grid is held fixed while differentiating with respect to sigma and r
     (its endpoints only shift the O(dx^2) truncation error). Returns a dict
-    with price, delta, gamma, theta, vega, rho.
-    """
+    with price, delta, gamma, theta, vega, rho. ``dividends`` adds the
+    discrete-cash jump condition (rho correctly picks up the remaining-
+    dividend discounting through autodiff)."""
     n_steps = grid.n_steps
     x, i0 = _prep(market, product, grid, dtype=dtype)
     q_arr = _as_step_array(market.q, n_steps, dtype)
     mask = jnp.zeros((n_steps,), dtype)
     american = product.is_american
+
+    div_t = None
+    if dividends is not None:
+        from .dividends import dividend_step_amounts
+
+        div_t = jnp.asarray(
+            dividend_step_amounts(dividends, product.T, n_steps), dtype)
 
     def price_of(sig, r):
         v0, v_dt = _pde_core(
@@ -495,6 +504,8 @@ def pde_greeks(market, product, grid: PDEGrid = PDEGrid(), *, dtype=jnp.float32)
             american=american,
             rannacher=grid.rannacher,
             theta_w=grid.theta,
+            with_divs=dividends is not None,
+            div_t=div_t,
         )
         return v0[i0], (v0, v_dt)
 

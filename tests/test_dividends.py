@@ -103,3 +103,26 @@ def test_zero_dividend_collapse_and_barrier_parity():
                              spec, sim)
     np.testing.assert_allclose(float(din.price) + float(dout.price),
                                float(van.price), atol=2e-3)
+
+
+def test_pde_greeks_with_dividends():
+    """Autodiff vega/rho survive the interp jump condition; delta reflects
+    the forward shed of PV(divs) (FD cross-check on the put delta)."""
+    from amcx.pde import pde_greeks
+
+    g = pde_greeks(M, _prod(), GRID, dividends=DIVS)
+    assert np.isfinite([float(g[k]) for k in
+                        ("price", "delta", "gamma", "theta", "vega",
+                         "rho")]).all()
+    # put delta in (-1, 0); vega > 0
+    assert -1.0 < float(g["delta"]) < 0.0
+    assert float(g["vega"]) > 0.0
+    # FD check of rho: bump r (re-solves include the div re-discounting)
+    eps = 1e-3
+    up = pde_price(MarketParams(100.0, 0.05 + eps, 0.2), _prod(), GRID,
+                   dividends=DIVS)
+    dn = pde_price(MarketParams(100.0, 0.05 - eps, 0.2), _prod(), GRID,
+                   dividends=DIVS)
+    fd_rho = (float(up.price) - float(dn.price)) / (2 * eps)
+    np.testing.assert_allclose(float(g["rho"]), fd_rho, rtol=0.02,
+                               atol=0.05)
