@@ -476,7 +476,9 @@ def cmd_divs(args):
 
     times = [float(t) for t in args.div_times.split(",") if t]
     amounts = [float(a) for a in args.div_amounts.split(",") if a]
-    divs = DividendSchedule(times, amounts)
+    fractions = ([float(f) for f in args.div_fractions.split(",") if f]
+                 if args.div_fractions else None)
+    divs = DividendSchedule(times, amounts, fractions)
     m = MarketParams(args.s0, args.r, args.sigma, q=args.q)
     product = ProductSpec(K=args.k, T=args.t, option_type=args.option_type,
                           exercise=args.exercise, barrier=args.barrier,
@@ -1386,6 +1388,9 @@ def build_parser():
                     help="comma-separated ex-dates (years)")
     pv.add_argument("--div-amounts", default="2.0,2.0",
                     help="comma-separated cash amounts")
+    pv.add_argument("--div-fractions", default="",
+                    help="optional comma-separated proportional drops "
+                         "(production convention for far-dated estimates)")
     pv.add_argument("--option-type", choices=["put", "call"], default="put")
     pv.add_argument("--exercise", choices=["european", "american"],
                     default="american")

@@ -55,27 +55,57 @@ _FLOOR = 1e-6  # absolute spot floor after a drop (absorbing-ish, ~0)
 
 @dataclasses.dataclass(frozen=True)
 class DividendSchedule:
-    """Cash dividends ``amounts[j]`` dropping at ex-dates ``times[j]``."""
+    """Dividends dropping at ex-dates ``times[j]``: cash ``amounts[j]``
+    and/or proportional ``fractions[j]`` (the production convention —
+    cash for near dates, proportional for far estimates). At a date the
+    proportional drop applies first: ``S → S(1−f) − D``."""
 
     times: tuple
     amounts: tuple
+    fractions: tuple
 
-    def __init__(self, times: Sequence[float], amounts: Sequence[float]):
+    def __init__(self, times: Sequence[float], amounts: Sequence[float],
+                 fractions: Sequence[float] = None):
         object.__setattr__(self, "times", tuple(float(t) for t in times))
         object.__setattr__(self, "amounts",
                            tuple(float(a) for a in amounts))
-        if len(self.times) != len(self.amounts):
-            raise ValueError("times and amounts must have equal length")
+        if fractions is None:
+            fractions = [0.0] * len(self.times)
+        object.__setattr__(self, "fractions",
+                           tuple(float(f) for f in fractions))
+        if not (len(self.times) == len(self.amounts)
+                == len(self.fractions)):
+            raise ValueError("times, amounts, fractions must have equal "
+                             "length")
         if any(t <= 0 for t in self.times):
             raise ValueError("ex-dates must be strictly positive")
         if any(a < 0 for a in self.amounts):
             raise ValueError("dividend amounts must be nonnegative")
+        if any(not 0.0 <= f < 1.0 for f in self.fractions):
+            raise ValueError("fractions must lie in [0, 1)")
 
     def pv(self, r: float, T: float) -> float:
-        """PV at t=0 of the dividends with ex-date ≤ T (flat rate)."""
-        return float(sum(a * np.exp(-r * t)
-                         for t, a in zip(self.times, self.amounts)
-                         if t <= T + 1e-12))
+        """PV at t=0 of the CASH legs with ex-date ≤ T (flat rate),
+        each shed by the proportional drops occurring AFTER it —
+        exactly the cash part of the forward identity
+        ``E[e^{−rT} S_T] = S0·Π(1−f_j) − Σ_j D_j e^{−r t_j}·
+        Π_{t_k > t_j}(1−f_k)``."""
+        total = 0.0
+        for t, a in zip(self.times, self.amounts):
+            if t > T + 1e-12:
+                continue
+            shed = np.prod([1.0 - f for tk, f in
+                            zip(self.times, self.fractions)
+                            if t < tk <= T + 1e-12])
+            total += a * np.exp(-r * t) * shed
+        return float(total)
+
+    def forward_factor(self, T: float) -> float:
+        """``Π_{t_j ≤ T}(1 − f_j)`` — the proportional shed of the
+        forward."""
+        return float(np.prod([1.0 - f for t, f in
+                              zip(self.times, self.fractions)
+                              if t <= T + 1e-12]))
 
 
 def _as_schedule(dividends) -> DividendSchedule:
@@ -86,21 +116,27 @@ def _as_schedule(dividends) -> DividendSchedule:
 
 
 def dividend_step_amounts(dividends, T: float, n_steps: int) -> np.ndarray:
-    """Snap the schedule onto the step grid: ``out[i]`` is the total cash
-    dropping at grid boundary ``t_{i+1}`` (ex-dates round to the nearest
-    boundary; dates beyond ``T`` are ignored; a date that rounds to t=0
-    snaps to the first boundary). Host-side numpy — shared by the MC
-    pathgen and the PDE jump condition so both legs see the SAME snapped
-    calendar."""
+    """Snap the schedule onto the step grid: row ``out[i] = (cash, frac)``
+    is the total cash and combined proportional drop at grid boundary
+    ``t_{i+1}`` (ex-dates round to the nearest boundary; dates beyond
+    ``T`` are ignored; a date that rounds to t=0 snaps to the first
+    boundary; same-boundary fractions compound). Host-side numpy — shared
+    by the MC pathgen and the PDE jump condition so both legs see the
+    SAME snapped calendar."""
     sched = _as_schedule(dividends)
     dt = T / n_steps
-    out = np.zeros((n_steps,), np.float64)
-    for t, a in zip(sched.times, sched.amounts):
+    out = np.zeros((n_steps, 2), np.float64)
+    for t, a, f in zip(sched.times, sched.amounts, sched.fractions):
         if t > T + 1e-9 * T:
             continue
         k = int(round(t / dt))
         k = min(max(k, 1), n_steps)
-        out[k - 1] += a
+        # S → S(1−f) − D at the boundary; same-boundary events compose as
+        # S(1−f1)(1−f2) − (D1(1−f2) + D2) when f2/D2 come calendar-later,
+        # but within one snapped boundary the order is immaterial to
+        # first order — compound fractions, shed earlier cash
+        out[k - 1, 0] = out[k - 1, 0] * (1.0 - f) + a
+        out[k - 1, 1] = 1.0 - (1.0 - out[k - 1, 1]) * (1.0 - f)
     return out
 
 
@@ -120,7 +156,7 @@ def _simulate_gbm_divs(key, S0, r, q, sigma, div_row, T, sim):
     def step(S, xs):
         z, d = xs
         S2 = S * jnp.exp(drift + sigma * sdt * z)
-        S2 = jnp.maximum(S2 - d, _FLOOR)
+        S2 = jnp.maximum(S2 * (1.0 - d[1]) - d[0], _FLOOR)
         return S2, S2
 
     S0v = jnp.full((n,), S0, dtype)

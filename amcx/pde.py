@@ -217,18 +217,28 @@ def _pde_core(
     s_lo = s_grid[0]
     s_hi = s_grid[-1]
     if with_divs:
-        # far-field forward must shed the PV of the dividends remaining
-        # between the boundary time and T: rem[m] = Σ_{j≤m} D_j ·
-        # exp(−(∫r over [τ_j, τ_{m+1}])) with D_j dropping at τ = j·dt
-        div_rev_bc = div_t[::-1].astype(dtype)
+        # far-field forward must shed the dividends remaining between the
+        # boundary time and T: the spot term picks up Π(1−f_j) over the
+        # remaining proportional drops, and each remaining cash D_j (at
+        # τ = j·dt) is discounted over [τ_j, τ_{m+1}] and shed by the
+        # proportional drops calendar-AFTER it (rev indices < j).
+        cash_rev = div_t[::-1, 0].astype(dtype)
+        frac_rev = div_t[::-1, 1].astype(dtype)
+        fwd_f = jnp.cumprod(1.0 - frac_rev)
+        shed_after = jnp.concatenate(
+            [jnp.ones((1,), dtype), fwd_f[:-1]])
         cum_j = jnp.concatenate([jnp.zeros((1,), dtype), int_r[:-1]])
-        rem = jnp.exp(-int_r) * jnp.cumsum(div_rev_bc * jnp.exp(cum_j))
+        rem = jnp.exp(-int_r) * jnp.cumsum(
+            cash_rev * jnp.exp(cum_j) * shed_after)
     else:
         rem = jnp.zeros((n_steps,), dtype)
+        fwd_f = jnp.ones((n_steps,), dtype)
     euro_lo = jnp.maximum(
-        phi * (s_lo * jnp.exp(-int_q) - rem - K * jnp.exp(-int_r)), 0.0)
+        phi * (s_lo * jnp.exp(-int_q) * fwd_f - rem
+               - K * jnp.exp(-int_r)), 0.0)
     euro_hi = jnp.maximum(
-        phi * (s_hi * jnp.exp(-int_q) - rem - K * jnp.exp(-int_r)), 0.0)
+        phi * (s_hi * jnp.exp(-int_q) * fwd_f - rem
+               - K * jnp.exp(-int_r)), 0.0)
     if american:
         bc_lo = jnp.maximum(euro_lo, psi[0])
         bc_hi = jnp.maximum(euro_hi, psi[-1])
@@ -252,10 +262,12 @@ def _pde_core(
         if with_divs:
             r_m, q_m, sig_m, th, bcl, bch, allow, d_m = xs
             # jump condition at the step's END boundary: the cum-dividend
-            # value at S equals the ex-dividend value at S − D (linear
-            # interp on the uneven s-grid; flat extrapolation to v[0]
-            # below the grid). d_m == 0 reproduces v at grid points.
-            s_shift = jnp.maximum(s_grid - d_m, s_grid[0])
+            # value at S equals the ex-dividend value at S(1−f) − D
+            # (linear interp on the uneven s-grid; flat extrapolation to
+            # v[0] below the grid). d_m == (0, 0) reproduces v at grid
+            # points.
+            s_shift = jnp.maximum(s_grid * (1.0 - d_m[1]) - d_m[0],
+                                  s_grid[0])
             v = jnp.interp(s_shift, s_grid, v)
             lam = jnp.interp(s_shift, s_grid, lam)
         else:

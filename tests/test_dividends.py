@@ -39,15 +39,63 @@ def test_forward_matches_dividend_adjusted_parity():
 
 def test_snap_and_validation():
     row = dividend_step_amounts(DIVS, 1.0, 50)
-    assert row[14] == 2.0 and row[34] == 2.0 and row.sum() == 4.0
+    assert row[14, 0] == 2.0 and row[34, 0] == 2.0 and row[:, 0].sum() == 4.0
+    assert row[:, 1].sum() == 0.0
     # beyond-T dates are ignored; near-zero dates snap to the 1st boundary
     row2 = dividend_step_amounts(DividendSchedule([0.001, 2.0], [1.0, 9.0]),
                                  1.0, 50)
-    assert row2[0] == 1.0 and row2.sum() == 1.0
+    assert row2[0, 0] == 1.0 and row2[:, 0].sum() == 1.0
+    # same-boundary fractions compound
+    row3 = dividend_step_amounts(
+        DividendSchedule([0.5, 0.5], [0.0, 0.0], [0.1, 0.1]), 1.0, 2)
+    np.testing.assert_allclose(row3[0, 1], 1.0 - 0.9 * 0.9)
     with pytest.raises(ValueError, match="positive"):
         DividendSchedule([0.0], [1.0])
     with pytest.raises(ValueError, match="nonnegative"):
         DividendSchedule([0.5], [-1.0])
+    with pytest.raises(ValueError, match="fraction"):
+        DividendSchedule([0.5], [0.0], [1.5])
+
+
+def test_proportional_dividends_exact_bs_equivalence():
+    """A PURE proportional schedule is exactly lognormal with spot
+    S0·Π(1−f_j): the PDE European must land on the Black-Scholes closed
+    form, and the MC forward on the shed spot."""
+    from amcx.oracle import bs_price
+
+    prop = DividendSchedule([0.25, 0.75], [0.0, 0.0], [0.02, 0.03])
+    pe = pde_price(M, _prod(), GRID, dividends=prop)
+    want = float(bs_price(100.0 * prop.forward_factor(1.0), 100.0, 1.0,
+                          M.r, M.sigma, option_type="put"))
+    np.testing.assert_allclose(float(pe.price), want, atol=5e-3)
+    S = simulate_gbm_divs(jax.random.key(5), M, prop, 1.0, SIM)
+    f = np.asarray(S[-1], np.float64) * np.exp(-M.r)
+    h = SIM.n_paths // 2
+    pair = 0.5 * (f[:h] + f[h:])
+    want_f = M.S0 * prop.forward_factor(1.0)
+    assert abs(pair.mean() - want_f) < 4 * pair.std() / np.sqrt(h)
+
+
+def test_mixed_cash_proportional_forward_identity():
+    """E[e^{-rT} S_T] = S0·Π(1−f_j) − Σ D_j e^{-r t_j}·Π_{t_k>t_j}(1−f_k)
+    — the general identity `DividendSchedule.pv` implements; MC and PDE
+    European agree under the mixed schedule."""
+    mixed = DividendSchedule([0.3, 0.7], [2.0, 0.0], [0.0, 0.025])
+    S = simulate_gbm_divs(jax.random.key(6), M, mixed, 1.0, SIM)
+    f = np.asarray(S[-1], np.float64) * np.exp(-M.r)
+    h = SIM.n_paths // 2
+    pair = 0.5 * (f[:h] + f[h:])
+    want = M.S0 * mixed.forward_factor(1.0) - mixed.pv(M.r, 1.0)
+    # the cash leg at 0.3 is shed by the 0.7 fraction: check pv does that
+    np.testing.assert_allclose(
+        mixed.pv(M.r, 1.0), 2.0 * np.exp(-M.r * 0.3) * (1 - 0.025))
+    assert abs(pair.mean() - want) < 4 * pair.std() / np.sqrt(h)
+    pe = pde_price(M, _prod(), GRID, dividends=mixed)
+    pay = np.maximum(100.0 - np.asarray(S[-1], np.float64), 0.0) * \
+        np.exp(-M.r)
+    pairp = 0.5 * (pay[:h] + pay[h:])
+    se = pairp.std() / np.sqrt(h)
+    assert abs(pairp.mean() - float(pe.price)) < 4 * se + 5e-3
 
 
 def test_european_put_mc_matches_pde():
