@@ -387,8 +387,12 @@ def two_state_kernel_tail(X, r, product, spec, sim, engine):
             X, product.K, r, dt, phi=phi, payoff_kind="first",
             basis=spec.basis, degree=spec.degree, mode="total",
             rcond=spec.rcond, itm_weights=spec.regress_on == "itm",
-            exercise_from_step=0, antithetic=sim.antithetic)
+            exercise_from_step=0, antithetic=sim.antithetic,
+            barrier=product.barrier, barrier_type=product.barrier_type)
         return LSMCResult(price, stderr, None, None, None)
+    if product.has_barrier:
+        raise ValueError("barrier products run on engine='mega' or 'xla' "
+                         "(the per-step fused pair prices vanilla exercise)")
     from .models.maxcall import backward_induction_fused_maxcall
 
     return backward_induction_fused_maxcall(
@@ -465,13 +469,15 @@ def price_option_heston(
     whenever the exercise grid is the step grid and coarse.
 
     Barrier products (any up/down × in/out `ProductSpec`) price through
-    the XLA engine: discrete monitoring of the spot plane gates the
-    (S, v) induction (hermetic gates: exact pathwise in-out parity for
-    Europeans, ξ→0 collapse to the GBM barrier engine).
+    ``engine="xla"`` or the ONE-kernel ``engine="mega"`` (the knock gate
+    rides the sign bit of the spot plane inside the kernel): discrete
+    monitoring of the spot plane gates the (S, v) induction (hermetic
+    gates: exact pathwise in-out parity for Europeans, ξ→0 collapse to
+    the GBM barrier engine, xla↔mega agreement on shared paths).
     """
-    if product.has_barrier and engine != "xla":
-        raise ValueError("Heston barrier pricing runs on engine='xla' "
-                         "(the kernel engines price vanilla exercise)")
+    if product.has_barrier and engine == "fused":
+        raise ValueError("Heston barrier pricing runs on engine='xla' or "
+                         "'mega' (the fused pair prices vanilla exercise)")
     if engine in ("fused", "mega"):
         if not product.is_american:
             raise ValueError(f"engine={engine!r} Heston prices American "
@@ -766,12 +772,12 @@ def price_option_bates(
     multi-asset engine — the reference's one-engine-any-dynamics contract
     (`american_monte_carlo.py:139-167`) at every speed tier.
     ``scheme="qe"`` swaps the diffusion leg to Andersen QE-M (jump overlay
-    unchanged). Barrier products price through ``engine="xla"`` exactly as
-    in :func:`price_option_heston` (discrete monitoring on the spot
-    plane)."""
-    if product.has_barrier and engine != "xla":
-        raise ValueError("Bates barrier pricing runs on engine='xla' "
-                         "(the kernel engines price vanilla exercise)")
+    unchanged). Barrier products price through ``engine="xla"`` or
+    ``engine="mega"`` exactly as in :func:`price_option_heston` (discrete
+    monitoring on the spot plane; in-kernel sign-bit knock gate)."""
+    if product.has_barrier and engine == "fused":
+        raise ValueError("Bates barrier pricing runs on engine='xla' or "
+                         "'mega' (the fused pair prices vanilla exercise)")
     S, v = simulate_bates(key, hp, jumps, product.T, sim,
                           return_variance=True, scheme=scheme)
     X = jnp.stack([S, v], axis=-1)

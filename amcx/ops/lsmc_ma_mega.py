@@ -94,8 +94,8 @@ def _ma_cols(planes, stats_ref, t, n_assets, T1, basis, degree, mode,
 def _ma_mega_kernel(scal_ref, stats_ref, s_ref, *refs, n_steps, n_rows,
                     chunk_rows, n_assets, basis, degree, mode, sorted_basis,
                     itm_weights, payoff_kind, weights, antithetic,
-                    emit_cf_tau, direct_y=False, ring_axis=None,
-                    ring_size=1):
+                    emit_cf_tau, direct_y=False, barrier=False,
+                    ring_axis=None, ring_size=1):
     it = iter(refs)
     df_ref = next(it) if direct_y else None
     out_ref, out_sq_ref = next(it), next(it)
@@ -132,12 +132,27 @@ def _ma_mega_kernel(scal_ref, stats_ref, s_ref, *refs, n_steps, n_rows,
     def payoff(planes):
         return _payoff_for(planes, K, payoff_kind, phi, weights)
 
+    def read_planes(sl):
+        # barrier runs carry the knock-eligibility gate in the SIGN BIT of
+        # the asset-0 plane (the univariate mega's zero-extra-HBM encoding,
+        # lsmc_megakernel.py:32); decode before basis/payoff evaluation
+        planes = [s_ref[0, a, sl, :] for a in range(A)]
+        if barrier:
+            kn = planes[0] > 0.0
+            planes[0] = jnp.abs(planes[0])
+            return planes, kn
+        return planes, None
+
     @pl.when(i == 0)
     def _maturity():
         def body(c, _):
             sl = pl.ds(c * chunk_rows, chunk_rows)
-            planes = [s_ref[0, a, sl, :] for a in range(A)]
+            planes, kn = read_planes(sl)
             pay = payoff(planes)
+            if barrier:
+                # maturity cashflow only on gate-open paths (Q4 semantics
+                # extended to all four knock variants via barrier_gate)
+                pay = jnp.where(kn, pay, 0.0)
             V[sl, :] = pay
             if emit_cf_tau:
                 cf_ref[sl, :] = pay
@@ -153,7 +168,7 @@ def _ma_mega_kernel(scal_ref, stats_ref, s_ref, *refs, n_steps, n_rows,
 
         def pass1(c, _):
             sl = pl.ds(c * chunk_rows, chunk_rows)
-            planes = [s_ref[0, a, sl, :] for a in range(A)]
+            planes, kn = read_planes(sl)
             if direct_y:
                 y = df_ref[0, sl, :] * V[sl, :]
             else:
@@ -162,6 +177,9 @@ def _ma_mega_kernel(scal_ref, stats_ref, s_ref, *refs, n_steps, n_rows,
                             mode, sorted_basis)
             if itm_weights:
                 w = (payoff(planes) > 0.0).astype(jnp.float32)
+                if barrier:
+                    # canonical LS localization: fit on ITM ∧ gate-open
+                    w = w * kn.astype(jnp.float32)
                 cols_w = [c_ * w for c_ in cols]
                 yw = y * w
             else:
@@ -185,7 +203,7 @@ def _ma_mega_kernel(scal_ref, stats_ref, s_ref, *refs, n_steps, n_rows,
 
         def pass2(c, _):
             sl = pl.ds(c * chunk_rows, chunk_rows)
-            planes = [s_ref[0, a, sl, :] for a in range(A)]
+            planes, kn = read_planes(sl)
             cols = _ma_cols(planes, stats_ref, t, A, T1, basis, degree,
                             mode, sorted_basis)
             fitted = cols[0] * coeffs[0]
@@ -194,6 +212,8 @@ def _ma_mega_kernel(scal_ref, stats_ref, s_ref, *refs, n_steps, n_rows,
             cont = jnp.maximum(fitted, 0.0)  # SURVEY Q2
             ex = payoff(planes)
             mask = (ex > cont) & (allow > 0.0)
+            if barrier:
+                mask = mask & kn  # Q4: exercise only while the gate is open
             if direct_y:
                 # V_t = exercised value or discounted roll-back of V_{t+1}
                 V[sl, :] = jnp.where(mask, ex, df_ref[0, sl, :] * V[sl, :])
@@ -225,7 +245,8 @@ def _ma_mega_kernel(scal_ref, stats_ref, s_ref, *refs, n_steps, n_rows,
 def _run_ma_mega(scalars, stats, planes_blocked, n_steps, n_rows, n_assets,
                  basis, degree, mode, sorted_basis, itm_weights, payoff_kind,
                  weights, antithetic, emit_cf_tau, interpret,
-                 df_blocked=None, ring_axis=None, ring_size=1):
+                 df_blocked=None, barrier=False, ring_axis=None,
+                 ring_size=1):
     m = len(_multi_index_set(n_assets, degree, mode))
     P = len(_pairs(m)) + m
     direct_y = df_blocked is not None
@@ -236,7 +257,7 @@ def _run_ma_mega(scalars, stats, planes_blocked, n_steps, n_rows, n_assets,
         degree=degree, mode=mode, sorted_basis=sorted_basis,
         itm_weights=itm_weights, payoff_kind=payoff_kind, weights=weights,
         antithetic=antithetic, emit_cf_tau=emit_cf_tau, direct_y=direct_y,
-        ring_axis=ring_axis, ring_size=ring_size,
+        barrier=barrier, ring_axis=ring_axis, ring_size=ring_size,
     )
     scalar_shape = jax.ShapeDtypeStruct((1, 1), jnp.float32)
     scalar_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
@@ -300,7 +321,7 @@ _run_ma_mega_jit = jax.jit(
     static_argnames=("n_steps", "n_rows", "n_assets", "basis", "degree",
                      "mode", "sorted_basis", "itm_weights", "payoff_kind",
                      "weights", "antithetic", "emit_cf_tau", "interpret",
-                     "ring_axis", "ring_size"),
+                     "barrier", "ring_axis", "ring_size"),
 )
 
 
@@ -323,6 +344,8 @@ def lsmc_price_ma_mega(
     antithetic: bool = False,
     return_cf_tau: bool = False,
     discount_planes=None,
+    barrier=None,
+    barrier_type: str = "down-in",
     interpret=None,
     axis_name=None,
     axis_size: int = 1,
@@ -346,6 +369,14 @@ def lsmc_price_ma_mega(
     kernel to pathwise discounting (``direct_y``), where ``r``/``dt`` are
     ignored for the carry and the value plane rolls back through the
     per-path planes every step.
+
+    ``barrier``/``barrier_type``: optional knock level monitored on the
+    ASSET-0 plane (the spot under the two-state dynamics — Heston/Bates/
+    SABR/rBergomi (S, state) engines; reference Q4 discrete monitoring on
+    the simulation grid, all four up/down × in/out variants via
+    `amcx.payoff.barrier_gate`). The gate rides the sign bit of the
+    asset-0 plane — zero extra HBM traffic, exactly the univariate mega's
+    encoding; standardization stats are computed on the raw spots first.
 
     **Collective mode** (``axis_name`` inside ``shard_map``): ``paths_tm``
     is this rank's shard; the standardization statistics are psum-global
@@ -402,6 +433,16 @@ def lsmc_price_ma_mega(
         var = jnp.maximum(s2 / n_glob_s - mean_t * mean_t, 0.0)
         inv_std_t = 1.0 / jnp.maximum(jnp.sqrt(var), 1e-6)
 
+    if barrier is not None:
+        # stats above used the RAW spots; now fold the knock-eligibility
+        # gate into the sign bit of the asset-0 plane (rank-local state —
+        # the collective route needs no extra comm)
+        from ..payoff import barrier_gate
+
+        gate = barrier_gate(blocked[:, 0], barrier, barrier_type)
+        blocked = blocked.at[:, 0].set(
+            jnp.where(gate, blocked[:, 0], -blocked[:, 0]))
+
     r_arr = jnp.asarray(r, jnp.float32)
     scalars = jnp.stack([
         jnp.asarray(jnp.mean(r_arr) * dt, jnp.float32),
@@ -448,8 +489,8 @@ def lsmc_price_ma_mega(
         scalars, stats, blocked, n_steps, n_rows, int(n_assets), basis,
         int(degree), mode, bool(sorted_basis), bool(itm_weights),
         payoff_kind, w_stat, bool(antithetic), bool(return_cf_tau),
-        interpret, df_blocked=df_blocked, ring_axis=axis_name,
-        ring_size=int(axis_size))
+        interpret, df_blocked=df_blocked, barrier=barrier is not None,
+        ring_axis=axis_name, ring_size=int(axis_size))
     n_glob = n_paths * (axis_size if axis_name is not None else 1)
     if axis_name is not None:
         head = jax.lax.psum(head, axis_name)

@@ -288,9 +288,9 @@ def price_option_rbergomi(
     """
     from .dynamics import two_state_xla_tail
 
-    if product.has_barrier and engine != "xla":
-        raise ValueError("rBergomi barrier pricing runs on engine='xla' "
-                         "(the kernel engines price vanilla exercise)")
+    if product.has_barrier and engine == "fused":
+        raise ValueError("rBergomi barrier pricing runs on engine='xla' or "
+                         "'mega' (the fused pair prices vanilla exercise)")
     if engine in ("fused", "mega"):
         if not product.is_american:
             raise ValueError(f"engine={engine!r} prices American only "

@@ -239,9 +239,9 @@ def price_option_sabr(
     European prices should prefer `sabr_european_price` (Hagan) — the MC
     route exists for scheme validation and surfaces.
     """
-    if product.has_barrier and engine != "xla":
-        raise ValueError("SABR barrier pricing runs on engine='xla' "
-                         "(the kernel engines price vanilla exercise)")
+    if product.has_barrier and engine == "fused":
+        raise ValueError("SABR barrier pricing runs on engine='xla' or "
+                         "'mega' (the fused pair prices vanilla exercise)")
     if engine in ("fused", "mega"):
         if not product.is_american:
             raise ValueError(f"engine={engine!r} prices American only "

@@ -58,15 +58,48 @@ def test_heston_xi_to_zero_matches_gbm_barrier_engine():
         float(h.price), float(g.price), tol)
 
 
-def test_heston_american_barrier_bounds_and_kernel_engines_raise():
+def test_heston_american_barrier_bounds_and_fused_raises():
     prod_in = _prod(exercise="american", barrier=85.0)
     van = price_option_heston(jax.random.key(3), HP,
                               _prod(exercise="american"), SPEC, SIM)
     din = price_option_heston(jax.random.key(3), HP, prod_in, SPEC, SIM)
     assert 0.0 < float(din.price) < float(van.price)
-    with pytest.raises(ValueError, match="engine='xla'"):
+    with pytest.raises(ValueError, match="fused"):
         price_option_heston(jax.random.key(0), HP, prod_in, SPEC, SIM,
-                            engine="mega")
+                            engine="fused")
+
+
+@pytest.mark.parametrize("barrier,barrier_type",
+                         [(85.0, "down-in"), (85.0, "down-out"),
+                          (120.0, "up-out")])
+def test_heston_barrier_mega_matches_xla(barrier, barrier_type):
+    """The ma-mega kernel's sign-bit knock gate reproduces the XLA (S, v)
+    induction on shared paths for every knock variant (the univariate
+    mega's encoding, `lsmc_ma_mega.read_planes`)."""
+    prod = _prod(exercise="american", barrier=barrier,
+                 barrier_type=barrier_type)
+    sim = SimConfig(n_paths=8_192, n_steps=20, antithetic=True)
+    rx = price_option_heston(jax.random.key(9), HP, prod, SPEC, sim)
+    rm = price_option_heston(jax.random.key(9), HP, prod, SPEC, sim,
+                             engine="mega")
+    # same paths, two carry formulations: f32 boundary-flip noise only
+    assert abs(float(rx.price) - float(rm.price)) < 1e-3, (
+        barrier_type, float(rx.price), float(rm.price))
+
+
+def test_sabr_barrier_mega_matches_xla():
+    """Barrier through the shared two-state kernel tail under SABR —
+    the non-Heston dynamics exercise the same tail dispatch."""
+    from amcx.sabr import SABRParams, price_option_sabr
+
+    sp = SABRParams(S0=100.0, r=0.03, alpha=0.2, beta=1.0, rho=-0.5, nu=0.4)
+    prod = _prod(exercise="american", barrier=85.0)
+    sim = SimConfig(n_paths=8_192, n_steps=20, antithetic=True)
+    rx = price_option_sabr(jax.random.key(11), sp, prod, SPEC, sim)
+    rm = price_option_sabr(jax.random.key(11), sp, prod, SPEC, sim,
+                           engine="mega")
+    assert abs(float(rx.price) - float(rm.price)) < 1e-3, (
+        float(rx.price), float(rm.price))
 
 
 def test_bates_barrier_parity():

@@ -396,3 +396,54 @@ def test_rbergomi_dual_bound_onchip():
                                                    float(up_se))
     # J=32 carries the documented O(1/J) inner-noise bias in the upper
     assert float(up) - float(lo) < 0.45, (float(lo), float(up))
+
+
+def test_heston_barrier_mega_onchip():
+    """Mosaic lowering of the ma-mega sign-bit knock decode (abs + compare
+    on the streamed asset-0 plane) on hardware: every knock variant must
+    reproduce the XLA (S, v) induction on shared paths, and European
+    in-out parity must be pathwise exact through the kernel."""
+    from amcx.dynamics import HestonParams, price_option_heston
+
+    hp = HestonParams(S0=100.0, r=0.03, v0=0.04, kappa=1.5, theta=0.04,
+                      xi=0.5, rho=-0.7)
+    spec = RegressionSpec(degree=2, regress_on="all")
+    sim = SimConfig(n_paths=262_144, n_steps=50, antithetic=True)
+    for b, bt in [(85.0, "down-in"), (85.0, "down-out"), (120.0, "up-out")]:
+        prod = ProductSpec(K=100.0, T=1.0, option_type="put",
+                           exercise="american", barrier=b, barrier_type=bt)
+        rx = price_option_heston(jax.random.key(21), hp, prod, spec, sim)
+        rm = price_option_heston(jax.random.key(21), hp, prod, spec, sim,
+                                 engine="mega")
+        assert abs(float(rx.price) - float(rm.price)) < 5e-3, (
+            bt, float(rx.price), float(rm.price))
+
+
+def test_dividends_mc_vs_pde_onchip():
+    """Discrete cash dividends on hardware: the drop-adjusted GBM scan
+    prices the European on the CN-PDE jump-condition oracle (simulation
+    accuracy, no policy bias), and the American runs identically through
+    the XLA scan and the univariate mega kernel on shared paths."""
+    from amcx.dividends import DividendSchedule, price_option_divs
+    from amcx.pde import PDEGrid, pde_price
+
+    m = MarketParams(S0=100.0, r=0.05, sigma=0.2)
+    divs = DividendSchedule([0.3, 0.7], [2.0, 2.0])
+    sim = SimConfig(n_paths=262_144, n_steps=50, antithetic=True)
+    spec = RegressionSpec(degree=3, regress_on="all")
+
+    prod_e = ProductSpec(K=100.0, T=1.0, option_type="put",
+                         exercise="european")
+    r_e = price_option_divs(jax.random.key(31), m, divs, prod_e, spec, sim)
+    anchor = float(pde_price(m, prod_e, PDEGrid(n_steps=800, n_space=640),
+                             dividends=divs).price)
+    assert abs(float(r_e.price) - anchor) < 4.0 * float(r_e.stderr) + 0.02, (
+        float(r_e.price), anchor, float(r_e.stderr))
+
+    prod_a = ProductSpec(K=100.0, T=1.0, option_type="put",
+                         exercise="american")
+    r_x = price_option_divs(jax.random.key(32), m, divs, prod_a, spec, sim)
+    r_m = price_option_divs(jax.random.key(32), m, divs, prod_a, spec, sim,
+                            engine="mega")
+    assert abs(float(r_x.price) - float(r_m.price)) < 5e-3, (
+        float(r_x.price), float(r_m.price))
