@@ -468,6 +468,52 @@ def cmd_heston(args):
     return payload
 
 
+def cmd_quanto(args):
+    """Quanto / compo cross-currency option (closed-form + CRR oracles)."""
+    from .quanto import (QuantoParams, compo_european_price,
+                         price_compo_option, price_quanto_option,
+                         quanto_crr_price, quanto_european_price)
+    from .types import ProductSpec, RegressionSpec, SimConfig
+
+    qp = QuantoParams(S0=args.s0, r_d=args.rd, r_f=args.rf,
+                      sigma=args.sigma, fx_sigma=args.fx_sigma,
+                      rho=args.rho, q=args.q, fx_rate=args.fx_rate)
+    product = ProductSpec(K=args.k, T=args.t, option_type=args.option_type,
+                          exercise=args.exercise, barrier=args.barrier,
+                          barrier_type=args.barrier_type)
+    spec = RegressionSpec(basis=args.basis, degree=args.degree)
+    sim = SimConfig(n_paths=args.paths, n_steps=args.steps,
+                    antithetic=args.antithetic)
+    key = jax.random.key(args.seed)
+    if args.style == "quanto":
+        res = price_quanto_option(key, qp, product, spec, sim,
+                                  engine=args.engine)
+        cf = quanto_european_price(qp, args.k, args.t, args.option_type)
+    else:
+        res = price_compo_option(key, qp, args.fx_spot, product, spec, sim,
+                                 engine=args.engine)
+        cf = compo_european_price(qp, args.fx_spot, args.k, args.t,
+                                  args.option_type)
+    payload = {
+        "style": args.style,
+        "price": round(float(res.price), 4),
+        "stderr": round(float(res.stderr), 4),
+        "european_cf": round(cf, 4),
+        "q_eff": round(qp.q_eff, 6),
+    }
+    if args.style == "quanto" and product.exercise == "american" \
+            and product.barrier is None:
+        payload["crr"] = round(
+            quanto_crr_price(qp, args.k, args.t, args.option_type), 4)
+    if not args.json:
+        print(f"{args.style.title()} {product.exercise} "
+              f"{product.option_type}: {payload['price']:.4f} "
+              f"\u00b1 {payload['stderr']:.4f}  "
+              f"(European CF: {payload['european_cf']:.4f})")
+    _emit(payload, args.json)
+    return payload
+
+
 def cmd_divs(args):
     """Vanilla option on a discrete cash-dividend payer (PDE oracle)."""
     from .dividends import DividendSchedule, price_option_divs
@@ -1407,6 +1453,47 @@ def build_parser():
     pv.add_argument("--seed", type=int, default=42)
     pv.add_argument("--json", action="store_true")
     pv.set_defaults(fn=cmd_divs)
+
+    pq = sub.add_parser("quanto",
+                        help="quanto / compo cross-currency option")
+    pq.add_argument("--style", choices=["quanto", "compo"],
+                    default="quanto")
+    pq.add_argument("--s0", type=float, default=100.0,
+                    help="foreign asset spot (foreign ccy)")
+    pq.add_argument("--k", type=float, default=100.0)
+    pq.add_argument("--t", type=float, default=1.0)
+    pq.add_argument("--rd", type=float, default=0.05,
+                    help="domestic rate")
+    pq.add_argument("--rf", type=float, default=0.01,
+                    help="foreign rate")
+    pq.add_argument("--q", type=float, default=0.0)
+    pq.add_argument("--sigma", type=float, default=0.25)
+    pq.add_argument("--fx-sigma", type=float, default=0.12)
+    pq.add_argument("--rho", type=float, default=-0.4,
+                    help="corr(asset, FX)")
+    pq.add_argument("--fx-rate", type=float, default=1.0,
+                    help="fixed quanto conversion rate")
+    pq.add_argument("--fx-spot", type=float, default=1.0,
+                    help="FX spot X0 (compo style)")
+    pq.add_argument("--option-type", choices=["put", "call"],
+                    default="put")
+    pq.add_argument("--exercise", choices=["european", "american"],
+                    default="american")
+    pq.add_argument("--barrier", type=float, default=None)
+    pq.add_argument("--barrier-type",
+                    choices=["down-in", "up-in", "down-out", "up-out"],
+                    default="down-in")
+    pq.add_argument("--basis", default="chebyshev")
+    pq.add_argument("--degree", type=int, default=4)
+    pq.add_argument("--paths", type=int, default=100_000)
+    pq.add_argument("--steps", type=int, default=50)
+    pq.add_argument("--antithetic", action="store_true")
+    pq.add_argument("--engine",
+                    choices=["xla", "fused", "mega", "fusedpath"],
+                    default="xla")
+    pq.add_argument("--seed", type=int, default=42)
+    pq.add_argument("--json", action="store_true")
+    pq.set_defaults(fn=cmd_quanto)
 
     pa = sub.add_parser("asian", help="average (Asian) option")
     pa.add_argument("--s0", type=float, default=100.0)

@@ -394,3 +394,31 @@ def test_cli_swaption_json(capsys):
     assert {"price_bp", "stderr_bp", "european_jamshidian_bp"} <= set(out)
     # Bermudan >= its own European lower bound, minus MC noise
     assert out["price_bp"] > out["european_jamshidian_bp"] - 4 * out["stderr_bp"]
+
+
+def test_cli_quanto_json(capsys):
+    import json as _json
+
+    from amcx.cli import main
+
+    main(["quanto", "--paths", "16384", "--steps", "25", "--antithetic",
+          "--json"])
+    payload = _json.loads(capsys.readouterr().out)
+    # American >= its European closed form (minus MC noise); CRR present
+    assert payload["price"] > payload["european_cf"] - 4 * payload["stderr"]
+    assert abs(payload["price"] - payload["crr"]) < 0.25
+    # q_eff = rd − rf + q + ρσσ_X = 0.05 − 0.01 + 0 − 0.012
+    assert abs(payload["q_eff"] - 0.028) < 1e-9
+
+
+def test_cli_quanto_compo_json(capsys):
+    import json as _json
+
+    from amcx.cli import main
+
+    main(["quanto", "--style", "compo", "--fx-spot", "1.3", "--k", "130",
+          "--exercise", "european", "--paths", "16384", "--steps", "25",
+          "--antithetic", "--json"])
+    payload = _json.loads(capsys.readouterr().out)
+    assert abs(payload["price"] - payload["european_cf"]) < (
+        4 * payload["stderr"] + 0.02)
