@@ -1307,19 +1307,47 @@ def cmd_lookback(args):
 
 
 def cmd_swaption(args):
-    """Bermudan payer/receiver swaption under Hull-White 1F, vs the exact
-    Jamshidian European and the f64 CN-PDE Bermudan anchor."""
+    """Bermudan payer/receiver swaption under Hull-White 1F (vs the exact
+    Jamshidian European and the f64 CN-PDE Bermudan anchor) or G2++
+    two-factor Gaussian (``--model g2``, vs the exact conditioned-GH
+    European)."""
     from .rates import (HW1FParams, jamshidian_swaption_price,
                         pde_bermudan_swaption, price_bermudan_swaption,
                         swap_schedule)
     from .types import RegressionSpec, SimConfig
 
-    hw = HW1FParams(r0=args.r0, kappa=args.kappa, sigma_r=args.sigma_r)
     pay = swap_schedule(args.expiry, args.tenor, args.freq)
     spec = RegressionSpec(basis=args.basis, degree=args.degree)
     sim = SimConfig(n_paths=args.paths, n_steps=args.steps,
                     antithetic=args.antithetic)
     payer = args.side == "payer"
+    if args.model == "g2":
+        from .rates_g2 import (G2Params, g2_swaption_price,
+                               price_bermudan_swaption_g2)
+
+        g2 = G2Params(r0=args.r0, a=args.kappa, b=args.b,
+                      sigma=args.sigma_r, eta=args.eta, rho=args.rho_xy)
+        res = price_bermudan_swaption_g2(
+            jax.random.key(args.seed), g2, args.k, pay, payer=payer,
+            first_reset=args.expiry, spec=spec, sim=sim,
+            engine=args.engine)
+        euro = g2_swaption_price(g2, args.k, args.expiry, pay, payer=payer)
+        payload = {
+            "model": "g2",
+            "price_bp": round(float(res.price) * 1e4, 2),
+            "stderr_bp": round(float(res.stderr) * 1e4, 2),
+            "european_gh_bp": round(euro * 1e4, 2),
+            "side": args.side,
+        }
+        if not args.json:
+            print(f"G2++ Bermudan {args.side} swaption {args.expiry:g}y "
+                  f"into {args.tenor:g}y (K={args.k:.4%}): "
+                  f"{payload['price_bp']:.2f} bp \u00b1 "
+                  f"{payload['stderr_bp']:.2f} "
+                  f"(European GH exact: {payload['european_gh_bp']:.2f})")
+        _emit(payload, args.json)
+        return payload
+    hw = HW1FParams(r0=args.r0, kappa=args.kappa, sigma_r=args.sigma_r)
     res = price_bermudan_swaption(
         jax.random.key(args.seed), hw, args.k, pay, payer=payer,
         first_reset=args.expiry, spec=spec, sim=sim, engine=args.engine)
@@ -1994,6 +2022,14 @@ def build_parser():
                      help="also run the f64 CN-PDE Bermudan anchor")
     psw.add_argument("--seed", type=int, default=42)
     psw.add_argument("--json", action="store_true")
+    psw.add_argument("--model", choices=["hw", "g2"], default="hw",
+                     help="short-rate model (g2: two-factor Gaussian)")
+    psw.add_argument("--b", type=float, default=0.1,
+                     help="G2 second-factor mean reversion")
+    psw.add_argument("--eta", type=float, default=0.008,
+                     help="G2 second-factor vol")
+    psw.add_argument("--rho-xy", type=float, default=-0.7,
+                     help="G2 factor correlation")
     psw.set_defaults(fn=cmd_swaption)
 
     pr = sub.add_parser("preset", help="run a named BASELINE config")

@@ -422,3 +422,17 @@ def test_cli_quanto_compo_json(capsys):
     payload = _json.loads(capsys.readouterr().out)
     assert abs(payload["price"] - payload["european_cf"]) < (
         4 * payload["stderr"] + 0.02)
+
+
+def test_cli_swaption_g2_json(capsys):
+    import json as _json
+
+    from amcx.cli import main
+
+    main(["swaption", "--model", "g2", "--k", "0.03", "--paths", "16384",
+          "--steps", "32", "--antithetic", "--json"])
+    payload = _json.loads(capsys.readouterr().out)
+    assert payload["model"] == "g2"
+    # Bermudan dominates its own exact European oracle (minus noise)
+    assert payload["price_bp"] > payload["european_gh_bp"] - (
+        4 * payload["stderr_bp"])

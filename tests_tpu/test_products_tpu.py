@@ -447,3 +447,38 @@ def test_dividends_mc_vs_pde_onchip():
                             engine="mega")
     assert abs(float(r_x.price) - float(r_m.price)) < 5e-3, (
         float(r_x.price), float(r_m.price))
+
+
+def test_g2_bermudan_swaption_onchip():
+    """G2++ on hardware: the exact 3-factor scheme's discount hits the
+    curve, the MC European lands on the Gauss-Hermite T-forward oracle,
+    and the THREE-plane ma-mega route (A=3 + per-path discount planes +
+    in-kernel schedule) matches the XLA scan on shared paths."""
+    import jax.numpy as jnp
+
+    from amcx.rates import swap_schedule
+    from amcx.rates_g2 import (G2Params, g2_swaption_price,
+                               price_bermudan_swaption_g2,
+                               simulate_g2_rates)
+
+    g2 = G2Params(r0=0.03, a=0.8, b=0.1, sigma=0.012, eta=0.008, rho=-0.7)
+    pay = swap_schedule(1.0, 4.0)
+    sim = SimConfig(n_paths=262_144, n_steps=64, antithetic=True)
+    _, _, df = simulate_g2_rates(jax.random.key(40), g2, 4.0, sim)
+    mc = float(jnp.mean(jnp.prod(df, axis=0)))
+    assert abs(mc - np.exp(-0.03 * 4.0)) < 5e-4, mc
+
+    spec = RegressionSpec(degree=2, regress_on="all")
+    res = price_bermudan_swaption_g2(jax.random.key(41), g2, 0.03, pay,
+                                     exercise_times=[1.0], spec=spec,
+                                     sim=sim)
+    gh = g2_swaption_price(g2, 0.03, 1.0, pay, payer=True)
+    assert abs(float(res.price) - gh) < 4.0 * float(res.stderr) + 2e-4, (
+        float(res.price), gh)
+
+    rx = price_bermudan_swaption_g2(jax.random.key(42), g2, 0.03, pay,
+                                    spec=spec, sim=sim)
+    rm = price_bermudan_swaption_g2(jax.random.key(42), g2, 0.03, pay,
+                                    spec=spec, sim=sim, engine="mega")
+    assert abs(float(rx.price) - float(rm.price)) < 1e-4, (
+        float(rx.price), float(rm.price))
