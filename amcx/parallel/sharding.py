@@ -52,6 +52,7 @@ __all__ = [
     "price_option_shardmap_fusedpath",
     "price_max_call_shardmap_mega",
     "price_bermudan_swaption_shardmap",
+    "price_bermudan_swaption_g2_shardmap",
     "price_book_shardmap",
     "price_book_shardmap_mega",
     "price_autocall_shardmap",
@@ -413,6 +414,77 @@ def price_option_shardmap_fusedpath(
         )(key)
 
     return run(key)
+
+
+def price_bermudan_swaption_g2_shardmap(
+    key: jax.Array,
+    g2,
+    K,
+    pay_times,
+    exercise_times=None,
+    first_reset=None,
+    payer: bool = True,
+    spec: RegressionSpec = RegressionSpec(basis="chebyshev", degree=2),
+    n_paths: int = 131_072,
+    n_steps: int = 32,
+    antithetic: bool = False,
+    mesh: Optional[Mesh] = None,
+):
+    """G2++ Bermudan swaption across the mesh on the collective ma-mega
+    engine — `price_bermudan_swaption_shardmap` with the two-factor
+    (swap value, x, y) state: every rank simulates its own exact
+    (eta_x, eta_y, iota) shard, the standardization frame is psum-global,
+    and the packed Gram all-reduces over the in-kernel RDMA ring with
+    per-path discount planes and the Bermudan schedule in-kernel.
+
+    CI note: the 1-core CPU interpret machinery livelocks on the A=3
+    collective schedule even at 2-dev/2-step (probed >9 min; the A=2 HW
+    case completes in seconds) — the multichip validation for this entry
+    is the deviceless v5e:2x4 AOT topology compile
+    (tests_tpu/test_multichip_compile.py::test_g2_swaption_ring_compiles),
+    the gate class that actually sees Mosaic collective lowering."""
+    from jax import shard_map
+
+    from ..ops.lsmc_ma_mega import lsmc_price_ma_mega
+    from ..rates_g2 import (_g2_swaption_setup, _swap_planes_g2,
+                            simulate_g2_rates)
+    from ..types import SimConfig
+
+    mesh = make_mesh() if mesh is None else mesh
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    if n_paths % n_dev:
+        raise ValueError(f"n_paths={n_paths} not divisible by mesh size "
+                         f"{n_dev}")
+    T, dt, sched_steps, w, Ba, Bb = _g2_swaption_setup(
+        g2, K, pay_times, exercise_times, first_reset, payer, n_steps)
+    local_sim = SimConfig(n_paths=n_paths // n_dev, n_steps=n_steps,
+                          antithetic=antithetic)
+    w_f = jnp.asarray(w, jnp.float32)
+    Ba_f = jnp.asarray(Ba, jnp.float32)
+    Bb_f = jnp.asarray(Bb, jnp.float32)
+
+    @jax.jit
+    def run(key, w_f, Ba_f, Bb_f):
+        def local(key, w_f, Ba_f, Bb_f):
+            rank = jax.lax.axis_index(axis)
+            local_key = jax.random.fold_in(key, rank)
+            x, y, df = simulate_g2_rates(local_key, g2, T, local_sim)
+            plane = _swap_planes_g2(x, y, w_f, Ba_f, Bb_f)
+            return lsmc_price_ma_mega(
+                jnp.stack([plane, x, y], axis=-1), 0.0, 0.0, dt, phi=1.0,
+                payoff_kind="first", basis=spec.basis, degree=spec.degree,
+                mode="total", rcond=spec.rcond,
+                itm_weights=spec.regress_on == "itm",
+                exercise_steps=tuple(sched_steps), discount_planes=df,
+                antithetic=antithetic, axis_name=axis, axis_size=n_dev)
+
+        return shard_map(
+            local, mesh=mesh, in_specs=(P(), P(), P(), P()),
+            out_specs=(P(), P()), check_vma=False,
+        )(key, w_f, Ba_f, Bb_f)
+
+    return run(key, w_f, Ba_f, Bb_f)
 
 
 def price_book_shardmap(

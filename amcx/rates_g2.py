@@ -348,6 +348,29 @@ def _swap_planes_g2(x, y, w, Ba, Bb):
     return plane
 
 
+def _g2_swaption_setup(g2, K, pay_times, exercise_times, first_reset, payer,
+                       n_steps):
+    """Validate the schedule and build the grid/plane tables — shared by
+    the single-device engines and the shard_map collective route (the
+    `amcx.rates._swaption_setup` contract with the second factor)."""
+    pay_times, first_reset, exercise_times = _normalize_schedule(
+        pay_times, exercise_times, first_reset)
+    T = exercise_times[-1]
+    dt = T / n_steps
+    sched_steps = []
+    for e in exercise_times[:-1]:
+        s = e / dt
+        if abs(s - round(s)) > 1e-6:
+            raise ValueError(f"exercise time {e} does not land on the "
+                             f"{n_steps}-step grid over [0, {T}]")
+        sched_steps.append(int(round(s)))
+    snapped = [dt * s for s in sched_steps] + [T]
+    grid_times = dt * np.arange(n_steps + 1)
+    w, Ba, Bb = _plane_tables_g2(g2, K, grid_times, snapped, pay_times,
+                                 first_reset, payer)
+    return T, dt, sched_steps, w, Ba, Bb
+
+
 @partial(jax.jit, static_argnames=("spec", "antithetic", "return_surface"))
 def _g2_engine_impl(plane, x, y, df, allow, spec, antithetic,
                     return_surface=False):
@@ -414,21 +437,8 @@ def price_bermudan_swaption_g2(
     per-path discount planes, in-kernel Bermudan schedule).
     ``return_surface=True`` (xla only) emits the counterparty-value
     surface for `amcx.rates.swaption_ccr_profile`."""
-    pay_times, first_reset, exercise_times = _normalize_schedule(
-        pay_times, exercise_times, first_reset)
-    T = exercise_times[-1]
-    dt = T / sim.n_steps
-    sched_steps = []
-    for e in exercise_times[:-1]:
-        s = e / dt
-        if abs(s - round(s)) > 1e-6:
-            raise ValueError(f"exercise time {e} does not land on the "
-                             f"{sim.n_steps}-step grid over [0, {T}]")
-        sched_steps.append(int(round(s)))
-    snapped = [dt * s for s in sched_steps] + [T]
-    grid_times = dt * np.arange(sim.n_steps + 1)
-    w, Ba, Bb = _plane_tables_g2(g2, K, grid_times, snapped, pay_times,
-                                 first_reset, payer)
+    T, dt, sched_steps, w, Ba, Bb = _g2_swaption_setup(
+        g2, K, pay_times, exercise_times, first_reset, payer, sim.n_steps)
     x, y, df = simulate_g2_rates(key, g2, T, sim)
     plane = _swap_planes_g2(x, y, jnp.asarray(w, jnp.float32),
                             jnp.asarray(Ba, jnp.float32),

@@ -108,3 +108,16 @@ def test_xla_shardmap_compiles(mesh8):
     """The XLA-collective (psum) engine variant on the same topology."""
     _aot(lambda k: sh.price_option_shardmap(
         k, M, PUT_A, RegressionSpec(degree=4), SIM, mesh=mesh8))
+
+
+def test_g2_swaption_ring_compiles(mesh8):
+    """G2++ Bermudan swaption ring (THREE-plane ma-mega + pathwise df):
+    the 1-core interpret host livelocks on the A=3 collective schedule
+    (probed >9 min at 2-dev 2-step), so this AOT topology compile is the
+    only multichip validation of the G2 collective program."""
+    from amcx.rates_g2 import G2Params
+
+    _aot(lambda k: sh.price_bermudan_swaption_g2_shardmap(
+        k, G2Params(r0=0.02, a=0.8, b=0.1, sigma=0.01, eta=0.008,
+                    rho=-0.7), 0.02, [1.0, 2.0, 3.0],
+        n_paths=N_DEV * 4096, n_steps=12, mesh=mesh8))
