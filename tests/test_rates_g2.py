@@ -144,3 +144,20 @@ def test_schedule_validation():
     with pytest.raises(ValueError, match="reset date"):
         price_bermudan_swaption_g2(jax.random.key(8), G2, 0.03, PAY,
                                    exercise_times=[1.37], sim=SIM)
+
+
+def test_g2_ccr_surface_feeds_exposure_profile():
+    """return_surface emits the counterparty-value planes in the HW
+    engine's contract — `swaption_ccr_profile` consumes them directly."""
+    from amcx.rates import swaption_ccr_profile
+
+    sim = SimConfig(n_paths=8_192, n_steps=32, antithetic=True)
+    res = price_bermudan_swaption_g2(jax.random.key(9), G2, 0.03, PAY,
+                                     spec=SPEC, sim=sim,
+                                     return_surface=True)
+    assert res.continuation.shape == (33, 8_192)
+    ccr, ene = swaption_ccr_profile(res.continuation)
+    assert ccr.epe.shape == (33,) and ene.shape == (33,)
+    # positive exposure somewhere mid-life; EPE bounded by PFE95
+    assert float(jnp.max(ccr.epe)) > 0.0
+    assert float(jnp.max(ccr.epe)) <= float(jnp.max(ccr.pfe95)) + 1e-9
