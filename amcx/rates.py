@@ -66,6 +66,8 @@ __all__ = [
     "simulate_hw_rates",
     "swap_schedule",
     "jamshidian_swaption_price",
+    "bond_option_price_hw",
+    "cap_floor_price_hw",
     "price_bermudan_swaption",
     "pde_bermudan_swaption",
     "swaption_dual_bound",
@@ -207,6 +209,44 @@ def jamshidian_swaption_price(hw: HW1FParams, K, expiry, pay_times,
     else:      # calls
         opts = P0S * norm.cdf(h) - X * P0e * norm.cdf(h - sig_p)
     return float(np.sum(c * opts))
+
+
+def bond_option_price_hw(hw: HW1FParams, expiry, bond_maturity, strike,
+                         call: bool = True):
+    """Closed-form zero-coupon bond option under HW1F (the building block
+    Jamshidian sums; exposed for caps/floors): lognormal bond-price Black
+    formula with ``sigma_p = sigma_r sqrt((1-e^{-2kT})/(2k)) B(S-T)``."""
+    from scipy.stats import norm
+
+    Te, S, X = float(expiry), float(bond_maturity), float(strike)
+    k, sr = float(hw.kappa), float(hw.sigma_r)
+    P0T = np.exp(_ln_bond_const(hw, 0.0, Te))
+    P0S = np.exp(_ln_bond_const(hw, 0.0, S))
+    sig_p = sr * np.sqrt((1.0 - np.exp(-2.0 * k * Te)) / (2.0 * k)) \
+        * _B_tau(hw, S - Te)
+    h = np.log(P0S / (P0T * X)) / sig_p + 0.5 * sig_p
+    if call:
+        return float(P0S * norm.cdf(h) - X * P0T * norm.cdf(h - sig_p))
+    return float(X * P0T * norm.cdf(-h + sig_p) - P0S * norm.cdf(-h))
+
+
+def cap_floor_price_hw(hw: HW1FParams, K, pay_times,
+                       first_reset: float | None = None, cap: bool = True):
+    """Interest-rate cap (floor) on the simple forward rate over each
+    period of the schedule: caplet over [t_{i-1}, t_i] with strike K =
+    ``(1 + delta_i K)`` bond PUTS (calls for floorlets) struck at
+    ``1/(1 + delta_i K)`` — exact under HW1F. Unit notional; the first
+    period resets at ``first_reset`` (inferred from the schedule like
+    `_normalize_schedule`)."""
+    pay_times, first_reset, _ = _normalize_schedule(pay_times, [], first_reset)
+    resets = [first_reset] + pay_times[:-1]
+    total = 0.0
+    for t0, t1 in zip(resets, pay_times):
+        delta = t1 - t0
+        kk = 1.0 + delta * float(K)
+        total += kk * bond_option_price_hw(hw, t0, t1, 1.0 / kk,
+                                           call=not cap)
+    return float(total)
 
 
 # ---------------------------------------------------------------------------

@@ -63,6 +63,8 @@ __all__ = [
     "bond_price_g2",
     "simulate_g2_rates",
     "g2_swaption_price",
+    "bond_option_price_g2",
+    "cap_floor_price_g2",
     "price_bermudan_swaption_g2",
 ]
 
@@ -145,6 +147,46 @@ def bond_price_g2(g2: G2Params, t, T, x=0.0, y=0.0):
     tau = np.asarray(T) - np.asarray(t)
     return np.exp(_ln_bond_const_g2(g2, t, T)
                   - _B(float(g2.a), tau) * x - _B(float(g2.b), tau) * y)
+
+
+def bond_option_price_g2(g2: G2Params, expiry, bond_maturity, strike,
+                         call: bool = True):
+    """Closed-form zero-coupon bond option under G2++: ``P(T,S)`` is
+    lognormal under the T-forward measure with total variance
+    ``B_a^2 var_x + B_b^2 var_y + 2 B_a B_b cov_xy`` (B&M 4.2.4's
+    structure via the same `_cov_block` terms the simulator uses), priced
+    by the bond-price Black formula."""
+    from scipy.stats import norm
+
+    Te, S, X = float(expiry), float(bond_maturity), float(strike)
+    c = _cov_block(g2, Te)
+    Ba = _B(float(g2.a), S - Te)
+    Bb = _B(float(g2.b), S - Te)
+    sig_p = np.sqrt(Ba * Ba * c["var_x"] + Bb * Bb * c["var_y"]
+                    + 2.0 * Ba * Bb * c["cov_xy"])
+    P0T = np.exp(_ln_bond_const_g2(g2, 0.0, Te))
+    P0S = np.exp(_ln_bond_const_g2(g2, 0.0, S))
+    h = np.log(P0S / (P0T * X)) / sig_p + 0.5 * sig_p
+    if call:
+        return float(P0S * norm.cdf(h) - X * P0T * norm.cdf(h - sig_p))
+    return float(X * P0T * norm.cdf(-h + sig_p) - P0S * norm.cdf(-h))
+
+
+def cap_floor_price_g2(g2: G2Params, K, pay_times,
+                       first_reset: float | None = None, cap: bool = True):
+    """Interest-rate cap (floor) under G2++ — exact, as ``(1 + delta K)``
+    bond puts (calls) per period (`amcx.rates.cap_floor_price_hw`'s
+    contract with the two-factor bond-option block)."""
+    pay_times, first_reset, _ = _normalize_schedule(pay_times, [],
+                                                    first_reset)
+    resets = [first_reset] + pay_times[:-1]
+    total = 0.0
+    for t0, t1 in zip(resets, pay_times):
+        delta = t1 - t0
+        kk = 1.0 + delta * float(K)
+        total += kk * bond_option_price_g2(g2, t0, t1, 1.0 / kk,
+                                           call=not cap)
+    return float(total)
 
 
 # ---------------------------------------------------------------------------

@@ -161,3 +161,57 @@ def test_g2_ccr_surface_feeds_exposure_profile():
     # positive exposure somewhere mid-life; EPE bounded by PFE95
     assert float(jnp.max(ccr.epe)) > 0.0
     assert float(jnp.max(ccr.epe)) <= float(jnp.max(ccr.pfe95)) + 1e-9
+
+
+def test_bond_option_mc_gates_both_models():
+    """E[D(T) (P(T,S) - X)^+] from the exact simulators lands on the
+    closed-form bond options (HW1F and G2++) — the caplet building block."""
+    from amcx.rates import bond_option_price_hw, simulate_hw_rates
+    from amcx.rates_g2 import bond_option_price_g2
+
+    sim = SimConfig(n_paths=262_144, n_steps=16, antithetic=True)
+    Te, S, X = 2.0, 5.0, 0.92
+
+    hw = HW1FParams(r0=0.03, kappa=0.5, sigma_r=0.012)
+    from amcx.rates import bond_price_hw
+
+    x, dfh = simulate_hw_rates(jax.random.key(20), hw, Te, sim)
+    D = np.asarray(jnp.prod(dfh, axis=0), np.float64)
+    P = bond_price_hw(hw, Te, S, np.asarray(x[-1], np.float64))
+    pay = D * np.maximum(P - X, 0.0)
+    mc, se = float(np.mean(pay)), float(np.std(pay)) / np.sqrt(sim.n_paths)
+    cf = bond_option_price_hw(hw, Te, S, X)
+    assert abs(mc - cf) < 4.0 * se + 1e-4, (mc, cf, se)
+
+    xg, yg, dfg = simulate_g2_rates(jax.random.key(21), G2, Te, sim)
+    Dg = np.asarray(jnp.prod(dfg, axis=0), np.float64)
+    Pg = bond_price_g2(G2, Te, S, np.asarray(xg[-1], np.float64),
+                       np.asarray(yg[-1], np.float64))
+    payg = Dg * np.maximum(Pg - X, 0.0)
+    mcg = float(np.mean(payg))
+    seg = float(np.std(payg)) / np.sqrt(sim.n_paths)
+    cfg = bond_option_price_g2(G2, Te, S, X)
+    assert abs(mcg - cfg) < 4.0 * seg + 1e-4, (mcg, cfg, seg)
+
+
+def test_cap_floor_parity_and_hw_collapse():
+    """cap − floor = payer forward-swap value (exact), and η→0 G2 caps
+    collapse onto the HW1F closed form."""
+    from amcx.rates import cap_floor_price_hw
+    from amcx.rates_g2 import cap_floor_price_g2
+
+    K = 0.032
+    cap = cap_floor_price_g2(G2, K, PAY, first_reset=1.0)
+    flr = cap_floor_price_g2(G2, K, PAY, first_reset=1.0, cap=False)
+    resets = [1.0] + PAY[:-1]
+    fwd = sum(float(np.exp(-G2.r0 * t0)) - (1.0 + (t1 - t0) * K)
+              * float(np.exp(-G2.r0 * t1))
+              for t0, t1 in zip(resets, PAY))
+    np.testing.assert_allclose(cap - flr, fwd, atol=1e-12)
+    assert cap > 0.0 and flr > 0.0
+
+    g0 = G2Params(r0=0.03, a=0.5, b=0.3, sigma=0.012, eta=1e-12, rho=0.0)
+    hw = HW1FParams(r0=0.03, kappa=0.5, sigma_r=0.012)
+    np.testing.assert_allclose(
+        cap_floor_price_g2(g0, K, PAY, first_reset=1.0),
+        cap_floor_price_hw(hw, K, PAY, first_reset=1.0), atol=1e-12)
