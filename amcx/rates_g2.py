@@ -66,6 +66,7 @@ __all__ = [
     "bond_option_price_g2",
     "cap_floor_price_g2",
     "price_bermudan_swaption_g2",
+    "g2_swaption_oos_bound",
 ]
 
 
@@ -413,12 +414,16 @@ def _g2_swaption_setup(g2, K, pay_times, exercise_times, first_reset, payer,
     return T, dt, sched_steps, w, Ba, Bb
 
 
-@partial(jax.jit, static_argnames=("spec", "antithetic", "return_surface"))
+@partial(jax.jit, static_argnames=("spec", "antithetic", "return_surface",
+                                   "return_coeffs"))
 def _g2_engine_impl(plane, x, y, df, allow, spec, antithetic,
-                    return_surface=False):
+                    return_surface=False, return_coeffs=False):
     """Backward induction on the (swap value, x, y) state with pathwise
     discounting — `amcx.rates._swaption_engine_impl` with the second
-    factor as a third regression feature (total-degree cross basis)."""
+    factor as a third regression feature (total-degree cross basis).
+    ``return_coeffs`` exports the per-step (coeffs, mu, sd) policy in the
+    standardization frame `max_call_fit` used — what the OOS replay
+    walks."""
     from .models.maxcall import max_call_fit
 
     n_steps = x.shape[0] - 1
@@ -432,16 +437,34 @@ def _g2_engine_impl(plane, x, y, df, allow, spec, antithetic,
         X = jnp.stack([p_t, x_t, y_t], axis=-1)
         wgt = ((ex > 0).astype(x.dtype)
                if spec.regress_on == "itm" else None)
-        cont, _ = max_call_fit(X, yv, spec, wgt, mode="total")
+        cont, coefs = max_call_fit(X, yv, spec, wgt, mode="total")
         hit = (ex > cont) & (ex > 0) & (allow_t > 0)
-        out = (cont, hit) if return_surface else None
+        out = None
+        if return_surface or return_coeffs:
+            frame = None
+            if return_coeffs:
+                if wgt is None:
+                    mu = jnp.mean(X, axis=0)
+                    var = jnp.mean(jnp.square(X - mu), axis=0)
+                else:
+                    ws = jnp.maximum(jnp.sum(wgt), 1e-6)
+                    mu = jnp.sum(wgt[:, None] * X, axis=0) / ws
+                    var = jnp.sum(wgt[:, None] * jnp.square(X - mu),
+                                  axis=0) / ws
+                frame = (coefs, mu, jnp.maximum(jnp.sqrt(var), 1e-6))
+            out = ((cont, hit) if return_surface else None, frame)
         return jnp.where(hit, ex, yv), out
 
     V0, ys = lax.scan(step, V, (plane[:n_steps], x[:n_steps], y[:n_steps],
                                 df, allow[:n_steps]), reverse=True)
     surface = None
+    coeff_export = None
+    if return_surface or return_coeffs:
+        surf_ys, frame_ys = ys
+        if return_coeffs:
+            coeff_export = frame_ys
     if return_surface:
-        cont_t, hit_t = ys
+        cont_t, hit_t = surf_ys
         ex_by_t = lax.associative_scan(jnp.logical_or, hit_t, axis=0)
         surface = jnp.where(ex_by_t, plane[:n_steps], cont_t)
         last = jnp.where(ex_by_t[-1], plane[n_steps],
@@ -454,7 +477,101 @@ def _g2_engine_impl(plane, x, y, df, allow, spec, antithetic,
         stat = V0
     price = jnp.mean(stat)
     stderr = jnp.std(stat) / jnp.sqrt(stat.shape[0])
-    return price, stderr, surface
+    return price, stderr, surface, coeff_export
+
+
+@partial(jax.jit, static_argnames=("spec", "antithetic"))
+def _g2_replay_impl(x, y, df, coefs, mu_t, sd_t, alw_full, w, Ba, Bb, spec,
+                    antithetic):
+    """Forward first-hit walk of the frozen G2 policy on fresh
+    (x, y, df) paths — `amcx.rates._swaption_replay_impl` with the
+    three-feature frame. Exercise at the first allowed step where the
+    replayed rule fires; value = pathwise-discounted exercise value (the
+    out-of-sample LOWER bound; the in-sample fit is foresight-biased)."""
+    from .models.maxcall import multi_asset_design_matrix
+
+    n_steps = x.shape[0] - 1
+    n_paths = x.shape[1]
+    dtype = x.dtype
+
+    def plane_at(x_s, y_s, s_i):
+        p = jnp.zeros_like(x_s)
+        for m_i in range(w.shape[1]):
+            p = p + w[s_i, m_i] * jnp.exp(-Ba[s_i, m_i] * x_s
+                                          - Bb[s_i, m_i] * y_s)
+        return p
+
+    def step(carry, xs):
+        D, alive, val = carry
+        x_s, y_s, df_prev, s = xs
+        s_i = jnp.minimum(s, float(n_steps)).astype(jnp.int32)
+        D = D * df_prev
+        p = plane_at(x_s, y_s, s_i)
+        h = jnp.maximum(p, 0.0)
+        c_i = jnp.minimum(s_i, n_steps - 1)
+        X = jnp.stack([p, x_s, y_s], axis=-1)
+        Xs = (X - mu_t[c_i]) / sd_t[c_i]
+        A = multi_asset_design_matrix(
+            Xs.reshape(-1, 3), spec.basis, spec.degree, "total")
+        cont = jnp.maximum((A @ coefs[c_i]).reshape(h.shape), 0.0)
+        ex = (h > 0.0) & (h > cont) & (alw_full[s_i] > 0)
+        ex = jnp.where(s_i >= n_steps, h > 0.0, ex)
+        stop = alive & ex
+        val = jnp.where(stop, D * h, val)
+        alive = alive & ~stop
+        return (D, alive, val), None
+
+    ss = jnp.arange(1, n_steps + 1, dtype=dtype)
+    (_, _, val), _ = lax.scan(
+        step,
+        (jnp.ones((n_paths,), dtype), jnp.ones((n_paths,), bool),
+         jnp.zeros((n_paths,), dtype)),
+        (x[1:], y[1:], df, ss))
+    if antithetic:
+        half = n_paths // 2
+        stat = 0.5 * (val[:half] + val[half:])
+    else:
+        stat = val
+    price = jnp.mean(stat)
+    stderr = jnp.std(stat) / jnp.sqrt(stat.shape[0])
+    return price, stderr
+
+
+def g2_swaption_oos_bound(
+    key: jax.Array,
+    g2: G2Params,
+    K,
+    pay_times,
+    exercise_times=None,
+    first_reset: float | None = None,
+    payer: bool = True,
+    spec: RegressionSpec = RegressionSpec(basis="chebyshev", degree=2),
+    sim: SimConfig = SimConfig(),
+    n_replay: int | None = None,
+):
+    """Two-pass G2 Bermudan: fit the policy on one key, replay the FROZEN
+    rule on a key-disjoint path set — returns ``(fit, oos)`` LSMCResults
+    where ``oos`` is a true lower bound (no foresight). ``n_replay``
+    defaults to ``sim.n_paths``."""
+    k_fit, k_replay = jax.random.split(key)
+    fit = price_bermudan_swaption_g2(
+        k_fit, g2, K, pay_times, exercise_times, first_reset, payer,
+        spec, sim, return_coeffs=True)
+    coefs, mu_t, sd_t = fit.coeffs
+    T, dt, sched_steps, w, Ba, Bb = _g2_swaption_setup(
+        g2, K, pay_times, exercise_times, first_reset, payer, sim.n_steps)
+    from .payoff import exercise_allow_row
+
+    alw = (exercise_allow_row(sched_steps, sim.n_steps, jnp.float32)
+           if sched_steps else jnp.zeros(sim.n_steps + 1, jnp.float32))
+    sim_r = (sim if n_replay is None else
+             dataclasses.replace(sim, n_paths=int(n_replay)))
+    x, y, df = simulate_g2_rates(k_replay, g2, T, sim_r)
+    price, stderr = _g2_replay_impl(
+        x, y, df, coefs, mu_t, sd_t, alw, jnp.asarray(w, jnp.float32),
+        jnp.asarray(Ba, jnp.float32), jnp.asarray(Bb, jnp.float32), spec,
+        sim_r.antithetic)
+    return fit, LSMCResult(price, stderr, None, None, None)
 
 
 def price_bermudan_swaption_g2(
@@ -469,6 +586,7 @@ def price_bermudan_swaption_g2(
     sim: SimConfig = SimConfig(),
     engine: str = "xla",
     return_surface: bool = False,
+    return_coeffs: bool = False,
 ) -> LSMCResult:
     """Bermudan payer/receiver swaption by LSMC on the G2++ factors.
 
@@ -489,8 +607,9 @@ def price_bermudan_swaption_g2(
     if engine == "mega":
         from .ops.lsmc_ma_mega import lsmc_price_ma_mega
 
-        if return_surface:
-            raise ValueError("return_surface needs engine='xla'")
+        if return_surface or return_coeffs:
+            raise ValueError("return_surface/return_coeffs need "
+                             "engine='xla'")
         if sim.n_paths % 4096:
             raise ValueError("engine='mega' needs n_paths divisible by "
                              f"4096, got {sim.n_paths}")
@@ -508,6 +627,7 @@ def price_bermudan_swaption_g2(
 
     allow = (exercise_allow_row(sched_steps, sim.n_steps, jnp.float32)
              if sched_steps else jnp.zeros(sim.n_steps + 1, jnp.float32))
-    price, stderr, surface = _g2_engine_impl(
-        plane, x, y, df, allow, spec, sim.antithetic, return_surface)
-    return LSMCResult(price, stderr, None, None, surface)
+    price, stderr, surface, coeffs = _g2_engine_impl(
+        plane, x, y, df, allow, spec, sim.antithetic, return_surface,
+        return_coeffs)
+    return LSMCResult(price, stderr, None, None, surface, coeffs=coeffs)

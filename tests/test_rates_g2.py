@@ -215,3 +215,40 @@ def test_cap_floor_parity_and_hw_collapse():
     np.testing.assert_allclose(
         cap_floor_price_g2(g0, K, PAY, first_reset=1.0),
         cap_floor_price_hw(hw, K, PAY, first_reset=1.0), atol=1e-12)
+
+
+def test_oos_replay_identity_and_lower_bound():
+    """Sharp gate: replaying the frozen rule on the FIT paths reproduces
+    the backward induction's price exactly (last-write-wins == forward
+    first-hit); on fresh paths the OOS price is a true lower bound within
+    noise of the (foresight-biased-up) fit."""
+    from amcx.payoff import exercise_allow_row
+    from amcx.rates_g2 import (_g2_replay_impl, _g2_swaption_setup,
+                               g2_swaption_oos_bound)
+
+    sim = SimConfig(n_paths=16_384, n_steps=32, antithetic=True)
+    fit = price_bermudan_swaption_g2(jax.random.key(30), G2, 0.03, PAY,
+                                     spec=SPEC, sim=sim,
+                                     return_coeffs=True)
+    T, dt, sched, w, Ba, Bb = _g2_swaption_setup(G2, 0.03, PAY, None, None,
+                                                 True, sim.n_steps)
+    x, y, df = simulate_g2_rates(jax.random.key(30), G2, T, sim)
+    alw = exercise_allow_row(sched, sim.n_steps, jnp.float32)
+    coefs, mu_t, sd_t = fit.coeffs
+    p_same, _ = _g2_replay_impl(
+        x, y, df, coefs, mu_t, sd_t, alw, jnp.asarray(w, jnp.float32),
+        jnp.asarray(Ba, jnp.float32), jnp.asarray(Bb, jnp.float32), SPEC,
+        sim.antithetic)
+    assert abs(float(p_same) - float(fit.price)) < 2e-6, (
+        float(p_same), float(fit.price))
+
+    fit2, oos = g2_swaption_oos_bound(jax.random.key(31), G2, 0.03, PAY,
+                                      spec=SPEC, sim=sim)
+    gap = float(fit2.price) - float(oos.price)
+    tol = 4.0 * np.hypot(float(fit2.stderr), float(oos.stderr))
+    assert gap > -tol, (float(fit2.price), float(oos.price))
+    # and the OOS bound still dominates the best European (within noise)
+    best_euro = max(
+        g2_swaption_price(G2, 0.03, e, PAY, payer=True, first_reset=1.0)
+        for e in [1.0, 2.0, 3.0, 4.0])
+    assert float(oos.price) > best_euro - 3.0 * float(oos.stderr)
